@@ -1,0 +1,136 @@
+"""Typed, validated Social-Force-Model parameters.
+
+One schema replaces the reference's ~30 scattered ``dict.get`` call sites
+(SURVEY.md section 5).  The TOML surface of the reference's
+``config/sfm_config.toml`` parses unchanged via :func:`SfmParams.from_dict`.
+
+Config-key quirk handling (see SURVEY.md "Deliberate semantic deviations"):
+the reference *reads* ``goal_force.tau`` (forces.py:44) while its shipped
+config *writes* ``[acceleration_force] tau``, and reads ``max_speed_factor``
+(pedestrian_state.py:15) while the config writes ``max_speed_multiplier`` --
+so both settings are silently inert in the reference and the defaults
+(tau=0.5, factor=1.3) always apply.  We honor the keys *as written in the
+config* (so they actually work), falling back to the reference's read-keys
+and finally to the reference defaults.  ``strict_parity=True`` reproduces the
+reference's inert-key behavior exactly.
+"""
+from __future__ import annotations
+
+from .. utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class AccelerationParams:
+    """Helbing-Molnar (1995) relaxation force. Reference: forces.py:35-53."""
+
+    tau: float = 0.5
+
+
+@pytree_dataclass
+class MoussaidParams:
+    """Moussaid et al. (2009) interaction-force parameters.
+
+    Shared by the pedestrian-pedestrian force (reference forces.py:56-117)
+    and the static/dynamic obstacle forces (forces.py:182-283, which reuse
+    the same formula against per-obstacle closest border points).
+    ``perception_threshold`` is only consulted by the obstacle variants.
+    """
+
+    lambda_: float = 2.0
+    A: float = 4.5
+    gamma: float = 0.35
+    n: float = 2.0
+    n_prime: float = 3.0
+    epsilon: float = 0.005
+    perception_threshold: float = 20.0
+
+
+@pytree_dataclass
+class BorderParams:
+    """Exponential wall-repulsion parameters. Reference: forces.py:120-137."""
+
+    a: float = 3.0
+    b: float = 0.1
+
+
+def _moussaid_from_dict(section: dict, default_threshold: float) -> MoussaidParams:
+    return MoussaidParams(
+        lambda_=float(section.get("lambda", 2.0)),
+        A=float(section.get("A", 4.5)),
+        gamma=float(section.get("gamma", 0.35)),
+        n=float(section.get("n", 2.0)),
+        n_prime=float(section.get("n_prime", 3.0)),
+        epsilon=float(section.get("epsilon", 0.005)),
+        perception_threshold=float(section.get("perception_threshold", default_threshold)),
+    )
+
+
+@pytree_dataclass
+class SfmParams:
+    """Full SFM parameter set (the reference's sfm_config.toml surface)."""
+
+    # numeric parameters are pytree *leaves* so sweeps can vmap over them
+    acceleration: AccelerationParams = AccelerationParams()
+    pedestrian: MoussaidParams = MoussaidParams()
+    border: BorderParams = BorderParams()
+    static_obstacle: MoussaidParams = MoussaidParams()
+    dynamic_obstacle: MoussaidParams = MoussaidParams(perception_threshold=50.0)
+    max_speed_factor: float = 1.3
+    use_ped_radius: bool = static_field(default=False)
+    # force on/off flags ([forces] table; pedestrian_simulation.py:32-55)
+    enable_acceleration: bool = static_field(default=True)
+    enable_pedestrian: bool = static_field(default=True)
+    enable_border: bool = static_field(default=True)
+    enable_static_obstacle: bool = static_field(default=False)
+    enable_dynamic_obstacle: bool = static_field(default=False)
+    # reproduce reference-inert config keys & first-vehicle-extent quirk
+    strict_parity: bool = static_field(default=False)
+
+    @staticmethod
+    def from_dict(cfg: dict, strict_parity: bool = False) -> "SfmParams":
+        """Build params from a parsed sfm_config.toml-style dict.
+
+        The reference's own config files parse unchanged.  The two inert
+        reference keys are honored as written unless ``strict_parity``.
+        Enabling the reference's dead force flags (``ped_repulsive_force`` /
+        ``space_repulsive_force``, which crash the reference with an
+        AttributeError, pedestrian_simulation.py:49-53) raises a clear error.
+        """
+        forces = cfg.get("forces", {})
+        for dead in ("ped_repulsive_force", "space_repulsive_force"):
+            if forces.get(dead, False):
+                raise ValueError(
+                    f"force '{dead}' is not implemented (it is a dead config path "
+                    "in the reference as well: enabling it crashes "
+                    "pedestrian_simulation.init_forces with an AttributeError)"
+                )
+
+        goal = cfg.get("goal_force", {})
+        accel = cfg.get("acceleration_force", {})
+        if strict_parity:
+            tau = float(goal.get("tau", 0.5))
+            max_speed_factor = float(cfg.get("max_speed_factor", 1.3))
+        else:
+            tau = float(accel.get("tau", goal.get("tau", 0.5)))
+            max_speed_factor = float(
+                cfg.get("max_speed_multiplier", cfg.get("max_speed_factor", 1.3))
+            )
+
+        border_cfg = cfg.get("border_force", {})
+        return SfmParams(
+            acceleration=AccelerationParams(tau=tau),
+            pedestrian=_moussaid_from_dict(cfg.get("pedestrian_force", {}), 20.0),
+            border=BorderParams(
+                a=float(border_cfg.get("a", 3.0)), b=float(border_cfg.get("b", 0.1))
+            ),
+            static_obstacle=_moussaid_from_dict(cfg.get("static_obstacle_force", {}), 20.0),
+            dynamic_obstacle=_moussaid_from_dict(cfg.get("dynamic_obstacle_force", {}), 50.0),
+            max_speed_factor=max_speed_factor,
+            use_ped_radius=bool(cfg.get("use_ped_radius", False)),
+            enable_acceleration=bool(forces.get("acceleration_force", False)),
+            enable_pedestrian=bool(forces.get("pedestrian_force", False)),
+            enable_border=bool(forces.get("border_force", False)),
+            enable_static_obstacle=bool(forces.get("static_obstacle_force", False)),
+            enable_dynamic_obstacle=bool(forces.get("dynamic_obstacle_force", False)),
+            strict_parity=strict_parity,
+        )
