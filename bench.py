@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Headline benchmark: agent-steps/sec at N=10k headless (BASELINE.json).
+
+Workload: acceleration + Moussaid pedestrian forces, full mode/waypoint
+pipeline, jitted ``lax.scan`` rollout on one chip.  Baseline is the
+driver-set north star of 1M agent-steps/sec/chip (the reference itself is
+real-time paced at N*20 agent-steps/sec, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N = int(os.environ.get("BENCH_N", 10_000))
+STEPS = int(os.environ.get("BENCH_STEPS", 100))
+BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
+
+
+def main():
+    import jax
+    from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+    from carla_social_force_model_tpu.models.stepper import make_rollout_fn
+
+    scene, params, cfg, state = benchmark_bundle(N)
+    run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
+
+    # warmup / compile
+    final, _ = run(state)
+    jax.block_until_ready(final)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, _ = run(state)
+        jax.block_until_ready(final)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    agent_steps = N * STEPS
+    value = agent_steps / best
+    print(json.dumps({
+        "metric": f"agent_steps_per_sec_n{N}",
+        "value": round(value, 1),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(value / BASELINE_AGENT_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Command-line entry point (the reference's run_simulation.py CLI surface).
+
+Headless by default: the whole rollout runs on device with no real-time
+pacing.  ``--carla-host/--carla-port`` attach the optional CARLA bridge
+(bridge/carla_bridge.py) which restores the reference's per-tick sync +
+real-time pacing against a live CARLA server.
+
+Flags mirror run_simulation.py:243-268 plus headless extensions
+(``--duration``/``--steps``, ``--headless``).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+log = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Social Force Model simulation")
+    p.add_argument("--scenario-config", type=str, required=True,
+                   help="scenario configuration file (reference TOML surface)")
+    p.add_argument("--sfm-config", type=str, default=None,
+                   help="social force model configuration file")
+    p.add_argument("--duration", type=float, default=60.0,
+                   help="simulated seconds to roll out (headless)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="number of steps (overrides --duration)")
+    p.add_argument("--csv", action="store_true", help="output csv results")
+    p.add_argument("--output", type=str, default="output",
+                   help="path for output CSV files")
+    p.add_argument("--carla", action="store_true",
+                   help="attach the CARLA bridge (requires a CARLA server)")
+    p.add_argument("--carla-host", default="127.0.0.1")
+    p.add_argument("--carla-port", default=2000, type=int)
+    p.add_argument("--strict-parity", action="store_true",
+                   help="reproduce reference-inert config keys and quirks")
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+DEFAULT_SFM_CONFIG = {
+    "max_speed_multiplier": 1.3,
+    "use_ped_radius": False,
+    "forces": {"acceleration_force": True, "pedestrian_force": True,
+               "border_force": True, "static_obstacle_force": True,
+               "dynamic_obstacle_force": True},
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(format="%(levelname)s: %(message)s",
+                        level=logging.DEBUG if args.debug else logging.INFO)
+
+    sfm_config = args.sfm_config if args.sfm_config else dict(DEFAULT_SFM_CONFIG)
+
+    if args.carla:
+        from ..bridge.carla_bridge import run_with_carla
+        return run_with_carla(args, sfm_config)
+
+    from .simulation import Simulation
+    sim = Simulation.from_config(
+        args.scenario_config, sfm_config,
+        duration=args.duration, num_steps=args.steps,
+        strict_parity=args.strict_parity)
+    sim.run()
+    alive = int(sim.final_state.alive.sum())
+    log.info("final population: %d alive of %d slots", alive,
+             sim.bundle.capacity)
+    if args.csv:
+        out = sim.write_csv(args.output)
+        log.info("CSV output written to %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

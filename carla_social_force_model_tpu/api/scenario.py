@@ -1,0 +1,198 @@
+"""Scenario TOML -> device-ready Scene (host-side build pipeline).
+
+Parses the reference's scenario surface (README.md:114-189; defaults match
+the reference's ``dict.get`` call sites cited per field) and assembles the
+padded device arrays: spawn schedule, route buffers, border/obstacle point
+sets, scripted-vehicle timelines.
+
+Headless coverage notes:
+* ``generate_route`` requires a navigation graph; headless it is served by
+  the routing package from a cached/explicit graph (routing/), or by the
+  CARLA bridge when attached.  Manual ``waypoints`` + ``destination`` work
+  everywhere.
+* Vehicles with ``auto_pilot = true`` are CARLA-TrafficManager/agent driven
+  in the reference (vehicle_spawner.py:125-138); headless they require a
+  scripted ``trajectory`` (an exact reference feature) or the CARLA bridge.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..env.borders import borders_from_config, build_border_set
+from ..env.obstacles_gen import build_obstacle_set, static_obstacles_from_config
+from ..models.params import SfmParams
+from ..models.spawn import SpawnerSpec, build_spawn_schedule
+from ..models.state import PedState
+from ..models.stepper import Scene, StepConfig
+from ..models.vehicles import VehicleSpec, build_vehicle_states
+from ..utils.config import load_config
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ScenarioBundle:
+    """Everything needed to run one headless scenario."""
+
+    scene: Scene
+    cfg: StepConfig
+    params: SfmParams
+    initial_state: PedState
+    num_steps: int
+    dt: float
+    scenario_name: str
+    # host-side geometry kept for CSV output (reference schemas)
+    border_lines: list
+    obstacle_outlines: list
+    obstacle_centers: list
+
+    @property
+    def capacity(self) -> int:
+        return self.initial_state.capacity
+
+
+def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpec]:
+    """``[[walker.ped_spawner]]`` -> SpawnerSpecs (pedestrian_spawner.py:61-104).
+
+    ``route_provider(origin, destination, graph_type_name) -> (waypoints,
+    crossing_bools)`` serves ``generate_route`` entries (routing package or
+    CARLA bridge); without one, such spawners raise.
+    """
+    walker = scenario.get("walker", {})
+    specs = []
+    for sp in walker.get("ped_spawner", []) or []:
+        spawn_location = np.asarray(sp["spawn_location"], np.float64)
+        destination = np.asarray(sp["destination"], np.float64)
+        generate_route = sp.get("generate_route")
+        if generate_route:
+            if route_provider is None:
+                raise ValueError(
+                    "ped_spawner uses generate_route but no route provider is "
+                    "available (attach a nav graph via routing/ or the CARLA bridge)")
+            waypoints, crossing = route_provider(spawn_location, destination,
+                                                 generate_route)
+            waypoints = np.asarray(waypoints, np.float64)
+        else:
+            wp_list = [np.asarray(w, np.float64) for w in sp.get("waypoints", [])]
+            wp_list.append(destination)
+            # normalize 2-D waypoints to 3-D (z = 0)
+            wp_list = [np.r_[w, 0.0][:3] if w.shape[0] == 2 else w[:3]
+                       for w in wp_list]
+            waypoints = np.stack(wp_list, axis=0)
+            crossing = sp.get("crossing_road_bools", [False] * len(waypoints))
+            if len(waypoints) != len(crossing):
+                log.warning("Length of waypoints and crossing_road_bools is not "
+                            "equal! Waypoints may get cut off!")
+        specs.append(SpawnerSpec(
+            spawn_location=spawn_location,
+            waypoints=waypoints,
+            crossing_road=list(crossing),
+            speed=float(sp.get("speed", 1.2)),
+            blueprint=sp.get("blueprint"),
+            quantity=int(sp.get("quantity", 1)),
+            spawn_time=float(sp.get("spawn_time", 0.0)),
+            spawn_interval=float(sp.get("spawn_interval", 3.0)),
+            crossing_speed_factor=float(sp.get("crossing_speed_factor", 1.5)),
+            crossing_safety_margin=float(sp.get("crossing_safety_margin", 1.5)),
+            radius=float(sp.get("radius", walker.get("default_radius", 0.3))),
+        ))
+    return specs
+
+
+def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
+    """Scripted ``[[vehicle.vehicle_spawner]]`` entries (trajectory mode,
+    vehicle_spawner.py:139-144).  Autopilot/agent vehicles need the bridge."""
+    vehicle_cfg = scenario.get("vehicle", {})
+    specs = []
+    for sp in vehicle_cfg.get("vehicle_spawner", []) or []:
+        trajectory = sp.get("trajectory", [])
+        if sp.get("auto_pilot", True) or not trajectory:
+            log.warning("Skipping autopilot/agent vehicle spawner headless "
+                        "(requires the CARLA bridge): %s", sp)
+            continue
+        specs.append(VehicleSpec(
+            trajectory=np.asarray(trajectory, np.float64),
+            headings=np.asarray(sp.get("headings", []), np.float64),
+            speeds=np.asarray(sp.get("speeds", []), np.float64),
+            extent=tuple(sp.get("extent", (2.4, 1.1))),
+            spawn_time=float(sp.get("spawn_time", 0.0)),
+            spawn_interval=float(sp.get("spawn_interval", 5.0)),
+            quantity=int(sp.get("quantity", 1)),
+        ))
+    return specs
+
+
+def build_scenario(scenario_config, sfm_config, num_steps: int,
+                   route_provider=None, strict_parity: bool = False,
+                   extra_borders=None, extra_border_sections=None,
+                   extra_obstacles=None, extra_obstacle_centers=None
+                   ) -> ScenarioBundle:
+    """Assemble a ScenarioBundle from parsed/loadable configs.
+
+    ``extra_*`` lets the CARLA bridge (or cached map extractions) inject
+    sidewalk borders and map obstacles alongside the config-defined ones,
+    mirroring run_simulation.py:174-192's merge.
+    """
+    scenario = load_config(scenario_config)
+    sfm = load_config(sfm_config)
+
+    params = SfmParams.from_dict(sfm, strict_parity=strict_parity)
+    dt = float(scenario.get("step_length", 0.05))
+    walker = scenario.get("walker", {})
+    cfg = StepConfig(
+        dt=dt,
+        waypoint_threshold=float(walker.get("waypoint_threshold", 2.0)),
+        despawn_on_arrival=bool(walker.get("despawn_on_arrival", True)),
+    )
+
+    obstacles_cfg = scenario.get("obstacles")
+    border_lines, border_centers, border_lengths = borders_from_config(obstacles_cfg)
+    if extra_borders:
+        border_lines = border_lines + list(extra_borders)
+        for center, length in extra_border_sections or []:
+            border_centers.append(np.asarray(center, np.float64))
+            border_lengths.append(float(length))
+    borders = build_border_set(border_lines, border_centers, border_lengths)
+
+    outlines, centers = static_obstacles_from_config(obstacles_cfg)
+    if extra_obstacles:
+        outlines = outlines + list(extra_obstacles)
+        centers = centers + [np.asarray(c, np.float64) for c in
+                             (extra_obstacle_centers or [])]
+    static_obstacles = build_obstacle_set(
+        outlines, centers, params.static_obstacle.perception_threshold)
+
+    resolution = float((obstacles_cfg or {}).get("resolution", 0.1))
+    vehicle_specs = extract_vehicle_specs(scenario)
+    vehicles = build_vehicle_states(vehicle_specs, dt, num_steps,
+                                    resolution=resolution)
+
+    ped_specs = extract_ped_spawners(scenario, route_provider=route_provider)
+    schedule = build_spawn_schedule(
+        ped_specs, dt, num_steps,
+        pedestrian_seed=int(walker.get("pedestrian_seed", 2000)),
+        variate_speed=float(walker.get("variate_speed", 0.0)),
+        blueprint_count=int(walker.get("blueprint_count", 0)),
+        initial_velocity=walker.get("initial_velocity", "forward"),
+    )
+
+    static_vel = None
+    if static_obstacles is not None:
+        import jax.numpy as jnp
+        static_vel = jnp.zeros((static_obstacles.num_segments, 2), jnp.float32)
+
+    scene = Scene(spawn=schedule, borders=borders,
+                  static_obstacles=static_obstacles,
+                  static_obstacle_vel=static_vel, vehicles=vehicles)
+    return ScenarioBundle(
+        scene=scene, cfg=cfg, params=params,
+        initial_state=PedState.empty(schedule.capacity),
+        num_steps=num_steps, dt=dt,
+        scenario_name=scenario.get("scenario_name", ""),
+        border_lines=border_lines,
+        obstacle_outlines=outlines, obstacle_centers=centers,
+    )

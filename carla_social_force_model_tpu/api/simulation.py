@@ -1,0 +1,81 @@
+"""High-level headless simulation API.
+
+``Simulation`` is the headless counterpart of the reference's
+``simulation_loop`` + ``SimulationRunner`` (run_simulation.py:17-229): build
+everything from the two TOML documents, run the whole rollout on device as a
+jitted ``lax.scan``, and optionally dump the reference-schema CSVs.  There is
+no real-time pacing -- the rollout runs as fast as the chip allows; the
+optional CARLA bridge (bridge/) adds the once-per-tick host sync and pacing
+for interactive use.
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+
+from ..models.stepper import make_rollout_fn
+from ..utils import csvout
+from .scenario import ScenarioBundle, build_scenario
+
+log = logging.getLogger(__name__)
+
+
+class Simulation:
+    """One headless scenario rollout."""
+
+    def __init__(self, bundle: ScenarioBundle, record: bool = True):
+        self.bundle = bundle
+        self.record = record
+        self._run = make_rollout_fn(bundle.scene, bundle.params, bundle.cfg,
+                                    bundle.num_steps, record=record)
+        self.final_state = None
+        self.records = None
+        self.elapsed = None
+
+    @classmethod
+    def from_config(cls, scenario_config, sfm_config, duration: float | None = None,
+                    num_steps: int | None = None, record: bool = True,
+                    route_provider=None, strict_parity: bool = False,
+                    **build_kwargs) -> "Simulation":
+        """Build from TOML paths/dicts.
+
+        ``duration`` (seconds) or ``num_steps`` bounds the rollout (the
+        reference runs an infinite real-time loop; a headless scan needs a
+        static horizon).  Default: 60 s.
+        """
+        from ..utils.config import load_config
+        scenario = load_config(scenario_config)
+        dt = float(scenario.get("step_length", 0.05))
+        if num_steps is None:
+            num_steps = int(round((duration if duration is not None else 60.0) / dt))
+        bundle = build_scenario(scenario, sfm_config, num_steps,
+                                route_provider=route_provider,
+                                strict_parity=strict_parity, **build_kwargs)
+        return cls(bundle, record=record)
+
+    def run(self):
+        """Execute the rollout; returns ``(final_state, records)``."""
+        start = time.perf_counter()
+        final, recs = self._run(self.bundle.initial_state)
+        jax.block_until_ready(final)
+        self.elapsed = time.perf_counter() - start
+        self.final_state, self.records = final, recs
+        steps = self.bundle.num_steps
+        log.info("rollout: %d steps x %d slots in %.3fs (%.0f steps/s)",
+                 steps, self.bundle.capacity, self.elapsed,
+                 steps / max(self.elapsed, 1e-9))
+        return final, recs
+
+    def write_csv(self, output_path: str = "output") -> str:
+        """Dump the four reference-schema CSVs; returns the output dir."""
+        if self.records is None:
+            raise RuntimeError("run() the simulation before write_csv()")
+        b = self.bundle
+        return csvout.write_all(
+            output_path, b.scenario_name, self.records, b.dt,
+            vehicles=b.scene.vehicles, num_steps=b.num_steps,
+            border_lines=b.border_lines,
+            obstacle_outlines=b.obstacle_outlines,
+            obstacle_centers=b.obstacle_centers)

@@ -1,0 +1,216 @@
+"""Deterministic spawn schedules, precomputed host-side.
+
+The reference's spawner timing is fully deterministic (one readiness check
+per spawner per tick, one spawn per check; pedestrian_spawner.py:46-59,
+:218-228), so the entire spawn schedule of a rollout is computable up front.
+Each pedestrian occupies a fixed slot; on device, spawning is a masked
+write-at-slot when the rollout reaches the slot's spawn step.
+
+The seeded per-walker randomness (blueprint choice + speed jitter,
+pedestrian_spawner.py:133-150) is replicated host-side with Python's
+``random`` in the same call order, including the reference's cumulative
+spawner-speed mutation (``ped_spawner.target_speed += uniform(...)`` mutates
+the *spawner*, so jitter accumulates across walkers of one spawner).
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+from . import modes
+from .routes import RouteBuffer, build_route_buffer
+from .state import PedState
+
+
+@dataclass
+class SpawnerSpec:
+    """Host-side description of one ``[[walker.ped_spawner]]`` entry."""
+
+    spawn_location: np.ndarray          # (2,) or (3,) - z ignored
+    waypoints: np.ndarray               # (W, 2/3) including final destination
+    crossing_road: Sequence[bool]       # aligned with waypoints
+    speed: float = 1.2
+    blueprint: str | None = None
+    quantity: int = 1
+    spawn_time: float = 0.0
+    spawn_interval: float = 3.0
+    crossing_speed_factor: float = 1.5
+    crossing_safety_margin: float = 1.5
+    radius: float = 0.3                 # headless substitute for CARLA bbox
+
+
+@pytree_dataclass
+class SpawnSchedule:
+    """Per-slot spawn data; ``step == -1`` means the slot is never used."""
+
+    step: jnp.ndarray            # (N,) int32 realized spawn step
+    pos: jnp.ndarray             # (N, 2)
+    vel: jnp.ndarray             # (N, 2) initial velocity (toward first wp)
+    speed: jnp.ndarray           # (N,) target walking speed (jittered)
+    crossing_speed: jnp.ndarray  # (N,)
+    margin: jnp.ndarray          # (N,) gap-acceptance safety margin
+    radius: jnp.ndarray          # (N,)
+    initial_mode: jnp.ndarray    # (N,) int32
+    first_waypoint: jnp.ndarray  # (N, 2)
+    routes: RouteBuffer
+
+    @property
+    def capacity(self) -> int:
+        return self.step.shape[0]
+
+
+def realized_spawn_steps(spawn_time: float, spawn_interval: float,
+                         quantity: int, dt: float, num_steps: int) -> list[int]:
+    """Replicates the greedy one-spawn-per-tick readiness loop."""
+    steps = []
+    next_time = spawn_time
+    remaining = quantity
+    for step in range(num_steps):
+        if remaining <= 0:
+            break
+        if next_time <= step * dt:
+            steps.append(step)
+            next_time += spawn_interval
+            remaining -= 1
+    return steps
+
+
+def build_spawn_schedule(
+    spawners: Sequence[SpawnerSpec],
+    dt: float,
+    num_steps: int,
+    pedestrian_seed: int = 2000,
+    variate_speed: float = 0.0,
+    blueprint_count: int = 0,
+    initial_velocity: str = "forward",
+    dtype=np.float32,
+) -> SpawnSchedule:
+    """Expand spawner specs into a flat per-slot schedule.
+
+    Slot order is the reference's spawn order: ticks ascending, spawners in
+    config order within a tick (matching the ``ped_<index>`` naming,
+    pedestrian_spawner.py:176-183).
+
+    ``blueprint_count``: size of the walker blueprint library to emulate for
+    seeded-randomness parity; 0 skips the blueprint draw (the value is only
+    observable headless through the entropy it consumes before the speed
+    jitter draw).
+
+    ``initial_velocity``: ``"forward"`` gives new pedestrians their declared
+    initial velocity toward the first waypoint (the reference's initial SFM
+    state, pedestrian_spawner.py:215-216); ``"zero"`` reproduces what the
+    reference actually simulates with CARLA attached, where the first
+    readback overwrites that velocity with the fresh walker's ~zero velocity
+    (run_simulation.py:78-87) -- use it to match bridge runs exactly.
+    """
+    # per-spawner realized steps
+    per_spawner = [
+        realized_spawn_steps(s.spawn_time, s.spawn_interval, s.quantity, dt, num_steps)
+        for s in spawners
+    ]
+    # (step, spawner_idx, occurrence) in reference spawn order
+    events: list[tuple[int, int]] = []
+    cursor = [0] * len(spawners)
+    for step in range(num_steps):
+        for si, steps in enumerate(per_spawner):
+            if cursor[si] < len(steps) and steps[cursor[si]] == step:
+                events.append((step, si))
+                cursor[si] += 1
+
+    n = max(1, len(events))
+    step_arr = np.full((n,), -1, np.int32)
+    pos = np.zeros((n, 2), dtype)
+    vel = np.zeros((n, 2), dtype)
+    speed = np.zeros((n,), dtype)
+    crossing_speed = np.zeros((n,), dtype)
+    margin = np.zeros((n,), dtype)
+    radius = np.zeros((n,), dtype)
+    initial_mode = np.full((n,), modes.WALKING_SIDEWALK, np.int32)
+    first_wp = np.zeros((n, 2), dtype)
+    routes: list[np.ndarray] = []
+    crossings: list[list[bool]] = []
+
+    ped_seed = pedestrian_seed
+    spawner_speed = [float(s.speed) for s in spawners]  # mutated cumulatively
+
+    for slot, (step, si) in enumerate(events):
+        s = spawners[si]
+        rng = random.Random()
+        rng.seed(ped_seed)
+        if s.blueprint is None and blueprint_count > 0:
+            rng.choice(range(blueprint_count))  # consume the blueprint draw
+        if variate_speed != 0.0:
+            spawner_speed[si] += rng.uniform(-variate_speed, variate_speed)
+        ped_seed += 1
+
+        wps = np.asarray(s.waypoints, dtype)[:, :2].reshape(-1, 2)
+        flags = list(s.crossing_road)
+        loc = np.asarray(s.spawn_location, dtype)[:2]
+        direction = wps[0] - loc
+        nrm = np.linalg.norm(direction)
+        direction = direction / nrm if nrm > 0 else np.zeros(2)
+
+        step_arr[slot] = step
+        pos[slot] = loc
+        if initial_velocity == "forward":
+            vel[slot] = direction * spawner_speed[si]
+        speed[slot] = spawner_speed[si]
+        crossing_speed[slot] = s.crossing_speed_factor * spawner_speed[si]
+        margin[slot] = s.crossing_safety_margin
+        radius[slot] = s.radius
+        initial_mode[slot] = (
+            modes.CROSSING_ROAD if (flags and flags[0]) else modes.WALKING_SIDEWALK
+        )
+        first_wp[slot] = wps[0]
+        routes.append(wps)
+        crossings.append(flags if flags else [False] * len(wps))
+
+    route_buffer = build_route_buffer(routes, crossings, capacity=n)
+    return SpawnSchedule(
+        step=jnp.asarray(step_arr),
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.asarray(speed), crossing_speed=jnp.asarray(crossing_speed),
+        margin=jnp.asarray(margin), radius=jnp.asarray(radius),
+        initial_mode=jnp.asarray(initial_mode),
+        first_waypoint=jnp.asarray(first_wp),
+        routes=route_buffer,
+    )
+
+
+def apply_spawn(state: PedState, schedule: SpawnSchedule, t_idx) -> PedState:
+    """Activate slots whose spawn step is ``t_idx`` (masked write-at-slot).
+
+    Initial FSM state replicates PedModeManager.__init__ (reference :18-28):
+    the target speed starts at the walking speed even when the initial mode
+    is CROSSING_ROAD (no _activate_mode call on construction).
+    """
+    newly = (schedule.step == t_idx) & ~state.spawned
+
+    def sel(new, old):
+        m = newly
+        if new.ndim > m.ndim:
+            m = newly[:, None]
+        return jnp.where(m, new, old)
+
+    return PedState(
+        pos=sel(schedule.pos, state.pos),
+        vel=sel(schedule.vel, state.vel),
+        radius=sel(schedule.radius, state.radius),
+        base_speed=sel(schedule.speed, state.base_speed),
+        crossing_speed=sel(schedule.crossing_speed, state.crossing_speed),
+        safety_margin=sel(schedule.margin, state.safety_margin),
+        fsm_target=sel(schedule.speed, state.fsm_target),
+        applied_target=sel(schedule.speed, state.applied_target),
+        mode=sel(schedule.initial_mode, state.mode),
+        next_mode_time=sel(jnp.full_like(state.next_mode_time, -1.0),
+                           state.next_mode_time),
+        waypoint=sel(schedule.first_waypoint, state.waypoint),
+        waypoint_idx=sel(jnp.zeros_like(state.waypoint_idx), state.waypoint_idx),
+        alive=state.alive | newly,
+        spawned=state.spawned | newly,
+    )

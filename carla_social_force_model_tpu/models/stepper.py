@@ -1,0 +1,247 @@
+"""The simulation tick as a pure function, and rollouts as ``lax.scan``.
+
+One step reproduces the reference's per-tick pipeline (SURVEY.md section 3.2/
+3.3) in the exact order that matters for parity:
+
+1. spawn due pedestrians (run_simulation.py:53)
+2. capture applied target speeds (pedestrian_state.py:94-95 -- *before* any
+   transition this tick, so a mode change takes force effect one tick later)
+3. IDLE promotion (ped_mode_manager.py:30-35)
+4. gap acceptance for CHECKING_TRAFFIC peds (pedestrian_simulation.py:67-73)
+5. state snapshot (pedestrian_simulation.py:76-79)
+6. force sum (pedestrian_simulation.py:81)
+7. v' = cap(v + dt*F, applied_target * factor) (pedestrian_simulation.py:117-124)
+8. waypoint arrival -> advance/mode change or despawn (run_simulation.py:118-132)
+9. x' = x + dt*v' -- the headless equivalent of CARLA applying the commanded
+   WalkerControl velocity for one fixed step (SURVEY.md section 1, layer note)
+
+Steps 2-8 live in :func:`tick_core`, which the CARLA bridge reuses directly
+(there, CARLA owns spawning and position integration and the bridge pushes
+``v_new`` as WalkerControl); headless scenarios run :func:`simulation_step`
+under ``lax.scan`` entirely on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_field
+from ..env.pointsets import ChunkedPointSet
+from ..ops import forces, vecmath
+from . import modes
+from .gap import gap_ready
+from .params import SfmParams
+from .routes import RouteBuffer
+from .spawn import SpawnSchedule, apply_spawn
+from .state import PedState
+from .vehicles import (VehicleSnapshot, VehicleStates, snapshot_pointset,
+                       vehicle_snapshot_at)
+
+
+@pytree_dataclass
+class Scene:
+    """Everything the stepper needs besides the pedestrian state."""
+
+    spawn: SpawnSchedule
+    borders: ChunkedPointSet | None = None
+    static_obstacles: ChunkedPointSet | None = None
+    static_obstacle_vel: jnp.ndarray | None = None  # (S, 2), zeros
+    vehicles: VehicleStates | None = None
+
+
+@pytree_dataclass
+class StepConfig:
+    """Static per-rollout configuration (scenario surface of the reference)."""
+
+    dt: float = static_field(default=0.05)
+    waypoint_threshold: float = static_field(default=2.0)
+    despawn_on_arrival: bool = static_field(default=True)
+    row_block: int = static_field(default=1024)
+
+
+class StepRecord(NamedTuple):
+    """Per-step snapshot (the reference's ``all_states`` recording)."""
+
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    mode: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def compute_forces(state: PedState, scene: Scene, params: SfmParams,
+                   cfg: StepConfig, veh_snap: VehicleSnapshot | None,
+                   axis_name: str | None = None) -> jnp.ndarray:
+    """Sum of enabled forces, masked to alive pedestrians.
+
+    ``axis_name``: when the pedestrian slots are sharded over a mesh axis
+    (shard_map agent-sharding), the N x N force gathers its column state over
+    that axis; all other forces are row-local.
+    """
+    total = jnp.zeros_like(state.pos)
+    if params.enable_acceleration:
+        total = total + forces.acceleration_force(
+            state.pos, state.vel, state.waypoint, state.applied_target,
+            params.acceleration)
+    if params.enable_pedestrian:
+        total = total + forces.pedestrian_force(
+            state.pos, state.vel, state.radius, state.alive, params.pedestrian,
+            use_ped_radius=params.use_ped_radius, row_block=cfg.row_block,
+            axis_name=axis_name)
+    if params.enable_border and scene.borders is not None:
+        total = total + forces.border_force(
+            state.pos, state.mode, state.radius, state.alive, scene.borders,
+            params.border, use_ped_radius=params.use_ped_radius)
+    if params.enable_static_obstacle and scene.static_obstacles is not None:
+        obs_vel = scene.static_obstacle_vel
+        if obs_vel is None:
+            obs_vel = jnp.zeros((scene.static_obstacles.num_segments, 2),
+                                state.pos.dtype)
+        total = total + forces.obstacle_force(
+            state.pos, state.vel, state.radius, state.alive,
+            scene.static_obstacles, obs_vel, params.static_obstacle,
+            use_ped_radius=params.use_ped_radius)
+    if params.enable_dynamic_obstacle and veh_snap is not None:
+        vset, vvel, vact = snapshot_pointset(
+            veh_snap, params.dynamic_obstacle.perception_threshold)
+        total = total + forces.obstacle_force(
+            state.pos, state.vel, state.radius, state.alive, vset, vvel,
+            params.dynamic_obstacle, use_ped_radius=params.use_ped_radius,
+            obstacle_active=vact)
+    return jnp.where(state.alive[:, None], total, 0.0)
+
+
+def tick_core(state: PedState, scene: Scene, params: SfmParams,
+              cfg: StepConfig, sim_time, veh_snap: VehicleSnapshot | None,
+              axis_name: str | None = None):
+    """Steps 2-8 of the tick (everything except spawn + integration).
+
+    Returns ``(state', v_new, finished, record)`` where ``v_new`` is the
+    commanded velocity (what the reference pushes to CARLA as WalkerControl)
+    and ``finished`` marks pedestrians that arrived at their final waypoint
+    this tick.
+    """
+    alive = state.alive
+
+    # 2. applied target speed = FSM target at tick start
+    applied = jnp.where(alive, state.fsm_target, state.applied_target)
+
+    # 3. IDLE promotion
+    mode, fsm_t, nmt = modes.tick_idle(
+        state.mode, state.fsm_target, state.next_mode_time,
+        state.base_speed, state.crossing_speed, alive, sim_time)
+
+    # 4. gap acceptance
+    checking = alive & (mode == modes.CHECKING_TRAFFIC)
+    if veh_snap is not None:
+        ready = gap_ready(
+            state.pos, state.waypoint, state.crossing_speed,
+            state.safety_margin, veh_snap.center, veh_snap.vel,
+            veh_snap.extent, veh_snap.active,
+            strict_parity=params.strict_parity)
+    else:
+        ready = jnp.ones_like(checking)
+    mode, fsm_t, nmt = modes.set_mode(
+        mode, fsm_t, nmt, state.base_speed, state.crossing_speed,
+        modes.CROSSING_ROAD, checking & ready, sim_time)
+
+    state = dataclasses.replace(
+        state, fsm_target=fsm_t, applied_target=applied, mode=mode,
+        next_mode_time=nmt)
+
+    # 5. snapshot (reference records after transitions, before forces)
+    record = StepRecord(pos=state.pos, vel=state.vel, mode=state.mode,
+                        alive=state.alive)
+
+    # 6-7. forces and commanded velocity
+    force = compute_forces(state, scene, params, cfg, veh_snap,
+                           axis_name=axis_name)
+    v_new = vecmath.cap_velocity(state.vel + cfg.dt * force,
+                                 state.max_speed(params.max_speed_factor))
+    v_new = jnp.where(alive[:, None], v_new, 0.0)
+
+    # 8. waypoint arrival (2-D distance, run_simulation.py:118 +
+    #    pedestrian_simulation.py:88-97)
+    dist_wp = vecmath.norm(state.waypoint - state.pos)
+    arrived = alive & (dist_wp < cfg.waypoint_threshold)
+    routes: RouteBuffer = scene.spawn.routes
+    has_next = (state.waypoint_idx + 1) < routes.count
+    advance = arrived & has_next
+    new_idx = jnp.where(advance, state.waypoint_idx + 1, state.waypoint_idx)
+    slot = jnp.arange(state.capacity)
+    next_wp = routes.waypoints[slot, new_idx]
+    next_crossing = routes.crossing[slot, new_idx]
+    waypoint = jnp.where(advance[:, None], next_wp, state.waypoint)
+    desired_mode = jnp.where(next_crossing, modes.CROSSING_ROAD,
+                             modes.WALKING_SIDEWALK)
+    mode, fsm_t, nmt = modes.set_mode(
+        state.mode, state.fsm_target, state.next_mode_time,
+        state.base_speed, state.crossing_speed, desired_mode, advance, sim_time)
+    finished = arrived & ~has_next
+
+    state = dataclasses.replace(
+        state, fsm_target=fsm_t, mode=mode, next_mode_time=nmt,
+        waypoint=waypoint, waypoint_idx=new_idx)
+    return state, v_new, finished, record
+
+
+def simulation_step(state: PedState, scene: Scene, params: SfmParams,
+                    cfg: StepConfig, t_idx, axis_name: str | None = None):
+    """One headless tick (spawn + core + Euler). Returns
+    ``(new_state, StepRecord)``.
+
+    Under agent-sharding (shard_map), ``state``/``scene.spawn`` hold the
+    local slot shard and ``axis_name`` names the mesh axis; everything except
+    the N x N pedestrian force is slot-local.
+    """
+    sim_time = t_idx * cfg.dt
+
+    # 1. spawn
+    state = apply_spawn(state, scene.spawn, t_idx)
+
+    veh_snap = (vehicle_snapshot_at(scene.vehicles, t_idx)
+                if scene.vehicles is not None else None)
+    state, v_new, finished, record = tick_core(
+        state, scene, params, cfg, sim_time, veh_snap, axis_name=axis_name)
+
+    alive = state.alive
+    if cfg.despawn_on_arrival:
+        alive = alive & ~finished
+
+    # 9. integrate (headless CARLA-equivalent position update)
+    pos = jnp.where(alive[:, None], state.pos + cfg.dt * v_new, state.pos)
+    vel = jnp.where(alive[:, None], v_new, 0.0)
+
+    return dataclasses.replace(state, pos=pos, vel=vel, alive=alive), record
+
+
+def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
+            num_steps: int, record: bool = True, start_step: int = 0,
+            axis_name: str | None = None):
+    """Run ``num_steps`` ticks under ``lax.scan``.
+
+    Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
+    ``(final_state, None)``.
+    """
+    steps = jnp.arange(start_step, start_step + num_steps)
+
+    def body(carry, t_idx):
+        new_state, rec = simulation_step(carry, scene, params, cfg, t_idx,
+                                         axis_name=axis_name)
+        return new_state, (rec if record else None)
+
+    final, recs = jax.lax.scan(body, state, steps)
+    return final, recs
+
+
+def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
+                    num_steps: int, record: bool = True):
+    """Jitted rollout closure with the state donated (in-place carry)."""
+
+    @jax.jit
+    def run(state: PedState):
+        return rollout(state, scene, params, cfg, num_steps, record=record)
+
+    return run

@@ -64,41 +64,59 @@ def _moussaid_pair_force(e, d, dv, p: MoussaidParams, pair_ok):
 
 
 def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
-                     use_ped_radius: bool = False, row_block: int = 1024):
+                     use_ped_radius: bool = False, row_block: int = 1024,
+                     axis_name: str | None = None):
     """Full N x N pedestrian interaction force (reference forces.py:74-117).
 
     Row-blocked with ``lax.map`` so the pairwise intermediates stay
     O(row_block * N) regardless of capacity.
+
+    Agent-sharding: under ``shard_map`` with rows sharded over mesh axis
+    ``axis_name``, pass that name -- the column ("other agents") state is
+    all-gathered over ICI while each device computes only its row block of
+    the N x N interaction (SURVEY.md section 2, parallelism inventory).
     """
-    n = pos.shape[0]
+    n_local = pos.shape[0]
     dtype = pos.dtype
 
+    if axis_name is not None:
+        pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
+        vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
+        rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
+        alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+        row_offset = jax.lax.axis_index(axis_name) * n_local
+    else:
+        pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
+        row_offset = 0
+    n_total = pos_c.shape[0]
+
     def block(row_idx):
-        # row_idx: (R,) global row indices (may include padding >= n)
-        in_range = row_idx < n
-        safe_idx = jnp.minimum(row_idx, n - 1)
+        # row_idx: (R,) local row indices (may include padding >= n_local)
+        in_range = row_idx < n_local
+        safe_idx = jnp.minimum(row_idx, n_local - 1)
         pos_i = pos[safe_idx]
         vel_i = vel[safe_idx]
         rad_i = radius[safe_idx]
         alive_i = alive[safe_idx] & in_range
 
-        dx = pos[None, :, :] - pos_i[:, None, :]          # x_j - x_i
+        dx = pos_c[None, :, :] - pos_i[:, None, :]        # x_j - x_i
         e, d = vecmath.normalize(dx)
-        dv = vel_i[:, None, :] - vel[None, :, :]          # v_i - v_j
+        dv = vel_i[:, None, :] - vel_c[None, :, :]        # v_i - v_j
         if use_ped_radius:
-            d = d - (rad_i[:, None] + radius[None, :])
-        not_self = safe_idx[:, None] != jnp.arange(n, dtype=row_idx.dtype)[None, :]
-        pair_ok = alive_i[:, None] & alive[None, :] & not_self
-        f = _moussaid_pair_force(e, d, dv, p, pair_ok)    # (R, N, 2)
+            d = d - (rad_i[:, None] + rad_c[None, :])
+        col = jnp.arange(n_total, dtype=row_idx.dtype)[None, :]
+        not_self = (row_offset + safe_idx)[:, None] != col
+        pair_ok = alive_i[:, None] & alive_c[None, :] & not_self
+        f = _moussaid_pair_force(e, d, dv, p, pair_ok)    # (R, n_total, 2)
         return jnp.sum(f, axis=1)
 
-    if n <= row_block:
-        return block(jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+    if n_local <= row_block:
+        return block(jnp.arange(n_local, dtype=jnp.int32)).astype(dtype)
 
-    n_pad = -(-n // row_block) * row_block
+    n_pad = -(-n_local // row_block) * row_block
     rows = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, row_block)
     out = jax.lax.map(block, rows)                        # (n_pad/R, R, 2)
-    return out.reshape(n_pad, 2)[:n].astype(dtype)
+    return out.reshape(n_pad, 2)[:n_local].astype(dtype)
 
 
 def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,

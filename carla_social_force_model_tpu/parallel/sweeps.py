@@ -1,0 +1,93 @@
+"""Batched scenario sweeps: vmap over rollouts, data-parallel over devices.
+
+The reference runs one real-time scenario per process; here thousands of
+independent rollouts (parameter sweeps, seed ensembles) batch with ``vmap``
+and shard over the ``batch`` mesh axis (pure data parallelism -- no
+cross-rollout communication).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.params import SfmParams
+from ..models.state import PedState
+from ..models.stepper import Scene, StepConfig, rollout
+from .mesh import BATCH_AXIS
+
+
+def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
+    """Broadcast selected numeric parameter leaves to a batch.
+
+    Example::
+
+        swept = batch_params(params, pedestrian_A=jnp.linspace(2, 8, 256))
+
+    names are ``<section>_<field>`` (e.g. ``pedestrian_A``, ``border_b``,
+    ``acceleration_tau``).  All named leaves must share the batch size; the
+    rest broadcast.
+    """
+    sizes = {jnp.asarray(v).shape[0] for v in leaf_batches.values()}
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent sweep batch sizes: {sizes}")
+    (b,) = sizes
+
+    def expand(section_params, section_name):
+        updates = {}
+        for f in dataclasses.fields(section_params):
+            key = f"{section_name}_{f.name}".rstrip("_")
+            if key in leaf_batches:
+                updates[f.name] = jnp.asarray(leaf_batches.pop(key), jnp.float32)
+            else:
+                updates[f.name] = jnp.broadcast_to(
+                    jnp.asarray(getattr(section_params, f.name), jnp.float32), (b,))
+        return dataclasses.replace(section_params, **updates)
+
+    new = dataclasses.replace(
+        params,
+        acceleration=expand(params.acceleration, "acceleration"),
+        pedestrian=expand(params.pedestrian, "pedestrian"),
+        border=expand(params.border, "border"),
+        static_obstacle=expand(params.static_obstacle, "static_obstacle"),
+        dynamic_obstacle=expand(params.dynamic_obstacle, "dynamic_obstacle"),
+        max_speed_factor=jnp.broadcast_to(
+            jnp.asarray(leaf_batches.pop("max_speed_factor",
+                                         params.max_speed_factor), jnp.float32),
+            (b,)),
+    )
+    if leaf_batches:
+        raise ValueError(f"unknown sweep parameters: {sorted(leaf_batches)}")
+    return new
+
+
+def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
+                       record: bool = False, mesh=None):
+    """vmap the rollout over a batched SfmParams pytree.
+
+    With ``mesh`` given, the parameter batch (and the result) is sharded over
+    the ``batch`` axis -- data parallelism over independent rollouts.
+    """
+
+    def one(params_row: SfmParams):
+        state = PedState.empty(scene.spawn.capacity)
+        return rollout(state, scene, params_row, cfg, num_steps, record=record)
+
+    batched = jax.vmap(one)
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    def shard_leaf(leaf):
+        return NamedSharding(mesh, P(BATCH_AXIS) if jnp.ndim(leaf) >= 1 else P())
+
+    @jax.jit
+    def run(params_batch: SfmParams):
+        params_batch = jax.lax.with_sharding_constraint(
+            params_batch,
+            jax.tree_util.tree_map(shard_leaf, params_batch))
+        return batched(params_batch)
+
+    return run

@@ -1,0 +1,101 @@
+"""CSV trajectory output with the reference's schemas.
+
+Column layouts match /root/reference/output_generator.py exactly:
+  pedestrian.csv: ped_id, frame, time, x, y, v_x, v_y, mode
+  vehicle.csv:    veh_id, frame, time, x, y, heading, vel, ext_x, ext_y
+  borders.csv:    x, y
+  obstacles.csv:  obs_id, obs_pos_x, obs_pos_y, x, y
+
+``mode`` is written as the PedMode integer (the reference writes
+``str(PedMode.<X>)`` whose text differs across Python versions; the integer
+values are identical).  Headings are radians, as the reference converts
+CARLA's degrees before writing (output_generator.py:68).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time as _time
+
+import numpy as np
+
+
+def _output_dir(output_path: str, scenario_name: str | None) -> str:
+    stamp = _time.strftime("%Y%m%d-%H%M%S")
+    name = f"{stamp}-{scenario_name}" if scenario_name else stamp
+    out = os.path.join(output_path, name)
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def write_pedestrian_csv(path, records, dt):
+    """records: StepRecord pytree of (T, N, ...) arrays (models/stepper.py)."""
+    pos = np.asarray(records.pos)
+    vel = np.asarray(records.vel)
+    mode = np.asarray(records.mode)
+    alive = np.asarray(records.alive)
+    with open(path, "w", encoding="UTF8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["ped_id", "frame", "time", "x", "y", "v_x", "v_y", "mode"])
+        for frame in range(pos.shape[0]):
+            t = frame * dt
+            for slot in np.nonzero(alive[frame])[0]:
+                w.writerow([int(slot), frame, t,
+                            pos[frame, slot, 0], pos[frame, slot, 1],
+                            vel[frame, slot, 0], vel[frame, slot, 1],
+                            int(mode[frame, slot])])
+
+
+def write_vehicle_csv(path, vehicles, dt, num_steps):
+    """vehicles: models.vehicles.VehicleStates (or None)."""
+    with open(path, "w", encoding="UTF8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["veh_id", "frame", "time", "x", "y", "heading", "vel",
+                    "ext_x", "ext_y"])
+        if vehicles is None:
+            return
+        pos = np.asarray(vehicles.pos)
+        heading = np.asarray(vehicles.heading)
+        vel = np.asarray(vehicles.vel)
+        active = np.asarray(vehicles.active)
+        extent = np.asarray(vehicles.extent)
+        for frame in range(min(num_steps, pos.shape[0])):
+            t = frame * dt
+            for v in np.nonzero(active[frame])[0]:
+                w.writerow([int(v), frame, t,
+                            pos[frame, v, 0], pos[frame, v, 1],
+                            heading[frame, v],
+                            float(np.linalg.norm(vel[frame, v])),
+                            extent[v, 0], extent[v, 1]])
+
+
+def write_borders_csv(path, border_lines):
+    with open(path, "w", encoding="UTF8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["x", "y"])
+        for border in border_lines:
+            for point in np.asarray(border):
+                w.writerow([point[0], point[1]])
+
+
+def write_obstacles_csv(path, outlines, centers):
+    with open(path, "w", encoding="UTF8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["obs_id", "obs_pos_x", "obs_pos_y", "x", "y"])
+        for obs_id, (center, outline) in enumerate(zip(centers, outlines)):
+            cx, cy = np.asarray(center)[:2]
+            for point in np.asarray(outline):
+                w.writerow([obs_id, cx, cy, point[0], point[1]])
+
+
+def write_all(output_path: str, scenario_name: str | None, records, dt,
+              vehicles=None, num_steps: int = 0, border_lines=(),
+              obstacle_outlines=(), obstacle_centers=()):
+    """Dump all four reference CSVs into a timestamped directory; returns it."""
+    out = _output_dir(output_path, scenario_name)
+    write_pedestrian_csv(os.path.join(out, "pedestrian.csv"), records, dt)
+    write_vehicle_csv(os.path.join(out, "vehicle.csv"), vehicles, dt, num_steps)
+    write_borders_csv(os.path.join(out, "borders.csv"), border_lines)
+    write_obstacles_csv(os.path.join(out, "obstacles.csv"),
+                        obstacle_outlines, obstacle_centers)
+    return out

@@ -12,3 +12,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # repo root on sys.path so the package imports without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize (axon TPU tunnel) force-overrides
+# jax_platforms via jax.config, which beats the env var -- override it back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
