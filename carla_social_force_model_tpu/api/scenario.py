@@ -126,19 +126,58 @@ def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
     return specs
 
 
+def random_ped_spawners(planner, count: int, seed: int,
+                        speed: float = 1.0) -> list[SpawnerSpec]:
+    """Random-pedestrian spawners over a nav graph (reference
+    pedestrian_spawner.py:106-124: random origin/destination, route with
+    jaywalking allowed at junctions, origin included)."""
+    import numpy as np
+    from ..routing.graph import GraphType
+    rng = np.random.default_rng(seed)
+    nodes = planner.graph.nodes
+    specs = []
+    made = 0
+    attempts = 0
+    while made < count and attempts < count * 10:
+        attempts += 1
+        a, b = rng.integers(0, len(nodes), 2)
+        if a == b:
+            continue
+        try:
+            tuples = planner.generate_route(
+                nodes[a], nodes[b], GraphType.JAYWALKING_AT_JUNCTION,
+                with_origin=True)
+        except ValueError:
+            continue
+        origin = tuples.pop(0)[0]
+        waypoints = np.stack([t[0] for t in tuples], axis=0)
+        crossing = [bool(t[1]) for t in tuples]
+        specs.append(SpawnerSpec(
+            spawn_location=origin, waypoints=waypoints, crossing_road=crossing,
+            speed=speed, quantity=1, spawn_time=0.0, spawn_interval=1.0))
+        made += 1
+    return specs
+
+
 def build_scenario(scenario_config, sfm_config, num_steps: int,
-                   route_provider=None, strict_parity: bool = False,
+                   route_provider=None, planner=None,
+                   strict_parity: bool = False,
                    extra_borders=None, extra_border_sections=None,
                    extra_obstacles=None, extra_obstacle_centers=None
                    ) -> ScenarioBundle:
     """Assemble a ScenarioBundle from parsed/loadable configs.
 
-    ``extra_*`` lets the CARLA bridge (or cached map extractions) inject
-    sidewalk borders and map obstacles alongside the config-defined ones,
-    mirroring run_simulation.py:174-192's merge.
+    ``planner`` (a routing.PedPathPlanner) serves ``generate_route``
+    spawners and ``random_pedestrians``; ``route_provider`` is a lower-level
+    alternative for just the former.  ``extra_*`` lets the CARLA bridge (or
+    cached map extractions) inject sidewalk borders and map obstacles
+    alongside the config-defined ones, mirroring run_simulation.py:174-192's
+    merge.
     """
     scenario = load_config(scenario_config)
     sfm = load_config(sfm_config)
+    if planner is not None and route_provider is None:
+        route_provider = planner.route_provider()
 
     params = SfmParams.from_dict(sfm, strict_parity=strict_parity)
     dt = float(scenario.get("step_length", 0.05))
@@ -172,6 +211,13 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
                                     resolution=resolution)
 
     ped_specs = extract_ped_spawners(scenario, route_provider=route_provider)
+    n_random = int(walker.get("random_pedestrians", 0))
+    if n_random > 0:
+        if planner is None:
+            raise ValueError("random_pedestrians requires a nav-graph planner "
+                             "(routing/ or the CARLA bridge)")
+        ped_specs += random_ped_spawners(
+            planner, n_random, int(walker.get("pedestrian_seed", 2000)))
     schedule = build_spawn_schedule(
         ped_specs, dt, num_steps,
         pedestrian_seed=int(walker.get("pedestrian_seed", 2000)),

@@ -60,6 +60,11 @@ class StepConfig:
     waypoint_threshold: float = static_field(default=2.0)
     despawn_on_arrival: bool = static_field(default=True)
     row_block: int = static_field(default=1024)
+    # fused Pallas N x N kernel (TPU): requires concrete (non-traced) force
+    # params, so parameter sweeps fall back to the jnp path automatically
+    use_pallas: bool = static_field(default=False)
+    # column-state communication under agent-sharding: "gather" or "ring"
+    axis_comm: str = static_field(default="gather")
 
 
 class StepRecord(NamedTuple):
@@ -86,10 +91,18 @@ def compute_forces(state: PedState, scene: Scene, params: SfmParams,
             state.pos, state.vel, state.waypoint, state.applied_target,
             params.acceleration)
     if params.enable_pedestrian:
-        total = total + forces.pedestrian_force(
-            state.pos, state.vel, state.radius, state.alive, params.pedestrian,
-            use_ped_radius=params.use_ped_radius, row_block=cfg.row_block,
-            axis_name=axis_name)
+        if (cfg.use_pallas and axis_name is None
+                and isinstance(params.pedestrian.lambda_, (int, float))):
+            from ..ops.pallas_forces import pedestrian_force_pallas
+            total = total + pedestrian_force_pallas(
+                state.pos, state.vel, state.radius, state.alive,
+                params.pedestrian, use_ped_radius=params.use_ped_radius)
+        else:
+            total = total + forces.pedestrian_force(
+                state.pos, state.vel, state.radius, state.alive,
+                params.pedestrian, use_ped_radius=params.use_ped_radius,
+                row_block=cfg.row_block, axis_name=axis_name,
+                axis_comm=cfg.axis_comm)
     if params.enable_border and scene.borders is not None:
         total = total + forces.border_force(
             state.pos, state.mode, state.radius, state.alive, scene.borders,
@@ -225,7 +238,8 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
     Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
     ``(final_state, None)``.
     """
-    steps = jnp.arange(start_step, start_step + num_steps)
+    # (start_step may be traced -- segmented/resumed rollouts pass it jitted)
+    steps = jnp.asarray(start_step) + jnp.arange(num_steps)
 
     def body(carry, t_idx):
         new_state, rec = simulation_step(carry, scene, params, cfg, t_idx,

@@ -36,36 +36,57 @@ def acceleration_force(pos, vel, waypoint, applied_target, p: AccelerationParams
     return (applied_target[:, None] * e - vel) / p.tau
 
 
-def _moussaid_pair_force(e, d, dv, p: MoussaidParams, pair_ok):
+def _moussaid_pair_force(diff, radius_sub, dv, p: MoussaidParams, pair_ok):
     """Shared Moussaid et al. (2009) interaction term.
 
     Args:
-      e: unit vector from the pedestrian toward the interaction partner.
-      d: distance to the partner (radii already subtracted if configured).
+      diff: raw vector from the pedestrian toward the interaction partner.
+      radius_sub: radii to subtract from the distance (0 when disabled).
       dv: relative velocity (pedestrian minus partner).
       pair_ok: mask of pairs that contribute.
 
     Returns the (…, 2) force contribution per pair.
     Reference math: forces.py:85-115 (pedestrians) and :240-270 (obstacles).
+    Implementation notes (values equal to the reference formulation within
+    fp rounding, enforced by the oracle-parity tests):
+      * normalizations use one rsqrt instead of sqrt+divide,
+      * theta = angle(e) - angle(t_hat) wrapped to [-pi, pi] is computed as
+        a single atan2 of the (cross, dot) pair -- mathematically identical
+        for the angle *difference* of two vectors, and the dominant
+        transcendental in the N x N hot loop.
     """
+    d2 = jnp.sum(diff * diff, axis=-1)
+    r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
+    e = diff * r[..., None]                    # zero-safe unit vector
+    d = d2 * r - radius_sub                    # = |diff| - radii
+
     t_vec = p.lambda_ * dv + e
-    t_hat, t_len = vecmath.normalize(t_vec)
-    n_hat = vecmath.left_normal(t_hat)
-    theta = vecmath.angle_diff_2d(e, t_hat)
+    t2 = jnp.sum(t_vec * t_vec, axis=-1)
+    rt = jax.lax.rsqrt(jnp.where(t2 == 0.0, 1.0, t2))
+    t_hat = t_vec * rt[..., None]
+    t_len = t2 * rt
+
+    # signed angle from t_hat to e via one atan2
+    cross = t_hat[..., 0] * e[..., 1] - t_hat[..., 1] * e[..., 0]
+    dot = e[..., 0] * t_hat[..., 0] + e[..., 1] * t_hat[..., 1]
+    theta = jnp.arctan2(cross, dot)
+
     B = p.gamma * t_len
     theta = theta + B * (-p.epsilon)
     ok = pair_ok & (B > 0.0)
     B_safe = jnp.where(ok, B, 1.0)
     common = -d / B_safe
-    f_v = -p.A * jnp.exp(common - jnp.square(p.n_prime * B * theta))
-    f_t = -p.A * jnp.sign(theta) * jnp.exp(common - jnp.square(p.n * B * theta))
+    Bt = B * theta
+    f_v = -p.A * jnp.exp(common - jnp.square(p.n_prime * Bt))
+    f_t = -p.A * jnp.sign(theta) * jnp.exp(common - jnp.square(p.n * Bt))
     okf = jnp.expand_dims(ok, -1)
+    n_hat = vecmath.left_normal(t_hat)
     return jnp.where(okf, f_v[..., None] * t_hat + f_t[..., None] * n_hat, 0.0)
 
 
 def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
                      use_ped_radius: bool = False, row_block: int = 1024,
-                     axis_name: str | None = None):
+                     axis_name: str | None = None, axis_comm: str = "gather"):
     """Full N x N pedestrian interaction force (reference forces.py:74-117).
 
     Row-blocked with ``lax.map`` so the pairwise intermediates stay
@@ -73,11 +94,22 @@ def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
 
     Agent-sharding: under ``shard_map`` with rows sharded over mesh axis
     ``axis_name``, pass that name -- the column ("other agents") state is
-    all-gathered over ICI while each device computes only its row block of
+    communicated over ICI while each device computes only its row block of
     the N x N interaction (SURVEY.md section 2, parallelism inventory).
+    ``axis_comm``:
+      * ``"gather"`` -- one all-gather of the column state per step (best
+        when the per-device state tile is small),
+      * ``"ring"``   -- ppermute the column tile around the ring and
+        accumulate partial sums (the ring-attention-shaped schedule; force
+        accumulation is an exact order-free sum, so results match the
+        gather path bitwise up to f32 addition order).
     """
     n_local = pos.shape[0]
     dtype = pos.dtype
+
+    if axis_name is not None and axis_comm == "ring":
+        return _pedestrian_force_ring(pos, vel, radius, alive, p,
+                                      use_ped_radius, axis_name)
 
     if axis_name is not None:
         pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
@@ -100,15 +132,13 @@ def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
         alive_i = alive[safe_idx] & in_range
 
         dx = pos_c[None, :, :] - pos_i[:, None, :]        # x_j - x_i
-        e, d = vecmath.normalize(dx)
         dv = vel_i[:, None, :] - vel_c[None, :, :]        # v_i - v_j
-        if use_ped_radius:
-            d = d - (rad_i[:, None] + rad_c[None, :])
+        radius_sub = (rad_i[:, None] + rad_c[None, :]) if use_ped_radius else 0.0
         col = jnp.arange(n_total, dtype=row_idx.dtype)[None, :]
         not_self = (row_offset + safe_idx)[:, None] != col
         pair_ok = alive_i[:, None] & alive_c[None, :] & not_self
-        f = _moussaid_pair_force(e, d, dv, p, pair_ok)    # (R, n_total, 2)
-        return jnp.sum(f, axis=1)
+        f = _moussaid_pair_force(dx, radius_sub, dv, p, pair_ok)
+        return jnp.sum(f, axis=1)                         # (R, 2)
 
     if n_local <= row_block:
         return block(jnp.arange(n_local, dtype=jnp.int32)).astype(dtype)
@@ -117,6 +147,44 @@ def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
     rows = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, row_block)
     out = jax.lax.map(block, rows)                        # (n_pad/R, R, 2)
     return out.reshape(n_pad, 2)[:n_local].astype(dtype)
+
+
+def _pedestrian_force_ring(pos, vel, radius, alive, p: MoussaidParams,
+                           use_ped_radius: bool, axis_name: str):
+    """Ring-rotated column tiles over ICI (see :func:`pedestrian_force`).
+
+    Each of the D ring steps computes the local row block against one
+    remote column tile and ppermutes the tile to the next device; after D
+    steps every pair has been accumulated exactly once.
+    """
+    n_local = pos.shape[0]
+    d = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    row_idx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+
+    def block_force(tile):
+        pos_c, vel_c, rad_c, alive_c, offset = tile
+        dx = pos_c[None, :, :] - pos[:, None, :]
+        dv = vel[:, None, :] - vel_c[None, :, :]
+        radius_sub = (radius[:, None] + rad_c[None, :]) if use_ped_radius else 0.0
+        col_idx = offset + jnp.arange(n_local, dtype=jnp.int32)[None, :]
+        pair_ok = (alive[:, None] & alive_c[None, :]
+                   & (row_idx[:, None] != col_idx))
+        f = _moussaid_pair_force(dx, radius_sub, dv, p, pair_ok)
+        return jnp.sum(f, axis=1)
+
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def body(carry, _):
+        tile, acc = carry
+        acc = acc + block_force(tile)
+        tile = jax.lax.ppermute(tile, axis_name, perm)
+        return (tile, acc), None
+
+    init_tile = (pos, vel, radius, alive, me * n_local)
+    (_, force), _ = jax.lax.scan(
+        body, (init_tile, jnp.zeros_like(pos)), None, length=d)
+    return force
 
 
 def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,
@@ -152,12 +220,11 @@ def obstacle_force(pos, vel, radius, alive, obstacles: ChunkedPointSet,
     """
     dist, point, has_point = closest_point_per_segment(pos, obstacles)
     percept = segment_filter_mask(pos, obstacles)
-    e, d = vecmath.normalize(point - pos[None, :, :])      # ped -> obstacle
-    if use_ped_radius:
-        d = d - radius[None, :]
+    diff = point - pos[None, :, :]                         # ped -> obstacle
+    radius_sub = radius[None, :] if use_ped_radius else 0.0
     dv = vel[None, :, :] - obstacle_vel[:, None, :]        # (S, N, 2)
     ok = has_point & percept & alive[None, :]
     if obstacle_active is not None:
         ok = ok & obstacle_active[:, None]
-    f = _moussaid_pair_force(e, d, dv, p, ok)              # (S, N, 2)
+    f = _moussaid_pair_force(diff, radius_sub, dv, p, ok)  # (S, N, 2)
     return jnp.sum(f, axis=0)

@@ -1,0 +1,155 @@
+"""Fused Pallas TPU kernel for the N x N Moussaid pedestrian force.
+
+The jnp formulation (ops/forces.pedestrian_force) is HBM-bound: XLA
+materializes multiple (rows, N) pairwise intermediates per row block.  This
+kernel tiles the interaction matrix over a (row_tile x col_tile) grid and
+keeps every pairwise temporary in VMEM, so HBM traffic drops to the O(N)
+state vectors and the O(N) force output while the VPU does the ~80 flops
+per pair (2 exp, 1 atan2, 2 rsqrt dominate).
+
+Semantics are identical to ops/forces._moussaid_pair_force (same masking,
+same zero-guards); equivalence is enforced by tests against the jnp path
+and the float64 oracle.
+
+Layout: state ships as (1, N_pad) lane-major vectors (x, y, vx, vy, radius,
+alive); each grid step loads a (1, TR) row slice and a (1, TC) column slice
+and accumulates the row force tile over the column grid dimension
+(sequential TPU grid -> revisiting-output accumulation).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.params import MoussaidParams
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
+                 px_c, py_c, vx_c, vy_c, rad_c, alive_c,
+                 fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
+                 use_radius, tr, tc):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    # row vectors as (TR, 1), column vectors as (1, TC)
+    xi = px_r[...].reshape(tr, 1)
+    yi = py_r[...].reshape(tr, 1)
+    vxi = vx_r[...].reshape(tr, 1)
+    vyi = vy_r[...].reshape(tr, 1)
+    ai = alive_r[...].reshape(tr, 1)
+    xj = px_c[...].reshape(1, tc)
+    yj = py_c[...].reshape(1, tc)
+    vxj = vx_c[...].reshape(1, tc)
+    vyj = vy_c[...].reshape(1, tc)
+    aj = alive_c[...].reshape(1, tc)
+
+    dx = xj - xi                       # (TR, TC), x_j - x_i
+    dy = yj - yi
+    d2 = dx * dx + dy * dy
+    r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
+    ex = dx * r
+    ey = dy * r
+    d = d2 * r
+    if use_radius:
+        d = d - (rad_r[...].reshape(tr, 1) + rad_c[...].reshape(1, tc))
+
+    dvx = vxi - vxj                    # v_i - v_j
+    dvy = vyi - vyj
+    tx = lam * dvx + ex
+    ty = lam * dvy + ey
+    t2 = tx * tx + ty * ty
+    rt = jax.lax.rsqrt(jnp.where(t2 == 0.0, 1.0, t2))
+    thx = tx * rt
+    thy = ty * rt
+    t_len = t2 * rt
+
+    cross = thx * ey - thy * ex
+    dot = ex * thx + ey * thy
+    theta = jnp.arctan2(cross, dot)
+
+    B = gamma * t_len
+    theta = theta + B * (-epsilon)
+
+    # pair mask: both alive, not the self pair, interaction strength > 0
+    ri = pl.program_id(0) * tr + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cj = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    ok = (ai > 0.0) & (aj > 0.0) & (ri != cj) & (B > 0.0)
+
+    B_safe = jnp.where(ok, B, 1.0)
+    common = -d / B_safe
+    Bt = B * theta
+    f_v = -A * jnp.exp(common - jnp.square(n_prime * Bt))
+    f_t = -A * jnp.sign(theta) * jnp.exp(common - jnp.square(n * Bt))
+    f_v = jnp.where(ok, f_v, 0.0)
+    f_t = jnp.where(ok, f_t, 0.0)
+
+    # f = f_v * t_hat + f_t * left_normal(t_hat)
+    fx = f_v * thx - f_t * thy
+    fy = f_v * thy + f_t * thx
+    fx_ref[...] += jnp.sum(fx, axis=1).reshape(1, tr)
+    fy_ref[...] += jnp.sum(fy, axis=1).reshape(1, tr)
+
+
+def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
+                            use_ped_radius: bool = False, row_tile: int = 256,
+                            col_tile: int = 512, interpret: bool = False):
+    """Drop-in replacement for ops.forces.pedestrian_force on one device.
+
+    Force parameters are baked into the kernel as compile-time constants, so
+    ``p``'s leaves must be concrete Python numbers (no vmap over params on
+    this path; compute_forces falls back to the jnp kernel for sweeps).
+    """
+    n = pos.shape[0]
+    n_pad = _round_up(max(n, row_tile), row_tile)
+    n_pad = _round_up(n_pad, col_tile)
+
+    def vec(a):
+        out = jnp.zeros((1, n_pad), jnp.float32)
+        return out.at[0, :n].set(a.astype(jnp.float32))
+
+    px, py = vec(pos[:, 0]), vec(pos[:, 1])
+    vx, vy = vec(vel[:, 0]), vec(vel[:, 1])
+    rad = vec(radius)
+    alv = vec(alive.astype(jnp.float32))
+
+    tr, tc = row_tile, col_tile
+    grid = (n_pad // tr, n_pad // tc)
+    row_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _pair_kernel, lam=float(p.lambda_), A=float(p.A),
+        gamma=float(p.gamma), n=float(p.n), n_prime=float(p.n_prime),
+        epsilon=float(p.epsilon), use_radius=use_ped_radius, tr=tr, tc=tc)
+
+    fx, fy = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec] * 6 + [col_spec] * 6,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(40 * n_pad * n_pad),
+            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1])),
+            transcendentals=int(5 * n_pad * n_pad)),
+        interpret=interpret,
+    )(px, py, vx, vy, rad, alv, px, py, vx, vy, rad, alv)
+
+    return jnp.stack([fx[0, :n], fy[0, :n]], axis=-1).astype(pos.dtype)

@@ -1,0 +1,81 @@
+"""Checkpoint/resume exactness, segmented rollouts, visualization smoke."""
+import os
+
+import numpy as np
+
+from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+from carla_social_force_model_tpu.models.state import PedState
+from carla_social_force_model_tpu.models.stepper import make_rollout_fn
+from carla_social_force_model_tpu.utils.checkpoint import (
+    latest_checkpoint, load_state, run_segmented, save_state)
+
+
+def test_segmented_rollout_bit_equal_and_resumable(tmp_path):
+    n, steps = 24, 60
+    scene, params, cfg, state = benchmark_bundle(n, extent=12.0)
+
+    run = make_rollout_fn(scene, params, cfg, steps, record=True)
+    final_full, recs_full = run(state)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    final_seg, recs_seg = run_segmented(
+        state, scene, params, cfg, steps, segment_steps=17,
+        checkpoint_dir=ckpt_dir)
+
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_seg.pos))
+    np.testing.assert_array_equal(np.asarray(recs_full.pos),
+                                  np.asarray(recs_seg.pos))
+    np.testing.assert_array_equal(np.asarray(recs_full.mode),
+                                  np.asarray(recs_seg.mode))
+
+    # resume from the checkpoint at step 34 and finish: identical final state
+    ckpt = os.path.join(ckpt_dir, "ckpt_00000034.npz")
+    assert os.path.exists(ckpt)
+    mid_state, step = load_state(ckpt)
+    assert step == 34
+    final_resumed, _ = run_segmented(mid_state, scene, params, cfg,
+                                     steps - step, segment_steps=100,
+                                     start_step=step, record=False)
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_resumed.pos))
+    assert latest_checkpoint(ckpt_dir).endswith("ckpt_00000060.npz")
+
+
+def test_save_load_roundtrip(tmp_path):
+    state = PedState.empty(7)
+    p = save_state(str(tmp_path / "s.npz"), state, 123)
+    loaded, step = load_state(p)
+    assert step == 123
+    np.testing.assert_array_equal(np.asarray(loaded.pos), np.asarray(state.pos))
+
+
+def test_plot_outputs(tmp_path):
+    from carla_social_force_model_tpu.utils.visualize import (
+        plot_nav_graph, plot_trajectories)
+    from test_routing import city_block_graph
+    g = city_block_graph()
+    out1 = plot_nav_graph(g, str(tmp_path / "graph.png"))
+    assert os.path.getsize(out1) > 1000
+
+    n, steps = 8, 30
+    scene, params, cfg, state = benchmark_bundle(n, extent=8.0)
+    run = make_rollout_fn(scene, params, cfg, steps, record=True)
+    _, recs = run(state)
+    out2 = plot_trajectories(recs, str(tmp_path / "traj.png"))
+    assert os.path.getsize(out2) > 1000
+
+
+def test_random_pedestrians_build():
+    from carla_social_force_model_tpu.api.scenario import build_scenario
+    from carla_social_force_model_tpu.routing.planner import PedPathPlanner
+    from test_routing import city_block_graph
+    planner = PedPathPlanner(city_block_graph())
+    scenario = {
+        "step_length": 0.05,
+        "walker": {"random_pedestrians": 5, "pedestrian_seed": 7},
+    }
+    sfm = {"forces": {"acceleration_force": True, "pedestrian_force": True}}
+    bundle = build_scenario(scenario, sfm, num_steps=20, planner=planner)
+    assert bundle.capacity == 5
+    assert int(np.asarray(bundle.scene.spawn.routes.count).min()) >= 1

@@ -40,6 +40,26 @@ def test_sharded_rollout_matches_single_device():
                                np.asarray(final_p.pos)[:n], atol=2e-5)
 
 
+def test_ring_comm_matches_gather():
+    import dataclasses
+    n, steps = 48, 15
+    scene, params, cfg, state = benchmark_bundle(n, extent=15.0)
+    mesh = make_mesh(n_agent_shards=8)
+    scene_p, cap = prepare_sharded_scene(scene, 8)
+
+    run_gather = make_sharded_rollout(mesh, scene_p, params, cfg, steps,
+                                      record=True)
+    cfg_ring = dataclasses.replace(cfg, axis_comm="ring")
+    run_ring = make_sharded_rollout(mesh, scene_p, params, cfg_ring, steps,
+                                    record=True)
+    _, recs_g = run_gather(PedState.empty(cap))
+    _, recs_r = run_ring(PedState.empty(cap))
+    np.testing.assert_allclose(np.asarray(recs_g.pos), np.asarray(recs_r.pos),
+                               atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(recs_g.mode),
+                                  np.asarray(recs_r.mode))
+
+
 def test_sweep_rollout_varies_with_params():
     n, steps, b = 16, 15, 4
     scene, params, cfg, _ = benchmark_bundle(n, extent=10.0)
