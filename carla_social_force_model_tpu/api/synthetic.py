@@ -48,17 +48,25 @@ def synthetic_crowd(n: int, extent: float = 100.0, speed: float = 1.3,
     )
 
 
-def benchmark_bundle(n: int, extent: float | None = None, seed: int = 0):
+def benchmark_bundle(n: int, extent: float | None = None, seed: int = 0,
+                     use_pallas: bool | None = None):
     """(scene, params, cfg, state) for the BASELINE.json headline benchmark:
-    acceleration + pedestrian forces, headless, no despawn."""
+    acceleration + pedestrian forces, headless, no despawn.
+
+    ``use_pallas=None`` auto-enables the fused kernel on TPU backends.
+    """
+    import jax
     from ..models.params import SfmParams
     if extent is None:
         # keep density roughly constant (~1 ped / 4 m^2)
         extent = max(25.0, float(np.sqrt(n) * 1.0))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     schedule = synthetic_crowd(n, extent=extent, seed=seed)
     scene = Scene(spawn=schedule)
     params = SfmParams(enable_acceleration=True, enable_pedestrian=True,
                        enable_border=False, enable_static_obstacle=False,
                        enable_dynamic_obstacle=False)
-    cfg = StepConfig(dt=0.05, waypoint_threshold=2.0, despawn_on_arrival=False)
+    cfg = StepConfig(dt=0.05, waypoint_threshold=2.0, despawn_on_arrival=False,
+                     use_pallas=use_pallas)
     return scene, params, cfg, PedState.empty(n)

@@ -32,6 +32,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_PI = 3.14159265358979323846
+_PI_2 = _PI / 2.0
+_PI_4 = _PI / 4.0
+_TAN_PI_8 = 0.41421356237309503
+
+
+def _atan_unit(t):
+    """atan(t) for t in [0, 1], Cephes atanf minimax polynomial (f32-exact to
+    ~1 ulp) with the tan(pi/8) range reduction, branchless."""
+    big = t > _TAN_PI_8
+    t2 = jnp.where(big, (t - 1.0) / (t + 1.0), t)
+    z = t2 * t2
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    r = t2 + t2 * z * p
+    return jnp.where(big, r + _PI_4, r)
+
+
+def _atan2(y, x):
+    """Branchless atan2 built from :func:`_atan_unit` (Mosaic has no atan2
+    lowering).  Matches numpy conventions incl. atan2(0, 0) = 0 and
+    atan2(0, -x) = pi."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi == 0.0, 1.0, hi)
+    r = _atan_unit(t)
+    r = jnp.where(ay > ax, _PI_2 - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
                  px_c, py_c, vx_c, vy_c, rad_c, alive_c,
                  fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
@@ -77,7 +110,7 @@ def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
 
     cross = thx * ey - thy * ex
     dot = ex * thx + ey * thy
-    theta = jnp.arctan2(cross, dot)
+    theta = _atan2(cross, dot)
 
     B = gamma * t_len
     theta = theta + B * (-epsilon)
@@ -103,8 +136,8 @@ def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
 
 
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
-                            use_ped_radius: bool = False, row_tile: int = 256,
-                            col_tile: int = 512, interpret: bool = False):
+                            use_ped_radius: bool = False, row_tile: int = 512,
+                            col_tile: int = 1024, interpret: bool = False):
     """Drop-in replacement for ops.forces.pedestrian_force on one device.
 
     Force parameters are baked into the kernel as compile-time constants, so
