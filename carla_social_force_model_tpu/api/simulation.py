@@ -68,6 +68,26 @@ class Simulation:
                  steps / max(self.elapsed, 1e-9))
         return final, recs
 
+    def force_breakdown(self, state=None, t_idx: int = 0) -> dict:
+        """Per-force diagnostic (the reference's per-force debug logging,
+        forces.py:28-32): name -> (N, 2) numpy array on the given state
+        (default: the scenario's initial state after its first spawn)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ..models.spawn import apply_spawn
+        from ..models.stepper import force_terms
+        from ..models.vehicles import vehicle_snapshot_at
+
+        b = self.bundle
+        if state is None:
+            state = apply_spawn(b.initial_state, b.scene.spawn,
+                                jnp.asarray(t_idx))
+        snap = (vehicle_snapshot_at(b.scene.vehicles, jnp.asarray(t_idx))
+                if b.scene.vehicles is not None else None)
+        terms = jax.jit(
+            lambda s: force_terms(s, b.scene, b.params, b.cfg, snap))(state)
+        return {k: np.asarray(v) for k, v in terms.items()}
+
     def write_csv(self, output_path: str = "output") -> str:
         """Dump the four reference-schema CSVs; returns the output dir."""
         if self.records is None:

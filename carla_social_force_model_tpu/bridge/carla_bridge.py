@@ -37,16 +37,24 @@ def run_with_carla(args, sfm_config) -> int:
         max_obstacle_z_pos=float(obstacles_cfg.get("max_obstacle_z_pos", 0.3)))
 
     route_provider = None
+    extra_ped_specs = None
     walker_cfg = scenario.get("walker", {})
     spawners = walker_cfg.get("ped_spawner", []) or []
-    if any(sp.get("generate_route") for sp in spawners):
+    n_random = int(walker_cfg.get("random_pedestrians", 0))
+    if any(sp.get("generate_route") for sp in spawners) or n_random > 0:
+        from ..api.scenario import random_ped_spawners
         from ..routing.carla_graph import build_carla_nav_graph
         from ..routing.planner import PedPathPlanner
         graph = build_carla_nav_graph(
             world.carla_map,
             waypoint_distance=float(walker_cfg.get("waypoint_distance", 10)),
             jaywalking_weight_factor=float(walker_cfg.get("jaywalking_weight", 2)))
-        route_provider = PedPathPlanner(graph).route_provider()
+        planner = PedPathPlanner(graph)
+        route_provider = planner.route_provider()
+        if n_random > 0:
+            extra_ped_specs = random_ped_spawners(
+                planner, n_random,
+                int(walker_cfg.get("pedestrian_seed", 2000)))
 
     runner = BridgeRunner(
         world, scenario, sfm,
@@ -54,7 +62,8 @@ def run_with_carla(args, sfm_config) -> int:
         route_provider=route_provider,
         extra_borders=lines,
         extra_border_sections=list(zip(centers, lengths)),
-        extra_obstacles=outlines, extra_obstacle_centers=ocenters)
+        extra_obstacles=outlines, extra_obstacle_centers=ocenters,
+        extra_ped_specs=extra_ped_specs)
     vehicles = BridgeVehicleManager(world, scenario)
 
     dt = world.dt

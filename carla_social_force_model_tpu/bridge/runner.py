@@ -62,7 +62,7 @@ class BridgeRunner:
                  strict_parity: bool = False, route_provider=None,
                  max_vehicles: int = 16, extra_borders=None,
                  extra_border_sections=None, extra_obstacles=None,
-                 extra_obstacle_centers=None):
+                 extra_obstacle_centers=None, extra_ped_specs=None):
         self.world = world
         scenario = load_config(scenario_config)
         sfm = load_config(sfm_config)
@@ -95,6 +95,8 @@ class BridgeRunner:
                       if static_obstacles is not None else None)
 
         specs = extract_ped_spawners(scenario, route_provider=route_provider)
+        if extra_ped_specs:
+            specs = specs + list(extra_ped_specs)
         self.spawners = [_SpawnerRuntime(s) for s in specs]
         self.capacity = max(1, sum(s.quantity for s in specs))
         self.ped_seed = int(walker.get("pedestrian_seed", 2000))

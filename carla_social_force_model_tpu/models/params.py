@@ -53,6 +53,34 @@ class BorderParams:
     b: float = 0.1
 
 
+@pytree_dataclass
+class PedRepulsiveParams:
+    """Helbing-Molnar (1995) elliptical pedestrian repulsion.
+
+    The reference's config names this force (pedestrian_simulation.py:49-50)
+    but the class does not exist there (enabling it crashes); here it is a
+    working implementation of the original paper's V(b) = V0*exp(-b/sigma)
+    potential with the field-of-view modulation (weight c outside the
+    2*phi cone).  Defaults are the paper's values.
+    """
+
+    v0: float = 2.1
+    sigma: float = 0.3
+    fov_phi: float = 100.0   # degrees
+    fov_factor: float = 0.5
+    step_width: float = 1.0  # Delta-t of the anticipation term [s]
+
+
+@pytree_dataclass
+class SpaceRepulsiveParams:
+    """Helbing-Molnar (1995) boundary repulsion U(d) = U0*exp(-d/R) from the
+    nearest border point (the reference's other dead config path,
+    pedestrian_simulation.py:51-53)."""
+
+    u0: float = 10.0
+    r: float = 0.2
+
+
 def _moussaid_from_dict(section: dict, default_threshold: float) -> MoussaidParams:
     return MoussaidParams(
         lambda_=float(section.get("lambda", 2.0)),
@@ -83,6 +111,11 @@ class SfmParams:
     enable_border: bool = static_field(default=True)
     enable_static_obstacle: bool = static_field(default=False)
     enable_dynamic_obstacle: bool = static_field(default=False)
+    # Helbing-1995 extension forces (dead config paths in the reference)
+    ped_repulsive: PedRepulsiveParams = PedRepulsiveParams()
+    space_repulsive: SpaceRepulsiveParams = SpaceRepulsiveParams()
+    enable_ped_repulsive: bool = static_field(default=False)
+    enable_space_repulsive: bool = static_field(default=False)
     # reproduce reference-inert config keys & first-vehicle-extent quirk
     strict_parity: bool = static_field(default=False)
 
@@ -97,13 +130,16 @@ class SfmParams:
         AttributeError, pedestrian_simulation.py:49-53) raises a clear error.
         """
         forces = cfg.get("forces", {})
-        for dead in ("ped_repulsive_force", "space_repulsive_force"):
-            if forces.get(dead, False):
-                raise ValueError(
-                    f"force '{dead}' is not implemented (it is a dead config path "
-                    "in the reference as well: enabling it crashes "
-                    "pedestrian_simulation.init_forces with an AttributeError)"
-                )
+        if strict_parity:
+            # the reference crashes when these flags are enabled
+            # (pedestrian_simulation.py:49-53 references missing classes)
+            for dead in ("ped_repulsive_force", "space_repulsive_force"):
+                if forces.get(dead, False):
+                    raise ValueError(
+                        f"strict parity: force '{dead}' is a dead config path in "
+                        "the reference (enabling it crashes init_forces with an "
+                        "AttributeError); disable strict_parity to use the "
+                        "working Helbing-1995 implementation")
 
         goal = cfg.get("goal_force", {})
         accel = cfg.get("acceleration_force", {})
@@ -117,7 +153,21 @@ class SfmParams:
             )
 
         border_cfg = cfg.get("border_force", {})
+        pr = cfg.get("ped_repulsive_force", {})
+        sr = cfg.get("space_repulsive_force", {})
         return SfmParams(
+            ped_repulsive=PedRepulsiveParams(
+                v0=float(pr.get("v0", 2.1)),
+                sigma=float(pr.get("sigma", 0.3)),
+                fov_phi=float(pr.get("fov_phi", 100.0)),
+                fov_factor=float(pr.get("fov_factor", 0.5)),
+                step_width=float(pr.get("step_width", 1.0))),
+            space_repulsive=SpaceRepulsiveParams(
+                u0=float(sr.get("u0", 10.0)), r=float(sr.get("r", 0.2))),
+            enable_ped_repulsive=bool(forces.get("ped_repulsive_force", False))
+            and not strict_parity,
+            enable_space_repulsive=bool(forces.get("space_repulsive_force", False))
+            and not strict_parity,
             acceleration=AccelerationParams(tau=tau),
             pedestrian=_moussaid_from_dict(cfg.get("pedestrian_force", {}), 20.0),
             border=BorderParams(

@@ -76,35 +76,36 @@ class StepRecord(NamedTuple):
     alive: jnp.ndarray
 
 
-def compute_forces(state: PedState, scene: Scene, params: SfmParams,
-                   cfg: StepConfig, veh_snap: VehicleSnapshot | None,
-                   axis_name: str | None = None) -> jnp.ndarray:
-    """Sum of enabled forces, masked to alive pedestrians.
+def force_terms(state: PedState, scene: Scene, params: SfmParams,
+                cfg: StepConfig, veh_snap: VehicleSnapshot | None,
+                axis_name: str | None = None) -> dict:
+    """Enabled force terms by name (the reference's per-force debug dump,
+    forces.py:28-32, as data instead of log lines).
 
     ``axis_name``: when the pedestrian slots are sharded over a mesh axis
     (shard_map agent-sharding), the N x N force gathers its column state over
     that axis; all other forces are row-local.
     """
-    total = jnp.zeros_like(state.pos)
+    terms: dict[str, jnp.ndarray] = {}
     if params.enable_acceleration:
-        total = total + forces.acceleration_force(
+        terms["acceleration_force"] = forces.acceleration_force(
             state.pos, state.vel, state.waypoint, state.applied_target,
             params.acceleration)
     if params.enable_pedestrian:
         if (cfg.use_pallas and axis_name is None
                 and isinstance(params.pedestrian.lambda_, (int, float))):
             from ..ops.pallas_forces import pedestrian_force_pallas
-            total = total + pedestrian_force_pallas(
+            terms["pedestrian_force"] = pedestrian_force_pallas(
                 state.pos, state.vel, state.radius, state.alive,
                 params.pedestrian, use_ped_radius=params.use_ped_radius)
         else:
-            total = total + forces.pedestrian_force(
+            terms["pedestrian_force"] = forces.pedestrian_force(
                 state.pos, state.vel, state.radius, state.alive,
                 params.pedestrian, use_ped_radius=params.use_ped_radius,
                 row_block=cfg.row_block, axis_name=axis_name,
                 axis_comm=cfg.axis_comm)
     if params.enable_border and scene.borders is not None:
-        total = total + forces.border_force(
+        terms["border_force"] = forces.border_force(
             state.pos, state.mode, state.radius, state.alive, scene.borders,
             params.border, use_ped_radius=params.use_ped_radius)
     if params.enable_static_obstacle and scene.static_obstacles is not None:
@@ -112,17 +113,38 @@ def compute_forces(state: PedState, scene: Scene, params: SfmParams,
         if obs_vel is None:
             obs_vel = jnp.zeros((scene.static_obstacles.num_segments, 2),
                                 state.pos.dtype)
-        total = total + forces.obstacle_force(
+        terms["static_obstacle_force"] = forces.obstacle_force(
             state.pos, state.vel, state.radius, state.alive,
             scene.static_obstacles, obs_vel, params.static_obstacle,
             use_ped_radius=params.use_ped_radius)
+    if params.enable_ped_repulsive:
+        desired, _ = vecmath.normalize(state.waypoint - state.pos)
+        terms["ped_repulsive_force"] = forces.ped_repulsive_force(
+            state.pos, state.vel, desired, state.alive, params.ped_repulsive,
+            row_block=cfg.row_block)
+    if params.enable_space_repulsive and scene.borders is not None:
+        terms["space_repulsive_force"] = forces.space_repulsive_force(
+            state.pos, state.mode, state.alive, scene.borders,
+            params.space_repulsive)
     if params.enable_dynamic_obstacle and veh_snap is not None:
         vset, vvel, vact = snapshot_pointset(
             veh_snap, params.dynamic_obstacle.perception_threshold)
-        total = total + forces.obstacle_force(
+        terms["dynamic_obstacle_force"] = forces.obstacle_force(
             state.pos, state.vel, state.radius, state.alive, vset, vvel,
             params.dynamic_obstacle, use_ped_radius=params.use_ped_radius,
             obstacle_active=vact)
+    return terms
+
+
+def compute_forces(state: PedState, scene: Scene, params: SfmParams,
+                   cfg: StepConfig, veh_snap: VehicleSnapshot | None,
+                   axis_name: str | None = None) -> jnp.ndarray:
+    """Sum of enabled forces, masked to alive pedestrians."""
+    terms = force_terms(state, scene, params, cfg, veh_snap,
+                        axis_name=axis_name)
+    total = jnp.zeros_like(state.pos)
+    for term in terms.values():
+        total = total + term
     return jnp.where(state.alive[:, None], total, 0.0)
 
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from . import vecmath
 from .geometry import closest_point_per_segment, segment_filter_mask
 from ..env.pointsets import ChunkedPointSet
-from ..models.params import AccelerationParams, BorderParams, MoussaidParams
+from ..models.params import (AccelerationParams, BorderParams, MoussaidParams,
+                             PedRepulsiveParams, SpaceRepulsiveParams)
 from ..models import modes
 
 
@@ -204,6 +205,80 @@ def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,
     ok = has_point & in_section & alive[None, :]
     f = e * (p.a * jnp.exp(-d / p.b))[..., None]
     force = jnp.sum(jnp.where(ok[..., None], f, 0.0), axis=0)  # (N, 2)
+    crossing = (mode == modes.CROSSING_ROAD) | (mode == modes.ROAD_TO_SIDEWALK)
+    return jnp.where(crossing[:, None], 0.0, force)
+
+
+def ped_repulsive_force(pos, vel, desired_dir, alive, p: PedRepulsiveParams,
+                        row_block: int = 1024):
+    """Helbing-Molnar (1995) elliptical pedestrian repulsion with FoV.
+
+    V(b) = v0 * exp(-b/sigma) where 2b is the minor axis of the ellipse
+    around the partner's anticipated step; the force on pedestrian i from j
+    is -grad V, weighted by fov_factor when j lies outside i's +-fov_phi
+    field of view around the desired direction.  A working implementation of
+    the force class the reference's config names but does not ship.
+    """
+    n = pos.shape[0]
+    dt_w = p.step_width
+    cos_phi = jnp.cos(jnp.deg2rad(p.fov_phi))
+
+    def block(row_idx):
+        in_range = row_idx < n
+        safe_idx = jnp.minimum(row_idx, n - 1)
+        pos_i = pos[safe_idx]
+        e_i = desired_dir[safe_idx]
+        alive_i = alive[safe_idx] & in_range
+
+        d = pos_i[:, None, :] - pos[None, :, :]           # r_i - r_j
+        y = dt_w * vel[None, :, :]                        # partner step
+        dmy = d - y
+        nd = vecmath.norm(d)
+        ndmy = vecmath.norm(dmy)
+        s = nd + ndmy
+        y2 = jnp.sum(y * y, axis=-1)
+        b2 = jnp.maximum(s * s - y2, 0.0) * 0.25
+        b = jnp.sqrt(b2)
+
+        not_self = safe_idx[:, None] != jnp.arange(n)[None, :]
+        ok = (alive_i[:, None] & alive[None, :] & not_self
+              & (b > 0.0) & (nd > 0.0) & (ndmy > 0.0))
+        nd_s = jnp.where(nd == 0.0, 1.0, nd)
+        ndmy_s = jnp.where(ndmy == 0.0, 1.0, ndmy)
+        b_s = jnp.where(ok, b, 1.0)
+        grad = (s / (4.0 * b_s))[..., None] * (d / nd_s[..., None]
+                                               + dmy / ndmy_s[..., None])
+        f = (p.v0 / p.sigma) * jnp.exp(-b / p.sigma)[..., None] * grad
+
+        # field-of-view modulation (Helbing eq. 7): sources behind i are
+        # felt weaker; -f points from i toward the source j
+        toward = -f
+        seen = (jnp.sum(e_i[:, None, :] * toward, axis=-1)
+                >= vecmath.norm(toward) * cos_phi)
+        w = jnp.where(seen, 1.0, p.fov_factor)
+        f = jnp.where(ok[..., None], w[..., None] * f, 0.0)
+        return jnp.sum(f, axis=1)
+
+    if n <= row_block:
+        return block(jnp.arange(n, dtype=jnp.int32))
+    n_pad = -(-n // row_block) * row_block
+    rows = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, row_block)
+    out = jax.lax.map(block, rows)
+    return out.reshape(n_pad, 2)[:n]
+
+
+def space_repulsive_force(pos, mode, alive, borders: ChunkedPointSet,
+                          p: SpaceRepulsiveParams):
+    """Helbing-Molnar (1995) boundary repulsion U(d) = u0 * exp(-d/r) from
+    the nearest point of each relevant border (the reference's second dead
+    config path, implemented).  Shares the border force's section filter and
+    crossing-mode deactivation conventions."""
+    dist, point, has_point = closest_point_per_segment(pos, borders)
+    in_section = segment_filter_mask(pos, borders)
+    e, d = vecmath.normalize(pos[None, :, :] - point)
+    ok = has_point & in_section & alive[None, :]
+    f = e * ((p.u0 / p.r) * jnp.exp(-d / p.r))[..., None]
+    force = jnp.sum(jnp.where(ok[..., None], f, 0.0), axis=0)
     crossing = (mode == modes.CROSSING_ROAD) | (mode == modes.ROAD_TO_SIDEWALK)
     return jnp.where(crossing[:, None], 0.0, force)
 

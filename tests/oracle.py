@@ -123,6 +123,55 @@ def obstacle_force(pos, vel, radius, alive, outlines, centers, obstacle_vel,
     return out
 
 
+def ped_repulsive_force(pos, vel, desired_dir, alive, v0, sigma, fov_phi_deg,
+                        fov_factor, step_width):
+    """Helbing-Molnar 1995 elliptical repulsion + field-of-view weight,
+    derived directly from the paper (eqs. 3, 4, 7)."""
+    cnt = pos.shape[0]
+    out = np.zeros((cnt, 2))
+    cos_phi = np.cos(np.deg2rad(fov_phi_deg))
+    for i in range(cnt):
+        if not alive[i]:
+            continue
+        for j in range(cnt):
+            if j == i or not alive[j]:
+                continue
+            d = pos[i] - pos[j]
+            y = step_width * vel[j]
+            dmy = d - y
+            nd, ndmy = np.linalg.norm(d), np.linalg.norm(dmy)
+            s = nd + ndmy
+            b2 = max(s * s - y @ y, 0.0) / 4.0
+            b = np.sqrt(b2)
+            if b == 0.0 or nd == 0.0 or ndmy == 0.0:
+                continue
+            grad = s / (4.0 * b) * (d / nd + dmy / ndmy)
+            f = (v0 / sigma) * np.exp(-b / sigma) * grad
+            toward = -f
+            seen = desired_dir[i] @ toward >= np.linalg.norm(toward) * cos_phi
+            out[i] += f if seen else fov_factor * f
+    return out
+
+
+def space_repulsive_force(pos, mode, alive, borders, centers, lengths, u0, r):
+    cnt = pos.shape[0]
+    out = np.zeros((cnt, 2))
+    for i in range(cnt):
+        if not alive[i] or mode[i] in (CROSSING, ROAD_TO_SIDEWALK):
+            continue
+        for s, pts in enumerate(borders):
+            if len(pts) == 0:
+                continue
+            if not (np.linalg.norm(pos[i] - centers[s]) < lengths[s]):
+                continue
+            k = int(np.argmin(np.linalg.norm(pos[i] - pts, axis=-1)))
+            diff = pos[i] - pts[k]
+            dist = np.linalg.norm(diff)
+            e = diff / dist if dist > 0 else np.zeros(2)
+            out[i] += e * (u0 / r) * np.exp(-dist / r)
+    return out
+
+
 def cap_velocity(v, vmax):
     speed = np.linalg.norm(v, axis=-1)
     safe = np.where(speed == 0.0, 1.0, speed)
