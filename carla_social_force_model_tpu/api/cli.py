@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--carla-port", default=2000, type=int)
     p.add_argument("--strict-parity", action="store_true",
                    help="reproduce reference-inert config keys and quirks")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the rollout to DIR")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -65,7 +67,12 @@ def main(argv=None) -> int:
         args.scenario_config, sfm_config,
         duration=args.duration, num_steps=args.steps,
         strict_parity=args.strict_parity)
-    sim.run()
+    if args.profile:
+        from ..utils.profiling import trace
+        with trace(args.profile):
+            sim.run()
+    else:
+        sim.run()
     alive = int(sim.final_state.alive.sum())
     log.info("final population: %d alive of %d slots", alive,
              sim.bundle.capacity)

@@ -274,7 +274,12 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
 
 def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
                     num_steps: int, record: bool = True):
-    """Jitted rollout closure with the state donated (in-place carry)."""
+    """Jitted rollout closure.
+
+    (The state is deliberately NOT donated: callers -- bench, sweeps --
+    commonly reuse the same initial state across invocations, and the carry
+    is tiny compared to the recorded trajectory output.)
+    """
 
     @jax.jit
     def run(state: PedState):
