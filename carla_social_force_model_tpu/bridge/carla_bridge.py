@@ -84,11 +84,14 @@ def run_with_carla(args, sfm_config) -> int:
         if getattr(args, "csv", False):
             records = runner.records()
             if records is not None:
+                import os
                 out = csvout.write_all(
                     args.output, scenario.get("scenario_name"), records, dt,
                     vehicles=None, num_steps=len(runner.history),
                     border_lines=runner.border_lines,
                     obstacle_outlines=runner.obstacle_outlines,
                     obstacle_centers=runner.obstacle_centers)
+                csvout.write_vehicle_obs_csv(
+                    os.path.join(out, "vehicle.csv"), runner.veh_history, dt)
                 log.info("CSV output written to %s", out)
     return 0

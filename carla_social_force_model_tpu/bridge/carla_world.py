@@ -173,6 +173,33 @@ class CarlaWorld:
                 extent=np.array([bb.extent.x, bb.extent.y])))
         return out
 
+    # -- debug/visual hooks (reference carla_simulation.py:148-160,
+    #    pedestrian_spawner.py:167-172) -----------------------------------
+    def draw_bounding_box(self, actor_id, life_time) -> None:
+        carla = self._carla
+        actor = self.world.get_actor(actor_id)
+        bb = carla.BoundingBox(actor.get_location(), actor.bounding_box.extent)
+        self.world.debug.draw_box(bb, actor.get_transform().rotation,
+                                  color=carla.Color(0, 0, 0, 0),
+                                  thickness=0.01, life_time=life_time + 1e-8)
+
+    def draw_points(self, points, life_time) -> None:
+        carla = self._carla
+        for p in points:
+            self.world.debug.draw_point(
+                carla.Location(float(p[0]), float(p[1]), 0.5), size=0.05,
+                life_time=life_time + 1e-8)
+
+    def focus_spectator_on(self, actor_id) -> None:
+        carla = self._carla
+        actor = self.world.get_actor(actor_id)
+        tf = actor.get_transform()
+        spectator = self.world.get_spectator()
+        spec_tf = carla.Transform()
+        spec_tf.location = tf.transform(carla.Vector3D(-2.0, 0.0, 2.0))
+        spec_tf.rotation = tf.rotation
+        spectator.set_transform(spec_tf)
+
     # -- teardown ---------------------------------------------------------
     def close(self) -> None:
         for actor_id in list(self._spawned):

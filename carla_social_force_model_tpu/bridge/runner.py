@@ -102,6 +102,8 @@ class BridgeRunner:
         self.ped_seed = int(walker.get("pedestrian_seed", 2000))
         self.variate_speed = float(walker.get("variate_speed", 0.0))
         self.blueprint_count = int(walker.get("blueprint_count", 0))
+        self.draw_bounding_boxes = bool(walker.get("draw_bounding_boxes", False))
+        self.spectator_focus = walker.get("spectator_focus")
 
         # route buffer sized for all slots (filled at spawn time)
         w_max = max([1] + [len(s.waypoints) for s in specs])
@@ -204,6 +206,8 @@ class BridgeRunner:
             h["spawned"][slot] = True
             self.slot_actor[slot] = actor_id
             self.slot_name[slot] = name
+            if self.spectator_focus == name:
+                self.world.focus_spectator_on(actor_id)
             log.info("Spawned pedestrian %s.", name)
 
     def _vehicle_snapshot(self) -> VehicleSnapshot:
@@ -249,6 +253,9 @@ class BridgeRunner:
             loc, vel = self.world.get_walker_state(int(self.slot_actor[slot]))
             h["pos"][slot] = loc[:2]
             h["vel"][slot] = vel[:2]
+            if self.draw_bounding_boxes:
+                self.world.draw_bounding_box(int(self.slot_actor[slot]),
+                                             self.cfg.dt)
 
         snap = self._vehicle_snapshot()
         state = PedState(**{k: jnp.asarray(v) for k, v in h.items()})

@@ -42,6 +42,10 @@ class World(Protocol):
     def set_walker_velocity(self, actor_id: int, direction, speed: float) -> None: ...
     def get_walker_radius(self, actor_id: int) -> float: ...
     def get_vehicles(self) -> list[VehicleObs]: ...
+    # optional debug/visual hooks (no-ops outside CARLA)
+    def draw_bounding_box(self, actor_id: int, life_time: float) -> None: ...
+    def draw_points(self, points, life_time: float) -> None: ...
+    def focus_spectator_on(self, actor_id: int) -> None: ...
 
 
 @dataclass
@@ -107,6 +111,16 @@ class FakeWorld:
 
     def get_walker_radius(self, actor_id) -> float:
         return self.walker_radius
+
+    # -- debug hooks (no-ops in the fake) -----------------------------------
+    def draw_bounding_box(self, actor_id, life_time) -> None:
+        pass
+
+    def draw_points(self, points, life_time) -> None:
+        pass
+
+    def focus_spectator_on(self, actor_id) -> None:
+        pass
 
     # -- vehicles ---------------------------------------------------------
     def get_vehicles(self) -> list[VehicleObs]:

@@ -92,12 +92,13 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
             state.pos, state.vel, state.waypoint, state.applied_target,
             params.acceleration)
     if params.enable_pedestrian:
-        if (cfg.use_pallas and axis_name is None
+        if (cfg.use_pallas
                 and isinstance(params.pedestrian.lambda_, (int, float))):
             from ..ops.pallas_forces import pedestrian_force_pallas
             terms["pedestrian_force"] = pedestrian_force_pallas(
                 state.pos, state.vel, state.radius, state.alive,
-                params.pedestrian, use_ped_radius=params.use_ped_radius)
+                params.pedestrian, use_ped_radius=params.use_ped_radius,
+                axis_name=axis_name)
         else:
             terms["pedestrian_force"] = forces.pedestrian_force(
                 state.pos, state.vel, state.radius, state.alive,

@@ -197,7 +197,7 @@ def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,
     it; the force is disabled for pedestrians in CROSSING_ROAD /
     ROAD_TO_SIDEWALK modes (forces.py:176-177).
     """
-    dist, point, has_point = closest_point_per_segment(pos, borders)  # (S,N)
+    _, point, has_point = closest_point_per_segment(pos, borders)  # (S,N)
     in_section = segment_filter_mask(pos, borders)
     e, d = vecmath.normalize(pos[None, :, :] - point)      # border -> ped
     if use_ped_radius:
@@ -273,7 +273,7 @@ def space_repulsive_force(pos, mode, alive, borders: ChunkedPointSet,
     the nearest point of each relevant border (the reference's second dead
     config path, implemented).  Shares the border force's section filter and
     crossing-mode deactivation conventions."""
-    dist, point, has_point = closest_point_per_segment(pos, borders)
+    _, point, has_point = closest_point_per_segment(pos, borders)
     in_section = segment_filter_mask(pos, borders)
     e, d = vecmath.normalize(pos[None, :, :] - point)
     ok = has_point & in_section & alive[None, :]
@@ -293,7 +293,7 @@ def obstacle_force(pos, vel, radius, alive, obstacles: ChunkedPointSet,
     ``obstacle_active``: optional (S,) mask for obstacles that currently
     exist (despawned scripted vehicles).
     """
-    dist, point, has_point = closest_point_per_segment(pos, obstacles)
+    _, point, has_point = closest_point_per_segment(pos, obstacles)
     percept = segment_filter_mask(pos, obstacles)
     diff = point - pos[None, :, :]                         # ped -> obstacle
     radius_sub = radius[None, :] if use_ped_radius else 0.0

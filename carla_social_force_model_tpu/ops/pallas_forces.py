@@ -65,7 +65,7 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
+def _pair_kernel(row_off_ref, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
                  px_c, py_c, vx_c, vy_c, rad_c, alive_c,
                  fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
                  use_radius, tr, tc):
@@ -116,7 +116,9 @@ def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
     theta = theta + B * (-epsilon)
 
     # pair mask: both alive, not the self pair, interaction strength > 0
-    ri = pl.program_id(0) * tr + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    # (row_off = global index of local row 0, nonzero under agent-sharding)
+    ri = (row_off_ref[0, 0] + pl.program_id(0) * tr
+          + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0))
     cj = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
     ok = (ai > 0.0) & (aj > 0.0) & (ri != cj) & (B > 0.0)
 
@@ -137,34 +139,56 @@ def _pair_kernel(px_r, py_r, vx_r, vy_r, rad_r, alive_r,
 
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             use_ped_radius: bool = False, row_tile: int = 512,
-                            col_tile: int = 1024, interpret: bool = False):
-    """Drop-in replacement for ops.forces.pedestrian_force on one device.
+                            col_tile: int = 1024, interpret: bool = False,
+                            axis_name: str | None = None):
+    """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters are baked into the kernel as compile-time constants, so
     ``p``'s leaves must be concrete Python numbers (no vmap over params on
     this path; compute_forces falls back to the jnp kernel for sweeps).
+
+    With ``axis_name`` (under shard_map with rows sharded over that mesh
+    axis), the column state is all-gathered over ICI and each device runs
+    the kernel on its (local rows x global cols) slab; the self-pair mask
+    uses the device's global row offset (shipped to SMEM).
     """
     n = pos.shape[0]
-    n_pad = _round_up(max(n, row_tile), row_tile)
-    n_pad = _round_up(n_pad, col_tile)
 
-    def vec(a):
-        out = jnp.zeros((1, n_pad), jnp.float32)
-        return out.at[0, :n].set(a.astype(jnp.float32))
+    if axis_name is not None:
+        pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
+        vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
+        rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
+        alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+        row_offset = jax.lax.axis_index(axis_name) * n
+    else:
+        pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
+        row_offset = 0
+    n_c = pos_c.shape[0]
 
-    px, py = vec(pos[:, 0]), vec(pos[:, 1])
-    vx, vy = vec(vel[:, 0]), vec(vel[:, 1])
-    rad = vec(radius)
-    alv = vec(alive.astype(jnp.float32))
+    n_rows = _round_up(max(n, row_tile), row_tile)
+    n_cols = _round_up(max(n_c, col_tile), col_tile)
+
+    def vec(a, width, count):
+        out = jnp.zeros((1, width), jnp.float32)
+        return out.at[0, :count].set(a.astype(jnp.float32))
+
+    row_args = [vec(a, n_rows, n) for a in
+                (pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
+                 alive.astype(jnp.float32))]
+    col_args = [vec(a, n_cols, n_c) for a in
+                (pos_c[:, 0], pos_c[:, 1], vel_c[:, 0], vel_c[:, 1], rad_c,
+                 alive_c.astype(jnp.float32))]
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)  # SMEM scalar
 
     tr, tc = row_tile, col_tile
-    grid = (n_pad // tr, n_pad // tc)
+    grid = (n_rows // tr, n_cols // tc)
     row_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, tc), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kernel = functools.partial(
         _pair_kernel, lam=float(p.lambda_), A=float(p.A),
@@ -174,15 +198,15 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     fx, fy = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec] * 6 + [col_spec] * 6,
+        in_specs=[off_spec] + [row_spec] * 6 + [col_spec] * 6,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((1, n_rows), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_rows), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=int(40 * n_pad * n_pad),
-            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1])),
-            transcendentals=int(5 * n_pad * n_pad)),
+            flops=int(40 * n_rows * n_cols),
+            bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
+            transcendentals=int(5 * n_rows * n_cols)),
         interpret=interpret,
-    )(px, py, vx, vy, rad, alv, px, py, vx, vy, rad, alv)
+    )(off, *row_args, *col_args)
 
     return jnp.stack([fx[0, :n], fy[0, :n]], axis=-1).astype(pos.dtype)

@@ -69,6 +69,20 @@ def write_vehicle_csv(path, vehicles, dt, num_steps):
                             extent[v, 0], extent[v, 1]])
 
 
+def write_vehicle_obs_csv(path, veh_history, dt):
+    """Vehicle CSV from a per-tick list of bridge VehicleObs readbacks."""
+    with open(path, "w", encoding="UTF8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["veh_id", "frame", "time", "x", "y", "heading", "vel",
+                    "ext_x", "ext_y"])
+        for frame, obs_list in enumerate(veh_history):
+            t = frame * dt
+            for o in obs_list:
+                w.writerow([o.actor_id, frame, t, o.center[0], o.center[1],
+                            o.heading, float(np.linalg.norm(o.velocity)),
+                            o.extent[0], o.extent[1]])
+
+
 def write_borders_csv(path, border_lines):
     with open(path, "w", encoding="UTF8", newline="") as f:
         w = csv.writer(f)
