@@ -28,12 +28,39 @@ def _output_dir(output_path: str, scenario_name: str | None) -> str:
     return out
 
 
-def write_pedestrian_csv(path, records, dt):
-    """records: StepRecord pytree of (T, N, ...) arrays (models/stepper.py)."""
-    pos = np.asarray(records.pos)
-    vel = np.asarray(records.vel)
-    mode = np.asarray(records.mode)
-    alive = np.asarray(records.alive)
+def write_pedestrian_csv(path, records, dt, use_native: bool = True):
+    """records: StepRecord pytree of (T, N, ...) arrays (models/stepper.py).
+
+    Serialization goes through the native writer (native/trajio.cpp) when a
+    toolchain is available -- recorded rollouts at large N reach gigabytes of
+    CSV; values are identical to the Python path (shortest round-trip float
+    formatting both ways, covered by tests)."""
+    pos = np.ascontiguousarray(np.asarray(records.pos), np.float32)
+    vel = np.ascontiguousarray(np.asarray(records.vel), np.float32)
+    mode = np.ascontiguousarray(np.asarray(records.mode), np.int32)
+    alive = np.ascontiguousarray(np.asarray(records.alive), np.uint8)
+
+    if use_native:
+        import ctypes
+        from .nativelib import load
+        lib = load("trajio")
+        if lib is not None:
+            fn = lib.write_pedestrian_csv
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_float),
+                           ctypes.POINTER(ctypes.c_float),
+                           ctypes.POINTER(ctypes.c_int32),
+                           ctypes.POINTER(ctypes.c_uint8), ctypes.c_double]
+            rows = fn(path.encode(), pos.shape[0], pos.shape[1],
+                      pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      vel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      mode.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      alive.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      float(dt))
+            if rows >= 0:
+                return
+
     with open(path, "w", encoding="UTF8", newline="") as f:
         w = csv.writer(f)
         w.writerow(["ped_id", "frame", "time", "x", "y", "v_x", "v_y", "mode"])

@@ -1,0 +1,59 @@
+"""Native trajectory writer vs the Python csv path (value-identical)."""
+import csv
+import os
+import time
+
+import numpy as np
+import pytest
+
+from carla_social_force_model_tpu.models.stepper import StepRecord
+from carla_social_force_model_tpu.utils.csvout import write_pedestrian_csv
+from carla_social_force_model_tpu.utils.nativelib import load
+
+RNG = np.random.default_rng(23)
+
+
+def random_records(t, n):
+    return StepRecord(
+        pos=RNG.uniform(-100, 100, (t, n, 2)).astype(np.float32),
+        vel=RNG.uniform(-3, 3, (t, n, 2)).astype(np.float32),
+        mode=RNG.integers(0, 5, (t, n)).astype(np.int32),
+        alive=RNG.uniform(size=(t, n)) < 0.8,
+    )
+
+
+def read_rows(path):
+    with open(path) as f:
+        return list(csv.reader(f))
+
+
+def test_native_matches_python(tmp_path):
+    if load("trajio") is None:
+        pytest.skip("no native toolchain")
+    recs = random_records(40, 17)
+    p_native = str(tmp_path / "native.csv")
+    p_python = str(tmp_path / "python.csv")
+    write_pedestrian_csv(p_native, recs, 0.05, use_native=True)
+    write_pedestrian_csv(p_python, recs, 0.05, use_native=False)
+    a, b = read_rows(p_native), read_rows(p_python)
+    assert a[0] == b[0]
+    assert len(a) == len(b)
+    for ra, rb in zip(a[1:], b[1:]):
+        assert ra[:2] == rb[:2] and ra[7] == rb[7]     # ids/frame/mode exact
+        for x, y in zip(ra[2:7], rb[2:7]):             # floats parse equal
+            assert float(x) == float(y), (ra, rb)
+
+
+def test_native_writer_speed(tmp_path):
+    if load("trajio") is None:
+        pytest.skip("no native toolchain")
+    recs = random_records(300, 500)  # 150k rows x ~80% alive
+    t0 = time.perf_counter()
+    write_pedestrian_csv(str(tmp_path / "n.csv"), recs, 0.05, use_native=True)
+    native_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    write_pedestrian_csv(str(tmp_path / "p.csv"), recs, 0.05, use_native=False)
+    python_t = time.perf_counter() - t0
+    # native should be decisively faster (typically 10-50x)
+    assert native_t < python_t, (native_t, python_t)
+    assert os.path.getsize(tmp_path / "n.csv") > 1_000_000
