@@ -25,18 +25,22 @@ def main():
     from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
     from carla_social_force_model_tpu.models.stepper import make_rollout_fn
 
+    import numpy as np
+
     scene, params, cfg, state = benchmark_bundle(N)
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
-    # warmup / compile
-    final, _ = run(state)
-    jax.block_until_ready(final)
+    def run_to_completion(s):
+        final, _ = run(s)
+        # force a device->host transfer: under the axon remote runtime,
+        # block_until_ready alone has been observed not to block reliably
+        return float(np.asarray(final.pos).sum())
 
+    run_to_completion(state)  # warmup / compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        final, _ = run(state)
-        jax.block_until_ready(final)
+        run_to_completion(state)
         times.append(time.perf_counter() - t0)
     best = min(times)
 

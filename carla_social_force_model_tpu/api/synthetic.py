@@ -48,6 +48,17 @@ def synthetic_crowd(n: int, extent: float = 100.0, speed: float = 1.3,
     )
 
 
+def batched_crowds(batch: int, n: int, extent: float = 35.0, speed: float = 1.3,
+                   seed: int = 0, radius: float = 0.3) -> SpawnSchedule:
+    """A batch of independent synthetic crowds (leading batch dim on every
+    spawn-schedule leaf) for ensemble rollouts."""
+    import jax
+    schedules = [synthetic_crowd(n, extent=extent, speed=speed,
+                                 seed=seed + b, radius=radius)
+                 for b in range(batch)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *schedules)
+
+
 def benchmark_bundle(n: int, extent: float | None = None, seed: int = 0,
                      use_pallas: bool | None = None):
     """(scene, params, cfg, state) for the BASELINE.json headline benchmark:

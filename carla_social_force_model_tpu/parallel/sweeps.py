@@ -65,6 +65,42 @@ def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
     return new
 
 
+def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
+                          cfg: StepConfig, num_steps: int,
+                          record: bool = False, mesh=None):
+    """vmap the rollout over a batch of scenarios (batched spawn schedules,
+    shared geometry, shared params) -- BASELINE.json config #5's shape:
+    hundreds of independent rollouts of 1k+ pedestrians in one launch.
+
+    ``scene_batch.spawn`` leaves carry a leading batch dim; geometry
+    (borders/obstacles/vehicles) is unbatched and broadcast.  Params stay
+    concrete, so the fused Pallas kernel is eligible under the vmap.
+    """
+    spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_batch.spawn)
+    scene_axes = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: None, scene_batch), spawn=spawn_axes)
+    capacity = scene_batch.spawn.pos.shape[1]
+
+    def one(scene_row: Scene):
+        state = PedState.empty(capacity)
+        return rollout(state, scene_row, params, cfg, num_steps, record=record)
+
+    batched = jax.vmap(one, in_axes=(scene_axes,))
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    @jax.jit
+    def run(scenes: Scene):
+        spawn = jax.lax.with_sharding_constraint(
+            scenes.spawn,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P(BATCH_AXIS)), scenes.spawn))
+        return batched(dataclasses.replace(scenes, spawn=spawn))
+
+    return run
+
+
 def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
                        record: bool = False, mesh=None):
     """vmap the rollout over a batched SfmParams pytree.

@@ -72,6 +72,29 @@ def test_sweep_rollout_varies_with_params():
     assert np.abs(pos[0] - pos[3]).max() > 1e-3
 
 
+def test_ensemble_rollout_matches_unbatched():
+    """Batched crowds (BASELINE config #5 shape): each row must equal an
+    independent unbatched rollout of the same crowd."""
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import (
+        batched_crowds, synthetic_crowd)
+    from carla_social_force_model_tpu.models.params import SfmParams
+    from carla_social_force_model_tpu.models.stepper import Scene, StepConfig
+    from carla_social_force_model_tpu.parallel.sweeps import make_ensemble_rollout
+
+    b, n, steps = 3, 12, 12
+    scene = Scene(spawn=batched_crowds(b, n, extent=8.0))
+    params = SfmParams(enable_acceleration=True, enable_pedestrian=True)
+    cfg = StepConfig(despawn_on_arrival=False)
+    finals, _ = make_ensemble_rollout(scene, params, cfg, steps)(scene)
+
+    for row in range(b):
+        s_row = Scene(spawn=synthetic_crowd(n, extent=8.0, seed=row))
+        f_row, _ = make_rollout_fn(s_row, params, cfg, steps)(PedState.empty(n))
+        np.testing.assert_array_equal(np.asarray(finals.pos)[row],
+                                      np.asarray(f_row.pos))
+
+
 def test_sweep_sharded_over_batch_axis():
     n, steps, b = 12, 10, 8
     scene, params, cfg, _ = benchmark_bundle(n, extent=10.0)
