@@ -65,6 +65,12 @@ class StepConfig:
     use_pallas: bool = static_field(default=False)
     # column-state communication under agent-sharding: "gather" or "ring"
     axis_comm: str = static_field(default="gather")
+    # optional interaction cutoff [m] for the Pallas path: agents are
+    # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
+    # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
+    # v_max+1) is f32-exact; smaller values truncate the (exponentially
+    # decaying) interaction range.  Single-device only.
+    interaction_cutoff: float | None = static_field(default=None)
 
 
 class StepRecord(NamedTuple):
@@ -94,11 +100,18 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
     if params.enable_pedestrian:
         if (cfg.use_pallas
                 and isinstance(params.pedestrian.lambda_, (int, float))):
-            from ..ops.pallas_forces import pedestrian_force_pallas
-            terms["pedestrian_force"] = pedestrian_force_pallas(
-                state.pos, state.vel, state.radius, state.alive,
-                params.pedestrian, use_ped_radius=params.use_ped_radius,
-                axis_name=axis_name)
+            from ..ops.pallas_forces import (pedestrian_force_pallas,
+                                             pedestrian_force_pallas_sorted)
+            if cfg.interaction_cutoff is not None and axis_name is None:
+                terms["pedestrian_force"] = pedestrian_force_pallas_sorted(
+                    state.pos, state.vel, state.radius, state.alive,
+                    params.pedestrian, cutoff=cfg.interaction_cutoff,
+                    use_ped_radius=params.use_ped_radius)
+            else:
+                terms["pedestrian_force"] = pedestrian_force_pallas(
+                    state.pos, state.vel, state.radius, state.alive,
+                    params.pedestrian, use_ped_radius=params.use_ped_radius,
+                    axis_name=axis_name)
         else:
             terms["pedestrian_force"] = forces.pedestrian_force(
                 state.pos, state.vel, state.radius, state.alive,

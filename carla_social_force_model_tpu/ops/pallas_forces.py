@@ -65,10 +65,13 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _pair_kernel(row_off_ref, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
+def _pair_kernel(row_off_ref, rbb_ref, cbb_ref,
+                 px_r, py_r, vx_r, vy_r, rad_r, alive_r,
                  px_c, py_c, vx_c, vy_c, rad_c, alive_c,
                  fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
-                 use_radius, tr, tc):
+                 use_radius, tr, tc, cutoff):
+    # row_off/rbb/cbb are scalar-prefetch args (full arrays in SMEM)
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -76,6 +79,36 @@ def _pair_kernel(row_off_ref, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
         fx_ref[...] = jnp.zeros_like(fx_ref)
         fy_ref[...] = jnp.zeros_like(fy_ref)
 
+    if cutoff is not None:
+        # skip tile pairs whose bounding boxes are farther than the cutoff
+        # (agents are Morton-sorted so boxes are tight; empty tiles carry
+        # inverted infinite boxes and always skip)
+        gx = jnp.maximum(jnp.maximum(cbb_ref[j, 0] - rbb_ref[i, 1],
+                                     rbb_ref[i, 0] - cbb_ref[j, 1]), 0.0)
+        gy = jnp.maximum(jnp.maximum(cbb_ref[j, 2] - rbb_ref[i, 3],
+                                     rbb_ref[i, 2] - cbb_ref[j, 3]), 0.0)
+        run_tile = gx * gx + gy * gy <= cutoff * cutoff
+    else:
+        run_tile = True
+
+    # ids hoisted out of the predicated body (program_id is unavailable
+    # inside a data-dependent pl.when under the interpreter)
+    row0 = row_off_ref[0] + i * tr
+    col0 = j * tc
+
+    @pl.when(run_tile)
+    def _compute():
+        _pair_tile(row0, col0, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
+                   px_c, py_c, vx_c, vy_c, rad_c, alive_c, fx_ref, fy_ref,
+                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
+                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
+                   cutoff=cutoff)
+
+
+def _pair_tile(row0, col0, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
+               px_c, py_c, vx_c, vy_c, rad_c, alive_c,
+               fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
+               use_radius, tr, tc, cutoff):
     # row vectors as (TR, 1), column vectors as (1, TC)
     xi = px_r[...].reshape(tr, 1)
     yi = py_r[...].reshape(tr, 1)
@@ -117,10 +150,13 @@ def _pair_kernel(row_off_ref, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
 
     # pair mask: both alive, not the self pair, interaction strength > 0
     # (row_off = global index of local row 0, nonzero under agent-sharding)
-    ri = (row_off_ref[0, 0] + pl.program_id(0) * tr
-          + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0))
-    cj = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    ri = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cj = col0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
     ok = (ai > 0.0) & (aj > 0.0) & (ri != cj) & (B > 0.0)
+    if cutoff is not None:
+        # per-pair cutoff makes the result independent of tile layout:
+        # force = sum over pairs within the cutoff radius, exactly
+        ok = ok & (d2 <= cutoff * cutoff)
 
     B_safe = jnp.where(ok, B, 1.0)
     common = -d / B_safe
@@ -140,7 +176,8 @@ def _pair_kernel(row_off_ref, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             use_ped_radius: bool = False, row_tile: int = 512,
                             col_tile: int = 1024, interpret: bool = False,
-                            axis_name: str | None = None):
+                            axis_name: str | None = None,
+                            cutoff: float | None = None):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters are baked into the kernel as compile-time constants, so
@@ -151,6 +188,13 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     axis), the column state is all-gathered over ICI and each device runs
     the kernel on its (local rows x global cols) slab; the self-pair mask
     uses the device's global row offset (shipped to SMEM).
+
+    ``cutoff`` (meters): pairs farther apart contribute zero and tile pairs
+    whose bounding boxes exceed the cutoff are skipped entirely.  Combine
+    with Morton sorting (:func:`pedestrian_force_pallas_sorted`) for tight
+    boxes.  A cutoff >= 110 * gamma * (2*lambda*v_max + 1) is f32-exact
+    (the skipped exp underflows to +0); smaller values truncate the
+    interaction range (error per skipped pair <= A*exp(-cutoff/B_max)).
     """
     n = pos.shape[0]
 
@@ -178,28 +222,41 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     col_args = [vec(a, n_cols, n_c) for a in
                 (pos_c[:, 0], pos_c[:, 1], vel_c[:, 0], vel_c[:, 1], rad_c,
                  alive_c.astype(jnp.float32))]
-    off = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)  # SMEM scalar
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1)  # scalar prefetch
 
     tr, tc = row_tile, col_tile
     grid = (n_rows // tr, n_cols // tc)
-    row_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
+
+    from .spatial import tile_bboxes
+    row_bb = tile_bboxes(row_args[0][0], row_args[1][0],
+                         row_args[5][0] > 0.0, tr)      # (grid0, 4)
+    col_bb = tile_bboxes(col_args[0][0], col_args[1][0],
+                         col_args[5][0] > 0.0, tc)      # (grid1, 4)
+
+    # index maps receive (i, j, *scalar_prefetch_refs) under
+    # PrefetchScalarGridSpec -- swallow the scalar refs
+    row_spec = pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((1, tc), lambda i, j: (0, j),
+    col_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tr), lambda i, j: (0, i),
+    out_spec = pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                             memory_space=pltpu.VMEM)
-    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kernel = functools.partial(
         _pair_kernel, lam=float(p.lambda_), A=float(p.A),
         gamma=float(p.gamma), n=float(p.n), n_prime=float(p.n_prime),
-        epsilon=float(p.epsilon), use_radius=use_ped_radius, tr=tr, tc=tc)
+        epsilon=float(p.epsilon), use_radius=use_ped_radius, tr=tr, tc=tc,
+        cutoff=float(cutoff) if cutoff is not None else None)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[row_spec] * 6 + [col_spec] * 6,
+        out_specs=(out_spec, out_spec),
+    )
     fx, fy = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[off_spec] + [row_spec] * 6 + [col_spec] * 6,
-        out_specs=(out_spec, out_spec),
+        grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((1, n_rows), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_rows), jnp.float32)),
         cost_estimate=pl.CostEstimate(
@@ -207,6 +264,24 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
             transcendentals=int(5 * n_rows * n_cols)),
         interpret=interpret,
-    )(off, *row_args, *col_args)
+    )(off, row_bb, col_bb, *row_args, *col_args)
 
     return jnp.stack([fx[0, :n], fy[0, :n]], axis=-1).astype(pos.dtype)
+
+
+def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
+                                   cutoff: float,
+                                   use_ped_radius: bool = False,
+                                   row_tile: int = 512, col_tile: int = 1024,
+                                   interpret: bool = False):
+    """Morton-sorted cutoff kernel: sort agents along a Z-order curve so
+    kernel tiles are spatially tight, run the cutoff kernel, scatter the
+    forces back to the original slot order.  The result equals the unsorted
+    cutoff kernel up to f32 summation order."""
+    from .spatial import morton_order
+    perm, inv = morton_order(pos, alive)
+    force = pedestrian_force_pallas(
+        pos[perm], vel[perm], radius[perm], alive[perm], p,
+        use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
+        interpret=interpret, cutoff=cutoff)
+    return force[inv]

@@ -1,0 +1,54 @@
+"""Spatial locality ordering for tile-skipping N-body kernels.
+
+Sorting pedestrians along a Morton (Z-order) curve makes nearby agents land
+in nearby kernel tiles, so tile-pair bounding boxes become tight and the
+fused force kernel can skip tile pairs whose minimum distance exceeds the
+interaction cutoff.  The force sum is permutation-invariant (up to f32
+addition order), so sorting changes no semantics.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MAX_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+def _part1by1(x):
+    """Interleave 16-bit integer bits with zeros (Morton helper)."""
+    x = x & 0x0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def morton_order(pos, alive):
+    """Permutation sorting alive pedestrians along a Z-order curve (dead
+    slots go last).  Returns ``(perm, inv_perm)`` int32 arrays."""
+    lo = jnp.min(jnp.where(alive[:, None], pos, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(alive[:, None], pos, -jnp.inf), axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((pos - lo) / span * 65535.0, 0.0, 65535.0).astype(jnp.uint32)
+    key = (_part1by1(q[:, 0]) << 1) | _part1by1(q[:, 1])
+    key = jnp.where(alive, key, _MAX_KEY)
+    perm = jnp.argsort(key).astype(jnp.int32)
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    return perm, inv
+
+
+def tile_bboxes(x, y, alive, tile: int):
+    """Per-tile bounding boxes of alive agents.
+
+    ``x``/``y``/``alive``: (n_pad,) with n_pad a multiple of ``tile``.
+    Returns (n_tiles, 4) f32 [min_x, max_x, min_y, max_y]; empty tiles get
+    (+inf, -inf, +inf, -inf) so any distance test skips them.
+    """
+    n_tiles = x.shape[0] // tile
+    xm = jnp.where(alive, x, jnp.inf).reshape(n_tiles, tile)
+    xM = jnp.where(alive, x, -jnp.inf).reshape(n_tiles, tile)
+    ym = jnp.where(alive, y, jnp.inf).reshape(n_tiles, tile)
+    yM = jnp.where(alive, y, -jnp.inf).reshape(n_tiles, tile)
+    return jnp.stack([xm.min(axis=1), xM.max(axis=1),
+                      ym.min(axis=1), yM.max(axis=1)], axis=1)

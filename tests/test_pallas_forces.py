@@ -55,6 +55,69 @@ def test_pallas_sharded_matches_unsharded():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_cutoff_kernel_matches_exact_with_large_cutoff():
+    """A cutoff beyond the world size changes nothing (same pairs)."""
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+    n = 90
+    pos = jnp.asarray(RNG.uniform(-30, 30, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    exact = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                    row_tile=16, col_tile=128, interpret=True)
+    cut = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p,
+                                         cutoff=1000.0, row_tile=16,
+                                         col_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(cut), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cutoff_kernel_truncates_interactions():
+    """Moderate cutoff == brute-force sum over pairs within the radius."""
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+    import oracle
+    n, cutoff = 40, 12.0
+    pos = RNG.uniform(-40, 40, (n, 2))
+    vel = RNG.uniform(-2, 2, (n, 2))
+    radius = np.full((n,), 0.3)
+    alive = np.ones(n, bool)
+    p = MoussaidParams()
+    got = pedestrian_force_pallas_sorted(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(radius, jnp.float32), jnp.asarray(alive), p,
+        cutoff=cutoff, row_tile=8, col_tile=128, interpret=True)
+    # oracle with pairs beyond the cutoff removed
+    want = np.zeros((n, 2))
+    for i in range(n):
+        for j in range(n):
+            if j == i:
+                continue
+            diff = pos[j] - pos[i]
+            dist = np.linalg.norm(diff)
+            if dist > cutoff:
+                continue
+            want[i] += oracle.moussaid_term(
+                diff / dist, dist, vel[i] - vel[j], p.lambda_, p.A, p.gamma,
+                p.n, p.n_prime, p.epsilon)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=1e-4)
+
+
+def test_morton_order_roundtrip():
+    from carla_social_force_model_tpu.ops.spatial import morton_order
+    pos = jnp.asarray(RNG.uniform(-50, 50, (33, 2)), jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=33) < 0.7)
+    perm, inv = morton_order(pos, alive)
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                  np.arange(33))
+    # dead slots sort last
+    sorted_alive = np.asarray(alive)[np.asarray(perm)]
+    first_dead = np.argmin(sorted_alive) if (~sorted_alive).any() else 33
+    assert not sorted_alive[first_dead:].any()
+
+
 def test_pallas_coincident_peds_zero():
     pos = jnp.zeros((4, 2), jnp.float32)
     vel = jnp.zeros((4, 2), jnp.float32)
