@@ -1,78 +1,45 @@
 """A* path search over NavGraph: native C++ core with a pure-Python fallback.
 
 The native library (native/astar.cpp) is compiled on first use with g++ and
-loaded through ctypes; environments without a toolchain fall back to the
-heapq implementation (identical results, covered by tests).
+loaded through ctypes (utils/nativelib.py); environments without a toolchain
+fall back to the heapq implementation (identical results, covered by tests).
 """
 from __future__ import annotations
 
 import ctypes
 import heapq
 import logging
-import os
-import subprocess
-import threading
 
 import numpy as np
 
 from .graph import GraphType, NavGraph
+from ..utils import nativelib
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "native")
-_LIB_LOCK = threading.Lock()
-_LIB = None
-_LIB_FAILED = False
-
-
-def _build_native() -> str | None:
-    src = os.path.join(_NATIVE_DIR, "astar.cpp")
-    out = os.path.join(_NATIVE_DIR, "build", "libastar.so")
-    if not os.path.exists(src):
-        return None
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return out
-    except (subprocess.SubprocessError, OSError) as exc:
-        log.warning("native astar build failed (%s); using Python fallback", exc)
-        return None
+_CONFIGURED = False
 
 
 def _load_native():
-    global _LIB, _LIB_FAILED
-    with _LIB_LOCK:
-        if _LIB is not None or _LIB_FAILED:
-            return _LIB
-        path = _build_native()
-        if path is None:
-            _LIB_FAILED = True
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError as exc:
-            log.warning("native astar load failed (%s)", exc)
-            _LIB_FAILED = True
-            return None
-        lib.astar_graph_create.restype = ctypes.c_void_p
-        lib.astar_graph_create.argtypes = [
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32)]
-        lib.astar_graph_destroy.argtypes = [ctypes.c_void_p]
-        lib.astar_route.restype = ctypes.c_int64
-        lib.astar_route.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
-        lib.astar_nearest_nodes.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
-        _LIB = lib
-        return _LIB
+    global _CONFIGURED
+    lib = nativelib.load("astar")
+    if lib is None or _CONFIGURED:
+        return lib
+    _CONFIGURED = True
+    lib.astar_graph_create.restype = ctypes.c_void_p
+    lib.astar_graph_create.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32)]
+    lib.astar_graph_destroy.argtypes = [ctypes.c_void_p]
+    lib.astar_route.restype = ctypes.c_int64
+    lib.astar_route.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+    lib.astar_nearest_nodes.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+    return lib
 
 
 def _ptr(arr, ctype):
