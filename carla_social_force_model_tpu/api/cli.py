@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reproduce reference-inert config keys and quirks")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the rollout to DIR")
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="write state snapshots every --checkpoint-every steps")
+    p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in --checkpoint-dir")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -67,7 +72,22 @@ def main(argv=None) -> int:
         args.scenario_config, sfm_config,
         duration=args.duration, num_steps=args.steps,
         strict_parity=args.strict_parity)
-    if args.profile:
+
+    if args.checkpoint_dir:
+        from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented
+        b = sim.bundle
+        state, start = b.initial_state, 0
+        if args.resume:
+            ckpt = latest_checkpoint(args.checkpoint_dir)
+            if ckpt:
+                state, start = load_state(ckpt)
+                log.info("resuming from %s (step %d)", ckpt, start)
+        final, recs = run_segmented(
+            state, b.scene, b.params, b.cfg, b.num_steps - start,
+            segment_steps=args.checkpoint_every,
+            checkpoint_dir=args.checkpoint_dir, start_step=start)
+        sim.final_state, sim.records = final, recs
+    elif args.profile:
         from ..utils.profiling import trace
         with trace(args.profile):
             sim.run()
