@@ -60,8 +60,8 @@ class StepConfig:
     waypoint_threshold: float = static_field(default=2.0)
     despawn_on_arrival: bool = static_field(default=True)
     row_block: int = static_field(default=1024)
-    # fused Pallas N x N kernel (TPU): requires concrete (non-traced) force
-    # params, so parameter sweeps fall back to the jnp path automatically
+    # fused Pallas N x N kernel (TPU); force params ride as scalar-prefetch
+    # values so parameter sweeps (vmap over params) keep the fused kernel
     use_pallas: bool = static_field(default=False)
     # column-state communication under agent-sharding: "gather" or "ring"
     axis_comm: str = static_field(default="gather")
@@ -98,8 +98,7 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
             state.pos, state.vel, state.waypoint, state.applied_target,
             params.acceleration)
     if params.enable_pedestrian:
-        if (cfg.use_pallas
-                and isinstance(params.pedestrian.lambda_, (int, float))):
+        if cfg.use_pallas:
             from ..ops.pallas_forces import (pedestrian_force_pallas,
                                              pedestrian_force_pallas_sorted)
             if cfg.interaction_cutoff is not None and axis_name is None:

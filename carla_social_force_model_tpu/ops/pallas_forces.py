@@ -65,12 +65,12 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _pair_kernel(row_off_ref, rbb_ref, cbb_ref,
+def _pair_kernel(row_off_ref, prm_ref, rbb_ref, cbb_ref,
                  px_r, py_r, vx_r, vy_r, rad_r, alive_r,
                  px_c, py_c, vx_c, vy_c, rad_c, alive_c,
-                 fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
-                 use_radius, tr, tc, cutoff):
-    # row_off/rbb/cbb are scalar-prefetch args (full arrays in SMEM)
+                 fx_ref, fy_ref, *, use_radius, tr, tc, cutoff):
+    # row_off/prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM);
+    # force parameters ride in prm so they may be traced (vmap sweeps)
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -95,6 +95,9 @@ def _pair_kernel(row_off_ref, rbb_ref, cbb_ref,
     # inside a data-dependent pl.when under the interpreter)
     row0 = row_off_ref[0] + i * tr
     col0 = j * tc
+
+    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
+    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
 
     @pl.when(run_tile)
     def _compute():
@@ -180,9 +183,9 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             cutoff: float | None = None):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
-    Force parameters are baked into the kernel as compile-time constants, so
-    ``p``'s leaves must be concrete Python numbers (no vmap over params on
-    this path; compute_forces falls back to the jnp kernel for sweeps).
+    Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
+    leaves may be traced -- parameter sweeps can vmap over them and keep the
+    fused kernel (only ``cutoff`` and ``use_ped_radius`` are compile-time).
 
     With ``axis_name`` (under shard_map with rows sharded over that mesh
     axis), the column state is all-gathered over ICI and each device runs
@@ -243,13 +246,13 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _pair_kernel, lam=float(p.lambda_), A=float(p.A),
-        gamma=float(p.gamma), n=float(p.n), n_prime=float(p.n_prime),
-        epsilon=float(p.epsilon), use_radius=use_ped_radius, tr=tr, tc=tc,
+        _pair_kernel, use_radius=use_ped_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None)
+    prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in
+                     (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[row_spec] * 6 + [col_spec] * 6,
         out_specs=(out_spec, out_spec),
@@ -264,7 +267,7 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
             transcendentals=int(5 * n_rows * n_cols)),
         interpret=interpret,
-    )(off, row_bb, col_bb, *row_args, *col_args)
+    )(off, prm, row_bb, col_bb, *row_args, *col_args)
 
     return jnp.stack([fx[0, :n], fy[0, :n]], axis=-1).astype(pos.dtype)
 
