@@ -1,0 +1,68 @@
+"""Bridge map-extraction and CARLA nav-graph construction on the fake map.
+
+These modules normally need a live CARLA server; the fake implements the
+exact API subset they consume (tests/fake_carla.py), so their topology
+walks, lateral-lane logic and caching run headless.
+"""
+import numpy as np
+import pytest
+
+import fake_carla
+
+from carla_social_force_model_tpu.routing.graph import EdgeType, GraphType
+
+
+@pytest.fixture()
+def fmap(tmp_path, monkeypatch):
+    m = fake_carla.install()
+    # content-addressed caches write under cwd/cache by default
+    monkeypatch.chdir(tmp_path)
+    return m
+
+
+def test_extract_sidewalk_fake_map(fmap):
+    from carla_social_force_model_tpu.bridge.extract import extract_sidewalk
+    lines, centers, lengths = extract_sidewalk(fmap, resolution=1.0)
+    # two topology segments x one sidewalk group each x two borders
+    assert len(lines) == 4
+    for line in lines:
+        line = np.asarray(line)
+        assert len(line) >= 40           # ~50m at 1m resolution
+        # borders are lateral shifts of sidewalk centerlines: y near
+        # +-(7.5 +- 1.5)
+        assert np.all((np.abs(np.abs(line[:, 1]) - 6.0) < 1e-6)
+                      | (np.abs(np.abs(line[:, 1]) - 9.0) < 1e-6))
+    # cached second call returns identical geometry
+    lines2, centers2, lengths2 = extract_sidewalk(fmap, resolution=1.0)
+    assert len(lines2) == len(lines)
+    np.testing.assert_allclose(np.asarray(lines2[0]), np.asarray(lines[0]))
+
+
+def test_build_carla_nav_graph_fake_map(fmap):
+    from carla_social_force_model_tpu.routing.carla_graph import (
+        build_carla_nav_graph)
+    from carla_social_force_model_tpu.routing.planner import PedPathPlanner
+
+    graph = build_carla_nav_graph(fmap, waypoint_distance=10.0,
+                                  jaywalking_weight_factor=2.0)
+    types_present = set(graph.edge_type.tolist())
+    assert int(EdgeType.SIDEWALK) in types_present
+    assert int(EdgeType.CROSSWALK) in types_present
+    assert int(EdgeType.JAYWALKING) in types_present
+    assert int(EdgeType.SIDEWALK_TO_ROAD) in types_present
+
+    planner = PedPathPlanner(graph)
+    # route across the road without jaywalking -> must use the crosswalk
+    route = planner.generate_route([2.0, -7.5, 0.0], [2.0, 7.5, 0.0],
+                                   GraphType.NO_JAYWALKING)
+    xs = [w[0][0] for w in route]
+    assert any(c for _, c in route), "crossing flag missing"
+    assert 20.0 <= max(xs) <= 30.0, f"should detour via crosswalk x=25: {xs}"
+    # jaywalking allowed -> crosses directly near the origin x
+    route_j = planner.generate_route([2.0, -7.5, 0.0], [2.0, 7.5, 0.0],
+                                     GraphType.JAYWALKING)
+    assert max(w[0][0] for w in route_j) < 20.0
+    # second build hits the nav-graph cache
+    graph2 = build_carla_nav_graph(fmap, waypoint_distance=10.0,
+                                   jaywalking_weight_factor=2.0)
+    assert graph2.num_edges == graph.num_edges
