@@ -44,6 +44,9 @@ class Location:
     def __rmul__(self, s):
         return Location(s * self.x, s * self.y, s * self.z)
 
+    def __mul__(self, s):
+        return Location(s * self.x, s * self.y, s * self.z)
+
     def __eq__(self, other):
         return (self.x, self.y, self.z) == (other.x, other.y, other.z)
 
@@ -149,6 +152,50 @@ class Waypoint:
 
     def get_junction(self):
         return None
+
+
+class CityObjectLabel:
+    Static = "Static"
+    Poles = "Poles"
+    Walls = "Walls"
+    Vehicles = "Vehicles"
+
+
+class BoundingBox:
+    def __init__(self, location, extent, rotation=None):
+        self.location = location
+        self.extent = extent
+        self.rotation = rotation or Rotation()
+
+    def get_local_vertices(self):
+        """8 corners in CARLA's order (all +-extent combos, z fastest);
+        [::2] therefore selects the 4 bottom corners."""
+        out = []
+        tf = Transform(self.location, self.rotation)
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for sz in (-1, 1):
+                    out.append(tf.transform(Location(
+                        sx * self.extent.x, sy * self.extent.y,
+                        sz * self.extent.z)))
+        return out
+
+
+class EnvironmentObject:
+    def __init__(self, label, transform, bounding_box):
+        self.type = label
+        self.transform = transform
+        self.bounding_box = bounding_box
+
+
+class World:
+    """Holds environment objects for extraction tests."""
+
+    def __init__(self, objects=()):
+        self._objects = list(objects)
+
+    def get_environment_objects(self, label):
+        return [o for o in self._objects if o.type == label]
 
 
 class Map:

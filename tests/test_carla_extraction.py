@@ -38,6 +38,63 @@ def test_extract_sidewalk_fake_map(fmap):
     np.testing.assert_allclose(np.asarray(lines2[0]), np.asarray(lines[0]))
 
 
+def _env_world():
+    import carla
+    objs = [
+        # parked car: bbox centered on the transform -> transform path
+        carla.EnvironmentObject(
+            carla.CityObjectLabel.Static,
+            carla.Transform(carla.Location(10.0, -12.0, 0.0)),
+            carla.BoundingBox(carla.Location(10.0, -12.0, 0.0),
+                              carla.Location(2.0, 1.0, 0.7))),
+        # bent streetlight: bbox center far from the pole base -> bbox path,
+        # pole extent = min(x, y) on both axes
+        carla.EnvironmentObject(
+            carla.CityObjectLabel.Poles,
+            carla.Transform(carla.Location(30.0, -12.0, 0.0)),
+            carla.BoundingBox(carla.Location(34.5, -12.0, 0.0),
+                              carla.Location(3.0, 0.3, 0.2))),
+        # overhead sign: bottom above the z cutoff -> filtered out
+        carla.EnvironmentObject(
+            carla.CityObjectLabel.Static,
+            carla.Transform(carla.Location(40.0, -12.0, 5.0)),
+            carla.BoundingBox(carla.Location(40.0, -12.0, 5.0),
+                              carla.Location(1.0, 1.0, 0.2))),
+    ]
+    return carla.World(objs)
+
+
+def test_extract_obstacles_ellipse_mode(fmap):
+    from carla_social_force_model_tpu.bridge.extract import extract_obstacles
+    outlines, centers = extract_obstacles(_env_world(), resolution=0.1,
+                                          ellipse_shape=True,
+                                          max_obstacle_z_pos=0.3)
+    assert len(outlines) == 2  # overhead sign filtered
+    car, pole = outlines
+    # car ellipse centered on its transform, radii extent*sqrt(2)
+    np.testing.assert_allclose(centers[0], [10.0, -12.0])
+    local = np.asarray(car) - np.asarray(centers[0])
+    assert np.isclose(np.abs(local[:, 0]).max(), 2.0 * np.sqrt(2), rtol=0.05)
+    assert np.isclose(np.abs(local[:, 1]).max(), 1.0 * np.sqrt(2), rtol=0.05)
+    # pole: circular outline (min extent both axes) around the bbox center
+    np.testing.assert_allclose(centers[1], [34.5, -12.0])
+    r = np.linalg.norm(np.asarray(pole) - np.asarray(centers[1]), axis=1)
+    np.testing.assert_allclose(r, 0.3 * np.sqrt(2), rtol=1e-6)
+
+
+def test_extract_obstacles_rectangle_mode(fmap):
+    from carla_social_force_model_tpu.bridge.extract import extract_obstacles
+    outlines, centers = extract_obstacles(_env_world(), resolution=0.5,
+                                          ellipse_shape=False,
+                                          max_obstacle_z_pos=0.3)
+    assert len(outlines) == 2
+    # rectangle mode samples the 4 bottom edges of the car bbox
+    local = np.asarray(outlines[0]) - np.asarray(centers[0])
+    on_x = np.isclose(np.abs(local[:, 0]), 2.0, atol=1e-6)
+    on_y = np.isclose(np.abs(local[:, 1]), 1.0, atol=1e-6)
+    assert (on_x | on_y).all()
+
+
 def test_build_carla_nav_graph_fake_map(fmap):
     from carla_social_force_model_tpu.routing.carla_graph import (
         build_carla_nav_graph)
