@@ -130,7 +130,6 @@ class BridgeRunner:
         self._core = jax.jit(self._core_fn)
         self.history = []     # per-tick StepRecord snapshots (numpy)
         self.veh_history = []  # per-tick list of VehicleObs
-        self._frame = 0
 
     # ------------------------------------------------------------------
     def _dummy_schedule(self) -> SpawnSchedule:
@@ -285,7 +284,6 @@ class BridgeRunner:
                 log.info("Despawned pedestrian %s.", self.slot_name[slot])
 
         self.history.append(tuple(np.asarray(x) for x in record))
-        self._frame += 1
 
     def run(self, num_steps: int):
         for _ in range(num_steps):
