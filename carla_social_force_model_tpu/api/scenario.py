@@ -110,14 +110,24 @@ def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
     specs = []
     for sp in vehicle_cfg.get("vehicle_spawner", []) or []:
         trajectory = sp.get("trajectory", [])
-        if sp.get("auto_pilot", True) or not trajectory:
+        waypoints = sp.get("waypoints", [])
+        if sp.get("auto_pilot", True) or not (trajectory or waypoints):
             log.warning("Skipping autopilot/agent vehicle spawner headless "
                         "(requires the CARLA bridge): %s", sp)
             continue
+        if waypoints and not trajectory:
+            # headless authoring sugar: waypoints + speed -> teleport list
+            from ..models.vehicles import trajectory_from_waypoints
+            trajectory, headings, speeds = trajectory_from_waypoints(
+                waypoints, float(sp.get("speed", 8.0)),
+                float(scenario.get("step_length", 0.05)))
+        else:
+            headings = np.asarray(sp.get("headings", []), np.float64)
+            speeds = np.asarray(sp.get("speeds", []), np.float64)
         specs.append(VehicleSpec(
             trajectory=np.asarray(trajectory, np.float64),
-            headings=np.asarray(sp.get("headings", []), np.float64),
-            speeds=np.asarray(sp.get("speeds", []), np.float64),
+            headings=np.asarray(headings, np.float64),
+            speeds=np.asarray(speeds, np.float64),
             extent=tuple(sp.get("extent", (2.4, 1.1))),
             spawn_time=float(sp.get("spawn_time", 0.0)),
             spawn_interval=float(sp.get("spawn_interval", 5.0)),

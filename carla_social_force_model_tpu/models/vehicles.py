@@ -42,6 +42,36 @@ class VehicleSpec:
     quantity: int = 1             # reference shares popped lists; keep 1
 
 
+def trajectory_from_waypoints(waypoints, speed: float, dt: float):
+    """Expand a sparse waypoint polyline into per-tick teleport arrays.
+
+    Headless authoring sugar: instead of hand-writing a per-tick
+    ``trajectory`` list (the reference's scripted format), give waypoints +
+    a constant speed; positions are interpolated at ``speed*dt`` spacing and
+    headings follow the segment directions.  Returns
+    ``(trajectory (L,2), headings (L,), speeds (L,))`` in the reference's
+    scripted-vehicle format.
+    """
+    wps = np.asarray(waypoints, np.float64).reshape(-1, 2)
+    pts = [wps[0]]
+    heads = []
+    step = speed * dt
+    for a, b in zip(wps[:-1], wps[1:]):
+        seg = b - a
+        dist = float(np.linalg.norm(seg))
+        if dist == 0.0:
+            continue
+        heading = float(np.arctan2(seg[1], seg[0]))
+        n_steps = max(1, int(round(dist / step)))
+        for k in range(1, n_steps + 1):
+            pts.append(a + seg * (k / n_steps))
+            heads.append(heading)
+    trajectory = np.asarray(pts)
+    headings = np.asarray([heads[0]] + heads if heads else [0.0])
+    speeds = np.full(len(trajectory), speed)
+    return trajectory, headings, speeds
+
+
 def ellipse_template(extent_x: float, extent_y: float, resolution: float,
                      size_factor: float = float(np.sqrt(2.0))) -> np.ndarray:
     """Local-frame ellipse outline points (reference obstacles.py:269-281)."""
