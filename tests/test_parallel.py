@@ -104,3 +104,12 @@ def test_sweep_sharded_over_batch_axis():
     finals, _ = run(swept)
     assert np.asarray(finals.pos).shape == (b, n, 2)
     assert np.all(np.isfinite(np.asarray(finals.pos)))
+
+
+def test_parameter_sweep_example_runs():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+    import parameter_sweep
+    assert parameter_sweep.main(["--points", "3", "--steps", "60"]) == 0
