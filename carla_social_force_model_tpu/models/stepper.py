@@ -267,11 +267,13 @@ def simulation_step(state: PedState, scene: Scene, params: SfmParams,
 
 def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             num_steps: int, record: bool = True, start_step: int = 0,
-            axis_name: str | None = None):
+            axis_name: str | None = None, record_stride: int = 1):
     """Run ``num_steps`` ticks under ``lax.scan``.
 
     Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
-    ``(final_state, None)``.
+    ``(final_state, None)``.  ``record_stride=k`` keeps only every k-th
+    tick's snapshot (first of each stride) -- recorded history is the memory
+    ceiling for long rollouts, (T, N) x ~20 bytes.
     """
     # (start_step may be traced -- segmented/resumed rollouts pass it jitted)
     steps = jnp.asarray(start_step) + jnp.arange(num_steps)
@@ -280,6 +282,22 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
         new_state, rec = simulation_step(carry, scene, params, cfg, t_idx,
                                          axis_name=axis_name)
         return new_state, (rec if record else None)
+
+    if record and record_stride > 1:
+        if num_steps % record_stride != 0:
+            raise ValueError("num_steps must be a multiple of record_stride")
+        chunks = steps.reshape(num_steps // record_stride, record_stride)
+
+        def outer(carry, ts):
+            new_state, rec = simulation_step(carry, scene, params, cfg,
+                                             ts[0], axis_name=axis_name)
+            new_state, _ = jax.lax.scan(
+                lambda c, t: (simulation_step(c, scene, params, cfg, t,
+                                              axis_name=axis_name)[0], None),
+                new_state, ts[1:])
+            return new_state, rec
+
+        return jax.lax.scan(outer, state, chunks)
 
     final, recs = jax.lax.scan(body, state, steps)
     return final, recs

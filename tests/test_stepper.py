@@ -297,3 +297,22 @@ def test_gap_ready_unit_vs_oracle():
             jnp.asarray(centers, jnp.float32), jnp.asarray(vels, jnp.float32),
             jnp.asarray(exts, jnp.float32), jnp.ones((v,), bool))
         assert bool(got[0]) == want
+
+
+def test_record_stride_subsamples_history():
+    from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+    from carla_social_force_model_tpu.models.stepper import rollout
+    import jax
+
+    n, steps, k = 16, 40, 5
+    scene, params, cfg, state = benchmark_bundle(n, extent=8.0)
+    full_final, full = jax.jit(
+        lambda s: rollout(s, scene, params, cfg, steps))(state)
+    strided_final, strided = jax.jit(
+        lambda s: rollout(s, scene, params, cfg, steps, record_stride=k))(state)
+    np.testing.assert_array_equal(np.asarray(full_final.pos),
+                                  np.asarray(strided_final.pos))
+    np.testing.assert_array_equal(np.asarray(full.pos)[::k],
+                                  np.asarray(strided.pos))
+    np.testing.assert_array_equal(np.asarray(full.mode)[::k],
+                                  np.asarray(strided.mode))
