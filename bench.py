@@ -17,10 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N = int(os.environ.get("BENCH_N", 10_000))
 STEPS = int(os.environ.get("BENCH_STEPS", 100))
+#: optional interaction cutoff in meters (approximate mode, see BENCH.md);
+#: unset/empty = exact all-pairs reference semantics
+CUTOFF = os.environ.get("BENCH_CUTOFF", "")
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
 
 def main():
+    import dataclasses
     import jax
     from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
     from carla_social_force_model_tpu.models.stepper import make_rollout_fn
@@ -28,6 +32,8 @@ def main():
     import numpy as np
 
     scene, params, cfg, state = benchmark_bundle(N)
+    if CUTOFF:
+        cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def run_to_completion(s):

@@ -79,3 +79,14 @@ def test_random_pedestrians_build():
     bundle = build_scenario(scenario, sfm, num_steps=20, planner=planner)
     assert bundle.capacity == 5
     assert int(np.asarray(bundle.scene.spawn.routes.count).min()) >= 1
+
+
+def test_viz_cli_graph_from_npz(tmp_path):
+    from carla_social_force_model_tpu.utils.viz_cli import main
+    from test_routing import city_block_graph
+    g = city_block_graph()
+    npz = tmp_path / "g.npz"
+    g.save_npz(npz)
+    out = tmp_path / "g.png"
+    assert main(["graph", "--npz", str(npz), "--out", str(out)]) == 0
+    assert os.path.getsize(out) > 1000
