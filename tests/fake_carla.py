@@ -154,6 +154,92 @@ class Waypoint:
         return None
 
 
+class SegmentWaypoint:
+    """Waypoint on a free-standing straight lane segment (junction corners).
+
+    No lateral neighbors, so the reference's corner test (no Driving lane on
+    either side) classifies these segments as junction corners.
+    """
+
+    def __init__(self, start, end, s, road_id, lane_id, is_junction=True,
+                 junction=None, lane_type=LaneType.Sidewalk):
+        self._start = np.asarray(start, float)
+        self._end = np.asarray(end, float)
+        self._s = s
+        self._len = float(np.linalg.norm(self._end - self._start))
+        self.road_id = road_id
+        self.section_id = 0
+        self.lane_id = lane_id
+        self.lane_type = lane_type
+        self.lane_width = LANE_WIDTH
+        self.is_junction = is_junction
+        self._junction = junction
+        Waypoint._counter[0] += 1
+        self.id = Waypoint._counter[0]
+
+    @property
+    def transform(self):
+        d = (self._end - self._start) / self._len
+        p = self._start + self._s * d
+        yaw = math.degrees(math.atan2(d[1], d[0]))
+        return Transform(Location(p[0], p[1], 0.0), Rotation(0.0, yaw, 0.0))
+
+    def _at(self, s):
+        return SegmentWaypoint(self._start, self._end, s, self.road_id,
+                               self.lane_id, self.is_junction, self._junction,
+                               self.lane_type)
+
+    def next(self, d):
+        ns = self._s + d
+        return [self._at(ns)] if ns <= self._len else []
+
+    def previous(self, d):
+        ns = self._s - d
+        return [self._at(ns)] if ns >= 0.0 else []
+
+    def next_until_lane_end(self, d):
+        out, s = [], self._s + d
+        while s <= self._len:
+            out.append(self._at(s))
+            s += d
+        return out
+
+    def get_left_lane(self):
+        return None
+
+    def get_right_lane(self):
+        return None
+
+    def get_junction(self):
+        return self._junction
+
+
+class Junction:
+    """4-corner junction: corner sidewalk segments at the corners of a
+    square; the reference keeps the 4 shortest corner-connection edges
+    (perimeter) and drops the diagonals."""
+
+    def __init__(self, jid=1):
+        self.id = jid
+        self._corners = []
+        # square spanning the road between x=52 and x=58
+        for lane_id, (cx, cy) in enumerate(
+                [(52.0, -7.5), (58.0, -7.5), (52.0, 7.5), (58.0, 7.5)],
+                start=101):
+            start = (cx - 2.0, cy)
+            end = (cx + 2.0, cy)
+            self._corners.append(
+                (SegmentWaypoint(start, end, 0.0, road_id=200 + lane_id,
+                                 lane_id=lane_id, junction=self),
+                 SegmentWaypoint(start, end, 4.0, road_id=200 + lane_id,
+                                 lane_id=lane_id, junction=self)))
+
+    def get_waypoints(self, lane_type):
+        if lane_type != LaneType.Sidewalk:
+            return []
+        return list(self._corners)
+
+
 class CityObjectLabel:
     Static = "Static"
     Poles = "Poles"
@@ -201,10 +287,21 @@ class World:
 class Map:
     name = "Fake/FakeTown"
 
+    def __init__(self, with_junction: bool = False):
+        self._junction = Junction() if with_junction else None
+
     def get_topology(self):
         # one segment per driving lane (start waypoint, end waypoint)
-        return [(Waypoint(self, -1, 0.0), Waypoint(self, -1, ROAD_LENGTH)),
+        topo = [(Waypoint(self, -1, 0.0), Waypoint(self, -1, ROAD_LENGTH)),
                 (Waypoint(self, 1, ROAD_LENGTH), Waypoint(self, 1, 0.0))]
+        if self._junction is not None:
+            # a junction driving segment whose start waypoint discovers it
+            j_wp = SegmentWaypoint((52.0, 0.0), (58.0, 0.0), 0.0,
+                                   road_id=99, lane_id=-1,
+                                   junction=self._junction,
+                                   lane_type=LaneType.Driving)
+            topo.append((j_wp, j_wp.next(6.0)[0] if j_wp.next(6.0) else j_wp))
+        return topo
 
     def get_crosswalks(self):
         # 4 corners + repeated first corner, crossing the road at x=25

@@ -95,6 +95,35 @@ def test_extract_obstacles_rectangle_mode(fmap):
     assert (on_x | on_y).all()
 
 
+def test_junction_graph_and_sidewalk_extraction(tmp_path, monkeypatch):
+    """Junction corner paths: corner edges, 4-shortest connection filter
+    (perimeter kept, diagonals dropped), extract_sidewalk junction branch."""
+    import fake_carla as fc
+    fc.install()
+    monkeypatch.chdir(tmp_path)
+    fmap_j = fc.Map(with_junction=True)
+
+    from carla_social_force_model_tpu.bridge.extract import extract_sidewalk
+    from carla_social_force_model_tpu.routing.carla_graph import (
+        build_carla_nav_graph)
+
+    # sidewalk extraction picks up the 4 junction corner segments too
+    lines, centers, lengths = extract_sidewalk(fmap_j, resolution=1.0)
+    assert len(lines) == 4 + 8  # 4 road borders + 2 per corner segment
+
+    graph = build_carla_nav_graph(fmap_j, waypoint_distance=10.0,
+                                  jaywalking_weight_factor=2.0)
+    jj = graph.edge_type == int(EdgeType.JAYWALKING_JUNCTION)
+    assert jj.sum() == 4, f"4 perimeter corner connections, got {jj.sum()}"
+    # diagonals were dropped: all kept connection edges are axis-aligned
+    for u, v in zip(graph.edge_u[jj], graph.edge_v[jj]):
+        d = np.abs(graph.nodes[u] - graph.nodes[v])
+        assert min(d[0], d[1]) < 1e-6, "diagonal connection survived"
+    # corner sidewalk edges exist around the corner middles
+    sw = graph.edge_type == int(EdgeType.SIDEWALK)
+    assert sw.sum() > 10
+
+
 def test_build_carla_nav_graph_fake_map(fmap):
     from carla_social_force_model_tpu.routing.carla_graph import (
         build_carla_nav_graph)
