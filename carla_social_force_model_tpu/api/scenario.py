@@ -25,7 +25,8 @@ import numpy as np
 from ..env.borders import borders_from_config, build_border_set
 from ..env.obstacles_gen import build_obstacle_set, static_obstacles_from_config
 from ..models.params import SfmParams
-from ..models.spawn import SpawnerSpec, build_spawn_schedule
+from ..models.spawn import (WALKER_BLUEPRINT_COUNT, SpawnerSpec,
+                            build_spawn_schedule)
 from ..models.state import PedState
 from ..models.stepper import Scene, StepConfig
 from ..models.vehicles import VehicleSpec, build_vehicle_states
@@ -232,7 +233,8 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         ped_specs, dt, num_steps,
         pedestrian_seed=int(walker.get("pedestrian_seed", 2000)),
         variate_speed=float(walker.get("variate_speed", 0.0)),
-        blueprint_count=int(walker.get("blueprint_count", 0)),
+        blueprint_count=int(walker.get("blueprint_count",
+                                       WALKER_BLUEPRINT_COUNT)),
         initial_velocity=walker.get("initial_velocity", "forward"),
     )
 

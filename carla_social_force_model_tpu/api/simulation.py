@@ -88,14 +88,21 @@ class Simulation:
             lambda s: force_terms(s, b.scene, b.params, b.cfg, snap))(state)
         return {k: np.asarray(v) for k, v in terms.items()}
 
-    def write_csv(self, output_path: str = "output") -> str:
-        """Dump the four reference-schema CSVs; returns the output dir."""
+    def write_csv(self, output_path: str = "output",
+                  mode_text: bool | None = None) -> str:
+        """Dump the four reference-schema CSVs; returns the output dir.
+
+        ``mode_text`` writes the ped ``mode`` column as the reference's
+        stringified enum (output_generator.py:49) instead of the integer;
+        defaults to the params' ``strict_parity`` flag."""
         if self.records is None:
             raise RuntimeError("run() the simulation before write_csv()")
         b = self.bundle
+        if mode_text is None:
+            mode_text = bool(b.params.strict_parity)
         return csvout.write_all(
             output_path, b.scenario_name, self.records, b.dt,
             vehicles=b.scene.vehicles, num_steps=b.num_steps,
             border_lines=b.border_lines,
             obstacle_outlines=b.obstacle_outlines,
-            obstacle_centers=b.obstacle_centers)
+            obstacle_centers=b.obstacle_centers, mode_text=mode_text)

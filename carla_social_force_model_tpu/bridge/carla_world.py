@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import logging
 import math
-import random
 
 import numpy as np
 
@@ -72,9 +71,8 @@ class CarlaWorld:
         walker_cfg = scenario_config.get("walker", {})
         seed = int(walker_cfg.get("pedestrian_seed", 2000))
         self.world.set_pedestrians_seed(seed)
-        self._blueprints = self.world.get_blueprint_library().filter(
-            "walker.pedestrian.*")
-        self._bp_rng = random.Random(seed)
+        self._blueprints = list(self.world.get_blueprint_library().filter(
+            "walker.pedestrian.*"))
         self._spawned = []
         self._trajectory_vehicles: dict[int, dict] = {}
 
@@ -88,12 +86,22 @@ class CarlaWorld:
         return ts - self._start_time
 
     # -- walkers ----------------------------------------------------------
-    def spawn_walker(self, blueprint, location, yaw) -> int:
+    def walker_blueprint_count(self) -> int:
+        return len(self._blueprints)
+
+    def spawn_walker(self, blueprint, location, yaw, role_name=None) -> int:
+        """``blueprint``: id string, library index (the runner's seeded
+        per-walker draw, reference pedestrian_spawner.py:133-138), or None
+        (first library entry as a last resort)."""
         carla = self._carla
-        if blueprint:
-            bp = self._blueprints.find(blueprint)
+        if isinstance(blueprint, str) and blueprint:
+            bp = next(b for b in self._blueprints if b.id == blueprint)
+        elif isinstance(blueprint, int):
+            bp = self._blueprints[blueprint]
         else:
-            bp = self._bp_rng.choice(list(self._blueprints))
+            bp = self._blueprints[0]
+        if role_name and bp.has_attribute("role_name"):
+            bp.set_attribute("role_name", role_name)
         loc = np.asarray(location, float)
         z = loc[2] if loc.shape[0] > 2 else 1.0
         tf = carla.Transform(carla.Location(float(loc[0]), float(loc[1]), float(z)),

@@ -101,8 +101,14 @@ class BridgeRunner:
         self.capacity = max(1, sum(s.quantity for s in specs))
         self.ped_seed = int(walker.get("pedestrian_seed", 2000))
         self.variate_speed = float(walker.get("variate_speed", 0.0))
-        self.blueprint_count = int(walker.get("blueprint_count", 0))
+        # blueprint library size for the seeded per-walker draw: the world's
+        # actual library unless the scenario overrides it
+        bc = walker.get("blueprint_count")
+        self.blueprint_count = (int(bc) if bc is not None
+                                else world.walker_blueprint_count())
         self.draw_bounding_boxes = bool(walker.get("draw_bounding_boxes", False))
+        self.draw_obstacles = bool(
+            scenario.get("map", {}).get("draw_obstacles", False))
         self.spectator_focus = walker.get("spectator_focus")
 
         # route buffer sized for all slots (filled at spawn time)
@@ -116,7 +122,8 @@ class BridgeRunner:
                   .copy() for f in dataclasses.fields(PedState)}
         self.slot_actor = np.full((self.capacity,), -1, np.int64)
         self.slot_name = [None] * self.capacity
-        self._next_slot = 0
+        self._next_slot = 0   # advances only on successful spawns
+        self._ped_index = 0   # advances on every attempt (reference naming)
 
         self.max_vehicles = max_vehicles
         self._veh_resolution = float((obstacles_cfg or {}).get("resolution", 0.1))
@@ -130,6 +137,14 @@ class BridgeRunner:
         self._core = jax.jit(self._core_fn)
         self.history = []     # per-tick StepRecord snapshots (numpy)
         self.veh_history = []  # per-tick list of VehicleObs
+
+        # startup obstacle drawing (reference run_simulation.py:194-197:
+        # all static border + obstacle outline points, 30 s lifetime)
+        if self.draw_obstacles:
+            for line in self.border_lines:
+                self.world.draw_points(np.asarray(line), 30.0)
+            for outline in self.obstacle_outlines:
+                self.world.draw_points(np.asarray(outline), 30.0)
 
     # ------------------------------------------------------------------
     def _dummy_schedule(self) -> SpawnSchedule:
@@ -160,25 +175,34 @@ class BridgeRunner:
             if not s.ready(sim_time):
                 continue
             spec = s.spec
+            name = f"ped_{self._ped_index}"
+            self._ped_index += 1
+
+            # per-walker seeded draws in the reference's order
+            # (pedestrian_spawner.py:133-150): seed, blueprint choice (only
+            # when none is configured), speed jitter, seed increment --
+            # performed whether or not the world spawn succeeds.
             rng = random.Random()
             rng.seed(self.ped_seed)
-            if spec.blueprint is None and self.blueprint_count > 0:
-                rng.choice(range(self.blueprint_count))
+            bp = spec.blueprint
+            if not bp and self.blueprint_count > 0:
+                bp = rng.choice(range(self.blueprint_count))
             if self.variate_speed != 0.0:
                 s.speed += rng.uniform(-self.variate_speed, self.variate_speed)
             self.ped_seed += 1
 
-            slot = self._next_slot
-            name = f"ped_{slot}"
             wps = np.asarray(spec.waypoints, np.float64)[:, :2]
             loc = np.asarray(spec.spawn_location, np.float64)[:2]
             direction = wps[0] - loc
             yaw = float(np.arctan2(direction[1], direction[0]))
-            actor_id = self.world.spawn_walker(spec.blueprint, loc, yaw)
-            self._next_slot += 1
+            actor_id = self.world.spawn_walker(bp, loc, yaw, role_name=name)
             if actor_id == -1:
+                # failed spawns burn a seed + a name but never a state slot
+                # (reference pedestrian_spawner.py:152-153 just skips)
                 log.info("Failed to spawn pedestrian %s.", name)
                 continue
+            slot = self._next_slot
+            self._next_slot += 1
 
             flags = list(spec.crossing_road) or [False] * len(wps)
             k = min(len(wps), len(flags))
@@ -226,6 +250,12 @@ class BridgeRunner:
                 self._veh_templates[o.actor_id] = ellipse_template(
                     float(o.extent[0]), float(o.extent[1]), self._veh_resolution)
             tmpl = self._veh_templates[o.actor_id][:p]
+            if self.draw_obstacles:
+                # per-tick dynamic-obstacle outline drawing
+                # (reference run_simulation.py:97-99)
+                c, s = np.cos(o.heading), np.sin(o.heading)
+                pts = tmpl @ np.array([[c, s], [-s, c]]) + o.center
+                self.world.draw_points(pts, self.cfg.dt)
             center[i] = o.center
             vel[i] = o.velocity
             heading[i] = o.heading

@@ -66,8 +66,9 @@ class BridgeVehicleManager:
         self.vehicle_ids = []
 
     def tick(self, sim_time: float):
-        self.spawners = [s for s in self.spawners if s.remaining >= 0]
-        for s in [x for x in self.spawners if x.remaining > 0]:
+        # drop exhausted spawners (reference vehicle_spawner.py:53)
+        self.spawners = [s for s in self.spawners if s.remaining > 0]
+        for s in self.spawners:
             if s.ready(sim_time):
                 self._spawn(s)
         # drive agent-controlled vehicles (run_simulation.py:70-73)

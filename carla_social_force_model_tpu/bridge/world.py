@@ -36,7 +36,9 @@ class World(Protocol):
 
     def tick(self) -> None: ...
     def get_sim_time(self) -> float: ...
-    def spawn_walker(self, blueprint: str | None, location, yaw: float) -> int: ...
+    def walker_blueprint_count(self) -> int: ...
+    def spawn_walker(self, blueprint: str | int | None, location, yaw: float,
+                     role_name: str | None = None) -> int: ...
     def destroy_actor(self, actor_id: int) -> None: ...
     def get_walker_state(self, actor_id: int): ...
     def set_walker_velocity(self, actor_id: int, direction, speed: float) -> None: ...
@@ -63,6 +65,9 @@ class FakeWorld:
     walker_radius: float = 0.3
     vehicle_timeline: object = None  # models.vehicles.VehicleStates or None
     fail_spawns: set = field(default_factory=set)  # walker indices that fail
+    # emulated walker-blueprint library size (CARLA 0.9.13's by default) so
+    # the runner's seeded blueprint draw consumes reference-equal entropy
+    blueprint_count: int = 41
 
     def __post_init__(self):
         self._walkers: dict[int, _FakeWalker] = {}
@@ -84,7 +89,10 @@ class FakeWorld:
         return self._step * self.dt
 
     # -- walkers ----------------------------------------------------------
-    def spawn_walker(self, blueprint, location, yaw) -> int:
+    def walker_blueprint_count(self) -> int:
+        return self.blueprint_count
+
+    def spawn_walker(self, blueprint, location, yaw, role_name=None) -> int:
         idx = self._spawn_count
         self._spawn_count += 1
         if idx in self.fail_spawns:

@@ -26,6 +26,15 @@ from . import modes
 from .routes import RouteBuffer, build_route_buffer
 from .state import PedState
 
+# Size of CARLA 0.9.13's walker blueprint library (walker.pedestrian.0001 ..
+# .0041; the reference pins carla==0.9.13 in requirements.txt:1).  The
+# reference's seeded per-walker `random.choice(walker_blueprints)`
+# (pedestrian_spawner.py:133-138) consumes RNG entropy that depends only on
+# the library size, so emulating the draw with the right count makes the
+# subsequent speed-jitter draw match the reference bit-for-bit.  Override
+# with the `walker.blueprint_count` scenario key for other CARLA versions.
+WALKER_BLUEPRINT_COUNT = 41
+
 
 @dataclass
 class SpawnerSpec:
@@ -86,7 +95,7 @@ def build_spawn_schedule(
     num_steps: int,
     pedestrian_seed: int = 2000,
     variate_speed: float = 0.0,
-    blueprint_count: int = 0,
+    blueprint_count: int = WALKER_BLUEPRINT_COUNT,
     initial_velocity: str = "forward",
     dtype=np.float32,
 ) -> SpawnSchedule:
@@ -99,7 +108,9 @@ def build_spawn_schedule(
     ``blueprint_count``: size of the walker blueprint library to emulate for
     seeded-randomness parity; 0 skips the blueprint draw (the value is only
     observable headless through the entropy it consumes before the speed
-    jitter draw).
+    jitter draw).  Defaults to CARLA 0.9.13's library size so headless
+    ``variate_speed`` jitter matches what the reference would produce for
+    the same seed out of the box.
 
     ``initial_velocity``: ``"forward"`` gives new pedestrians their declared
     initial velocity toward the first waypoint (the reference's initial SFM
@@ -142,7 +153,7 @@ def build_spawn_schedule(
         s = spawners[si]
         rng = random.Random()
         rng.seed(ped_seed)
-        if s.blueprint is None and blueprint_count > 0:
+        if not s.blueprint and blueprint_count > 0:
             rng.choice(range(blueprint_count))  # consume the blueprint draw
         if variate_speed != 0.0:
             spawner_speed[si] += rng.uniform(-variate_speed, variate_speed)

@@ -6,10 +6,14 @@ Column layouts match /root/reference/output_generator.py exactly:
   borders.csv:    x, y
   obstacles.csv:  obs_id, obs_pos_x, obs_pos_y, x, y
 
-``mode`` is written as the PedMode integer (the reference writes
-``str(PedMode.<X>)`` whose text differs across Python versions; the integer
-values are identical).  Headings are radians, as the reference converts
-CARLA's degrees before writing (output_generator.py:68).
+``mode`` is written as the PedMode integer by default; ``mode_text=True``
+(implied by ``strict_parity`` at the API level) writes the reference's
+stringified enum instead -- ``csv.writer`` stringifies the recorded
+``PedMode`` IntEnum (output_generator.py:49) as ``PedMode.<NAME>`` on the
+Python 3.7/3.8 the reference targets (3.11+ changed IntEnum.__str__, so the
+text form is version-dependent upstream; we pin the 3.7/3.8 form).
+Headings are radians, as the reference converts CARLA's degrees before
+writing (output_generator.py:68).
 """
 from __future__ import annotations
 
@@ -28,18 +32,22 @@ def _output_dir(output_path: str, scenario_name: str | None) -> str:
     return out
 
 
-def write_pedestrian_csv(path, records, dt, use_native: bool = True):
+def write_pedestrian_csv(path, records, dt, use_native: bool = True,
+                         mode_text: bool = False):
     """records: StepRecord pytree of (T, N, ...) arrays (models/stepper.py).
 
     Serialization goes through the native writer (native/trajio.cpp) when a
     toolchain is available -- recorded rollouts at large N reach gigabytes of
     CSV; values are identical to the Python path (shortest round-trip float
-    formatting both ways, covered by tests)."""
+    formatting both ways, covered by tests).  ``mode_text`` writes the
+    reference's ``PedMode.<NAME>`` strings (Python path only)."""
     pos = np.ascontiguousarray(np.asarray(records.pos), np.float32)
     vel = np.ascontiguousarray(np.asarray(records.vel), np.float32)
     mode = np.ascontiguousarray(np.asarray(records.mode), np.int32)
     alive = np.ascontiguousarray(np.asarray(records.alive), np.uint8)
 
+    if mode_text:
+        use_native = False
     if use_native:
         import ctypes
         from .nativelib import load
@@ -61,6 +69,12 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True):
             if rows >= 0:
                 return
 
+    if mode_text:
+        from ..models.modes import MODE_NAMES
+        fmt = {k: f"PedMode.{v}" for k, v in MODE_NAMES.items()}
+        mode_of = lambda m: fmt[int(m)]
+    else:
+        mode_of = int
     with open(path, "w", encoding="UTF8", newline="") as f:
         w = csv.writer(f)
         w.writerow(["ped_id", "frame", "time", "x", "y", "v_x", "v_y", "mode"])
@@ -70,7 +84,7 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True):
                 w.writerow([int(slot), frame, t,
                             pos[frame, slot, 0], pos[frame, slot, 1],
                             vel[frame, slot, 0], vel[frame, slot, 1],
-                            int(mode[frame, slot])])
+                            mode_of(mode[frame, slot])])
 
 
 def write_vehicle_csv(path, vehicles, dt, num_steps):
@@ -131,10 +145,12 @@ def write_obstacles_csv(path, outlines, centers):
 
 def write_all(output_path: str, scenario_name: str | None, records, dt,
               vehicles=None, num_steps: int = 0, border_lines=(),
-              obstacle_outlines=(), obstacle_centers=()):
+              obstacle_outlines=(), obstacle_centers=(),
+              mode_text: bool = False):
     """Dump all four reference CSVs into a timestamped directory; returns it."""
     out = _output_dir(output_path, scenario_name)
-    write_pedestrian_csv(os.path.join(out, "pedestrian.csv"), records, dt)
+    write_pedestrian_csv(os.path.join(out, "pedestrian.csv"), records, dt,
+                         mode_text=mode_text)
     write_vehicle_csv(os.path.join(out, "vehicle.csv"), vehicles, dt, num_steps)
     write_borders_csv(os.path.join(out, "borders.csv"), border_lines)
     write_obstacles_csv(os.path.join(out, "obstacles.csv"),

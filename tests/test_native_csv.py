@@ -57,3 +57,22 @@ def test_native_writer_speed(tmp_path):
     # native should be decisively faster (typically 10-50x)
     assert native_t < python_t, (native_t, python_t)
     assert os.path.getsize(tmp_path / "n.csv") > 1_000_000
+
+
+def test_mode_text_column(tmp_path):
+    """strict-parity mode column: the reference stringifies the recorded
+    PedMode IntEnum (output_generator.py:49) -> 'PedMode.<NAME>' on py3.7/3.8."""
+    recs = random_records(4, 3)
+    p = str(tmp_path / "text.csv")
+    write_pedestrian_csv(p, recs, 0.05, mode_text=True)
+    rows = read_rows(p)
+    modes = np.asarray(recs.mode)
+    alive = np.asarray(recs.alive)
+    assert len(rows) == 1 + int(alive.sum())
+    from carla_social_force_model_tpu.models.modes import MODE_NAMES
+    for row in rows[1:]:
+        assert row[7].startswith("PedMode.")
+        assert row[7].split(".", 1)[1] in MODE_NAMES.values()
+    # spot-check one cell against the int record
+    frame, slot = map(int, (rows[1][1], rows[1][0]))
+    assert rows[1][7] == f"PedMode.{MODE_NAMES[int(modes[frame, slot])]}"
