@@ -304,7 +304,8 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
 
 
 def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
-                    num_steps: int, record: bool = True):
+                    num_steps: int, record: bool = True,
+                    record_stride: int = 1):
     """Jitted rollout closure.
 
     (The state is deliberately NOT donated: callers -- bench, sweeps --
@@ -314,6 +315,7 @@ def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
 
     @jax.jit
     def run(state: PedState):
-        return rollout(state, scene, params, cfg, num_steps, record=record)
+        return rollout(state, scene, params, cfg, num_steps, record=record,
+                       record_stride=record_stride)
 
     return run
