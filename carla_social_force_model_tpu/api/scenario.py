@@ -104,17 +104,54 @@ def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpe
     return specs
 
 
+def extract_autopilot_specs(scenario: dict) -> list:
+    """Reactive ``[[vehicle.vehicle_spawner]]`` entries: ``auto_pilot = true``
+    plus a headless ``waypoints`` route -> kinematic waypoint-follower specs
+    (the TPU-native stand-in for TrafficManager autopilot,
+    vehicle_spawner.py:125-130; models/autopilot.py)."""
+    from ..models.autopilot import AutopilotSpec
+    vehicle_cfg = scenario.get("vehicle", {})
+    specs = []
+    for sp in vehicle_cfg.get("vehicle_spawner", []) or []:
+        waypoints = sp.get("waypoints", [])
+        if not (sp.get("auto_pilot", True) and waypoints):
+            continue
+        specs.append(AutopilotSpec(
+            waypoints=np.asarray(waypoints, np.float64)[:, :2],
+            speed_limit=float(sp.get("speed_limit", 8.33)),
+            speed_reduction_factor=float(
+                sp.get("speed_reduction_factor", 30)),
+            ignore_walkers_percentage=float(
+                sp.get("ignore_walkers_percentage", 0)),
+            extent=tuple(sp.get("extent", (2.4, 1.1))),
+            spawn_time=float(sp.get("spawn_time", 0.0)),
+            spawn_interval=float(sp.get("spawn_interval", 5.0)),
+            quantity=int(sp.get("quantity", 1)),
+            loop=bool(sp.get("loop", False)),
+            blueprint=sp.get("blueprint"),
+        ))
+    return specs
+
+
 def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
     """Scripted ``[[vehicle.vehicle_spawner]]`` entries (trajectory mode,
-    vehicle_spawner.py:139-144).  Autopilot/agent vehicles need the bridge."""
+    vehicle_spawner.py:139-144).  Autopilot vehicles with a ``waypoints``
+    route go to the reactive fleet (extract_autopilot_specs); TM/agent
+    vehicles without one need the CARLA bridge."""
     vehicle_cfg = scenario.get("vehicle", {})
     specs = []
     for sp in vehicle_cfg.get("vehicle_spawner", []) or []:
         trajectory = sp.get("trajectory", [])
         waypoints = sp.get("waypoints", [])
-        if sp.get("auto_pilot", True) or not (trajectory or waypoints):
-            log.warning("Skipping autopilot/agent vehicle spawner headless "
-                        "(requires the CARLA bridge): %s", sp)
+        if sp.get("auto_pilot", True):
+            if not waypoints:
+                log.warning("Skipping TM/agent vehicle spawner headless "
+                            "(requires the CARLA bridge or a waypoints "
+                            "route): %s", sp)
+            continue
+        if not (trajectory or waypoints):
+            log.warning("Skipping vehicle spawner without trajectory or "
+                        "waypoints: %s", sp)
             continue
         if waypoints and not trajectory:
             # headless authoring sugar: waypoints + speed -> teleport list
@@ -220,6 +257,22 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     vehicle_specs = extract_vehicle_specs(scenario)
     vehicles = build_vehicle_states(vehicle_specs, dt, num_steps,
                                     resolution=resolution)
+    vehicle_cfg = scenario.get("vehicle", {})
+    ap_specs = extract_autopilot_specs(scenario)
+    autopilot = None
+    if ap_specs:
+        from ..models.autopilot import build_autopilot_fleet
+        if vehicles is not None:
+            raise ValueError(
+                "mixing scripted-trajectory and reactive-autopilot vehicles "
+                "in one headless scenario is not supported yet")
+        autopilot = build_autopilot_fleet(
+            ap_specs, dt, num_steps,
+            vehicle_seed=int(vehicle_cfg.get("vehicle_seed", 2000)),
+            variate_speed_factor=float(
+                vehicle_cfg.get("variate_speed_factor", 0.0)),
+            blueprint_count=int(vehicle_cfg.get("blueprint_count", 0)),
+            resolution=resolution)
 
     ped_specs = extract_ped_spawners(scenario, route_provider=route_provider)
     n_random = int(walker.get("random_pedestrians", 0))
@@ -245,7 +298,8 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
 
     scene = Scene(spawn=schedule, borders=borders,
                   static_obstacles=static_obstacles,
-                  static_obstacle_vel=static_vel, vehicles=vehicles)
+                  static_obstacle_vel=static_vel, vehicles=vehicles,
+                  autopilot=autopilot)
     return ScenarioBundle(
         scene=scene, cfg=cfg, params=params,
         initial_state=PedState.empty(schedule.capacity),

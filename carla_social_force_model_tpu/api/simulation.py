@@ -32,6 +32,7 @@ class Simulation:
                                     bundle.num_steps, record=record)
         self.final_state = None
         self.records = None
+        self.veh_records = None   # AutopilotRecord stack on reactive runs
         self.elapsed = None
 
     @classmethod
@@ -61,6 +62,9 @@ class Simulation:
         final, recs = self._run(self.bundle.initial_state)
         jax.block_until_ready(final)
         self.elapsed = time.perf_counter() - start
+        from ..models.stepper import StepRecord
+        if recs is not None and not isinstance(recs, StepRecord):
+            recs, self.veh_records = recs   # reactive-autopilot rollout
         self.final_state, self.records = final, recs
         steps = self.bundle.num_steps
         log.info("rollout: %d steps x %d slots in %.3fs (%.0f steps/s)",
@@ -100,9 +104,14 @@ class Simulation:
         b = self.bundle
         if mode_text is None:
             mode_text = bool(b.params.strict_parity)
+        vehicles = b.scene.vehicles
+        if vehicles is None and self.veh_records is not None:
+            from ..models.autopilot import records_to_vehicle_states
+            vehicles = records_to_vehicle_states(b.scene.autopilot,
+                                                 self.veh_records)
         return csvout.write_all(
             output_path, b.scenario_name, self.records, b.dt,
-            vehicles=b.scene.vehicles, num_steps=b.num_steps,
+            vehicles=vehicles, num_steps=b.num_steps,
             border_lines=b.border_lines,
             obstacle_outlines=b.obstacle_outlines,
             obstacle_centers=b.obstacle_centers, mode_text=mode_text)

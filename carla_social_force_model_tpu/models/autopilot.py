@@ -1,0 +1,315 @@
+"""Headless reactive vehicle autopilot (kinematic waypoint follower).
+
+The reference's autopilot vehicles are driven by CARLA's TrafficManager (or a
+BehaviorAgent) with per-vehicle knobs: percentage speed difference below the
+limit, ignore-walkers percentage, ignore-lights percentage
+(/root/reference/vehicle_spawner.py:125-138).  Headless there is no UE4
+traffic stack, so this module provides the TPU-native equivalent: a
+branchless, fully vectorized kinematic controller that runs *inside* the
+jitted ``lax.scan`` as part of the rollout carry --
+
+* follows a waypoint polyline at a per-vehicle target speed
+  (= ``speed_limit * (1 - speed_reduction_factor/100)``, mirroring
+  ``traffic_manager.vehicle_percentage_speed_difference``),
+* brakes for alive pedestrians inside its braking corridor unless the
+  vehicle's seeded ``ignore_walkers_percentage`` draw says to ignore them
+  (mirroring ``traffic_manager.ignore_walkers_percentage``),
+* optionally loops its route (TrafficManager vehicles drive indefinitely).
+
+Unlike the scripted teleport timelines (models/vehicles.py, the reference's
+``auto_pilot = false`` mode), the trajectory is *state-dependent*: a vehicle
+that braked for a jaywalker is permanently behind where it would have been,
+so the whole fleet state must be scanned, not precomputed.
+
+Spawn-time seeding replicates the reference's vehicle spawner call order
+(vehicle_spawner.py:100-118): ``random.seed(vehicle_seed)``; blueprint
+``random.choice`` (entropy only, library size configurable); cumulative
+``speed_reduction_factor`` jitter; ``vehicle_seed += 1``.  The
+ignore-walkers draw has no deterministic reference counterpart (CARLA's TM
+re-rolls internally per decision), so it uses an independent derived stream.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_field
+from .spawn import realized_spawn_steps
+from .vehicles import VehicleSnapshot, VehicleStates, ellipse_template
+
+
+@dataclass
+class AutopilotSpec:
+    """Host-side description of one reactive ``[[vehicle.vehicle_spawner]]``
+    (``auto_pilot = true`` + a headless ``waypoints`` route)."""
+
+    waypoints: np.ndarray               # (W, 2) route polyline
+    speed_limit: float = 8.33           # m/s (30 km/h urban default)
+    speed_reduction_factor: float = 30.0  # TM percentage below the limit
+    ignore_walkers_percentage: float = 0.0
+    extent: tuple[float, float] = (2.4, 1.1)
+    spawn_time: float = 0.0
+    spawn_interval: float = 5.0
+    quantity: int = 1
+    loop: bool = False                  # wrap the route (TM-style endless)
+    blueprint: str | None = None
+    acceleration: float = 2.0           # m/s^2 throttle
+    deceleration: float = 4.5           # m/s^2 braking
+    brake_margin: float = 4.0           # m kept clear ahead of the bumper
+    lateral_margin: float = 1.0         # m beyond the half-width
+
+
+@pytree_dataclass
+class AutopilotState:
+    """Per-vehicle dynamic state (lives in the rollout carry)."""
+
+    pos: jnp.ndarray       # (V, 2)
+    heading: jnp.ndarray   # (V,) radians
+    speed: jnp.ndarray     # (V,)
+    wp_idx: jnp.ndarray    # (V,) int32 current route target
+    active: jnp.ndarray    # (V,) bool
+
+
+@pytree_dataclass
+class AutopilotFleet:
+    """Static fleet description + initial state (device arrays)."""
+
+    route: jnp.ndarray          # (V, W, 2) padded polylines
+    route_count: jnp.ndarray    # (V,) int32 valid waypoints per vehicle
+    spawn_step: jnp.ndarray     # (V,) int32
+    target_speed: jnp.ndarray   # (V,) speed_limit*(1 - reduction/100)
+    ignore_walkers: jnp.ndarray  # (V,) bool (seeded percentage draw)
+    loop: jnp.ndarray           # (V,) bool
+    accel: jnp.ndarray          # (V,)
+    decel: jnp.ndarray          # (V,)
+    brake_margin: jnp.ndarray   # (V,)
+    lateral_margin: jnp.ndarray  # (V,)
+    extent: jnp.ndarray         # (V, 2)
+    template: jnp.ndarray       # (V, P, 2) local ellipse outline
+    template_valid: jnp.ndarray  # (V, P)
+    points_per_chunk: int = static_field(default=64)
+
+    @property
+    def num_vehicles(self) -> int:
+        return self.extent.shape[0]
+
+    def initial_state(self) -> AutopilotState:
+        v = self.num_vehicles
+        return AutopilotState(
+            pos=self.route[:, 0, :],
+            heading=jnp.zeros((v,), self.route.dtype),
+            speed=jnp.zeros((v,), self.route.dtype),
+            wp_idx=jnp.ones((v,), jnp.int32),   # index 0 is the spawn point
+            active=jnp.zeros((v,), bool),
+        )
+
+
+class AutopilotRecord(NamedTuple):
+    """Per-step fleet snapshot (vehicle.csv source for reactive runs)."""
+
+    pos: jnp.ndarray       # (V, 2)
+    heading: jnp.ndarray   # (V,)
+    speed: jnp.ndarray     # (V,)
+    active: jnp.ndarray    # (V,)
+
+
+def build_autopilot_fleet(
+    specs: Sequence[AutopilotSpec],
+    dt: float,
+    num_steps: int,
+    vehicle_seed: int = 2000,
+    variate_speed_factor: float = 0.0,
+    blueprint_count: int = 0,
+    resolution: float = 0.1,
+    points_per_chunk: int = 64,
+    dtype=np.float32,
+) -> AutopilotFleet | None:
+    """Expand specs into a device fleet, replicating the reference's seeded
+    per-vehicle draw order (vehicle_spawner.py:100-118).
+
+    Spawn order is ticks-ascending, spec order within a tick (the reference's
+    one-spawn-per-spawner-per-tick greedy loop, vehicle_spawner.py:45-58).
+    """
+    per_spec = [realized_spawn_steps(s.spawn_time, s.spawn_interval,
+                                     s.quantity, dt, num_steps)
+                for s in specs]
+    events: list[tuple[int, int]] = []
+    cursor = [0] * len(specs)
+    for step in range(num_steps):
+        for si, steps in enumerate(per_spec):
+            if cursor[si] < len(steps) and steps[cursor[si]] == step:
+                events.append((step, si))
+                cursor[si] += 1
+    if not events:
+        return None
+
+    v = len(events)
+    w_max = max(len(np.atleast_2d(s.waypoints)) for s in specs)
+    route = np.zeros((v, w_max, 2), dtype)
+    route_count = np.zeros((v,), np.int32)
+    spawn_step = np.zeros((v,), np.int32)
+    target_speed = np.zeros((v,), dtype)
+    ignore_walkers = np.zeros((v,), bool)
+    loop = np.zeros((v,), bool)
+    accel = np.zeros((v,), dtype)
+    decel = np.zeros((v,), dtype)
+    brake_margin = np.zeros((v,), dtype)
+    lateral_margin = np.zeros((v,), dtype)
+    extent = np.zeros((v, 2), dtype)
+    templates = []
+
+    seed = vehicle_seed
+    reduction = [float(s.speed_reduction_factor) for s in specs]  # cumulative
+    for vi, (step, si) in enumerate(events):
+        s = specs[si]
+        rng = random.Random()
+        rng.seed(seed)
+        if not s.blueprint and blueprint_count > 0:
+            rng.choice(range(blueprint_count))   # entropy-only blueprint draw
+        if variate_speed_factor != 0.0:
+            reduction[si] += rng.uniform(-variate_speed_factor,
+                                         variate_speed_factor)
+        # ignore-walkers: TM re-rolls internally; headless uses one seeded
+        # per-vehicle draw from a derived stream (does not perturb the
+        # reference-parity stream above)
+        ign = random.Random(seed * 7919 + 13).uniform(0.0, 100.0)
+        seed += 1
+
+        wps = np.atleast_2d(np.asarray(s.waypoints, dtype))[:, :2]
+        route[vi, : len(wps)] = wps
+        # padding repeats the last waypoint so a clamped gather is harmless
+        route[vi, len(wps):] = wps[-1]
+        route_count[vi] = len(wps)
+        spawn_step[vi] = step
+        target_speed[vi] = s.speed_limit * (1.0 - reduction[si] / 100.0)
+        ignore_walkers[vi] = ign < s.ignore_walkers_percentage
+        loop[vi] = s.loop
+        accel[vi] = s.acceleration
+        decel[vi] = s.deceleration
+        brake_margin[vi] = s.brake_margin
+        lateral_margin[vi] = s.lateral_margin
+        extent[vi] = s.extent
+        templates.append(ellipse_template(s.extent[0], s.extent[1], resolution))
+
+    from ..env.pointsets import PAD_COORD
+    p_raw = max(len(t) for t in templates)
+    p = -(-p_raw // points_per_chunk) * points_per_chunk
+    template = np.full((v, p, 2), PAD_COORD, dtype)
+    template_valid = np.zeros((v, p), bool)
+    for vi, t in enumerate(templates):
+        template[vi, : len(t)] = t
+        template_valid[vi, : len(t)] = True
+
+    return AutopilotFleet(
+        route=jnp.asarray(route), route_count=jnp.asarray(route_count),
+        spawn_step=jnp.asarray(spawn_step),
+        target_speed=jnp.asarray(target_speed),
+        ignore_walkers=jnp.asarray(ignore_walkers), loop=jnp.asarray(loop),
+        accel=jnp.asarray(accel), decel=jnp.asarray(decel),
+        brake_margin=jnp.asarray(brake_margin),
+        lateral_margin=jnp.asarray(lateral_margin),
+        extent=jnp.asarray(extent), template=jnp.asarray(template),
+        template_valid=jnp.asarray(template_valid),
+        points_per_chunk=points_per_chunk,
+    )
+
+
+def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
+                   ped_pos: jnp.ndarray, ped_vel: jnp.ndarray,
+                   ped_alive: jnp.ndarray, t_idx, dt) -> AutopilotState:
+    """Advance the fleet one tick (branchless, (V,) and (V,N) vector math).
+
+    Runs *before* the pedestrian core each tick, matching the reference's
+    order (vehicles move inside ``world.tick()`` and are then read back as
+    dynamic obstacles, run_simulation.py:70-95).
+    """
+    dt = jnp.asarray(dt, st.pos.dtype)
+    active = st.active | (fleet.spawn_step == t_idx)
+
+    # current target waypoint (clamped gather; padding repeats the last wp)
+    v_idx = jnp.arange(fleet.num_vehicles)
+    wp = fleet.route[v_idx, jnp.minimum(st.wp_idx, fleet.route_count - 1)]
+    to_wp = wp - st.pos
+    dist = jnp.linalg.norm(to_wp, axis=-1)
+    has_dir = dist > 1e-6
+    dirx = jnp.where(has_dir, to_wp[:, 0] / jnp.maximum(dist, 1e-6),
+                     jnp.cos(st.heading))
+    diry = jnp.where(has_dir, to_wp[:, 1] / jnp.maximum(dist, 1e-6),
+                     jnp.sin(st.heading))
+    heading = jnp.where(has_dir, jnp.arctan2(diry, dirx), st.heading)
+
+    # pedestrian hazard: any alive walker inside (or predicted to enter) the
+    # braking corridor -- ahead of the bumper within stopping distance +
+    # margin, laterally within half-width + margin either now or at the
+    # vehicle's arrival time (a walker stepping toward the lane is a hazard
+    # before it enters it; CARLA's TM predicts the same way, coarsely)
+    rel = ped_pos[None, :, :] - st.pos[:, None, :]           # (V, N, 2)
+    fwd = rel[..., 0] * dirx[:, None] + rel[..., 1] * diry[:, None]
+    lat = -rel[..., 0] * diry[:, None] + rel[..., 1] * dirx[:, None]
+    lat_vel = (-ped_vel[None, :, 0] * diry[:, None]
+               + ped_vel[None, :, 1] * dirx[:, None])
+    t_arrive = jnp.clip(fwd / jnp.maximum(st.speed, 0.5)[:, None], 0.0, 3.0)
+    lat_pred = lat + lat_vel * t_arrive
+    stop_dist = (st.speed ** 2) / (2.0 * fleet.decel) + fleet.brake_margin
+    band = (fleet.extent[:, 1] + fleet.lateral_margin)[:, None]
+    near = ((fwd > -fleet.extent[:, 0, None])
+            & (fwd < stop_dist[:, None] + fleet.extent[:, 0, None])
+            & ((jnp.abs(lat) < band) | (jnp.abs(lat_pred) < band)))
+    hazard = jnp.any(near & ped_alive[None, :], axis=1) & ~fleet.ignore_walkers
+
+    speed = jnp.where(
+        hazard,
+        jnp.maximum(0.0, st.speed - fleet.decel * dt),
+        jnp.minimum(fleet.target_speed, st.speed + fleet.accel * dt))
+    speed = jnp.where(active, speed, 0.0)
+
+    step_len = speed * dt
+    pos = st.pos + jnp.where(active[:, None], step_len[:, None]
+                             * jnp.stack([dirx, diry], axis=-1), 0.0)
+
+    # waypoint advance (don't overshoot bookkeeping: within one step + 0.5 m)
+    arrived = active & (dist <= step_len + 0.5)
+    nxt = st.wp_idx + 1
+    exhausted = nxt >= fleet.route_count
+    wp_idx = jnp.where(arrived,
+                       jnp.where(exhausted & fleet.loop,
+                                 jnp.zeros_like(nxt), nxt),
+                       st.wp_idx)
+    # route done (and not looping): park the vehicle (inactive, like the
+    # reference's scripted despawn on list exhaustion)
+    done = arrived & exhausted & ~fleet.loop
+    active = active & ~done
+
+    return AutopilotState(pos=pos, heading=heading, speed=speed,
+                          wp_idx=wp_idx, active=active)
+
+
+def autopilot_snapshot(fleet: AutopilotFleet,
+                       st: AutopilotState) -> VehicleSnapshot:
+    """Fleet state as the VehicleSnapshot consumed by gap acceptance and the
+    dynamic-obstacle force (obstacles.py:297-329 readback equivalent)."""
+    vel = st.speed[:, None] * jnp.stack(
+        [jnp.cos(st.heading), jnp.sin(st.heading)], axis=-1)
+    return VehicleSnapshot(
+        center=st.pos, vel=vel, heading=st.heading, extent=fleet.extent,
+        active=st.active, template=fleet.template,
+        template_valid=fleet.template_valid,
+        points_per_chunk=fleet.points_per_chunk)
+
+
+def records_to_vehicle_states(fleet: AutopilotFleet,
+                              rec: AutopilotRecord) -> VehicleStates:
+    """Stacked per-step AutopilotRecords -> a VehicleStates timeline (so the
+    reference-schema vehicle.csv writer works unchanged on reactive runs)."""
+    heading = jnp.asarray(rec.heading)
+    vel = jnp.asarray(rec.speed)[..., None] * jnp.stack(
+        [jnp.cos(heading), jnp.sin(heading)], axis=-1)
+    return VehicleStates(
+        pos=jnp.asarray(rec.pos), heading=heading, vel=vel,
+        active=jnp.asarray(rec.active), extent=fleet.extent,
+        template=fleet.template, template_valid=fleet.template_valid,
+        points_per_chunk=fleet.points_per_chunk)

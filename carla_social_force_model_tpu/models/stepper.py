@@ -50,6 +50,10 @@ class Scene:
     static_obstacles: ChunkedPointSet | None = None
     static_obstacle_vel: jnp.ndarray | None = None  # (S, 2), zeros
     vehicles: VehicleStates | None = None
+    # reactive waypoint-follower fleet (models/autopilot.py); its dynamic
+    # state rides in the rollout carry, so rollouts with a fleet scan a
+    # (PedState, AutopilotState) carry
+    autopilot: object | None = None
 
 
 @pytree_dataclass
@@ -236,21 +240,25 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
 
 
 def simulation_step(state: PedState, scene: Scene, params: SfmParams,
-                    cfg: StepConfig, t_idx, axis_name: str | None = None):
+                    cfg: StepConfig, t_idx, axis_name: str | None = None,
+                    veh_snap: VehicleSnapshot | None = None):
     """One headless tick (spawn + core + Euler). Returns
     ``(new_state, StepRecord)``.
 
     Under agent-sharding (shard_map), ``state``/``scene.spawn`` hold the
     local slot shard and ``axis_name`` names the mesh axis; everything except
     the N x N pedestrian force is slot-local.
+
+    ``veh_snap`` overrides the scene's scripted timeline (the autopilot
+    rollout passes the reactive fleet's snapshot here).
     """
     sim_time = t_idx * cfg.dt
 
     # 1. spawn
     state = apply_spawn(state, scene.spawn, t_idx)
 
-    veh_snap = (vehicle_snapshot_at(scene.vehicles, t_idx)
-                if scene.vehicles is not None else None)
+    if veh_snap is None and scene.vehicles is not None:
+        veh_snap = vehicle_snapshot_at(scene.vehicles, t_idx)
     state, v_new, finished, record = tick_core(
         state, scene, params, cfg, sim_time, veh_snap, axis_name=axis_name)
 
@@ -274,14 +282,39 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
     ``(final_state, None)``.  ``record_stride=k`` keeps only every k-th
     tick's snapshot (first of each stride) -- recorded history is the memory
     ceiling for long rollouts, (T, N) x ~20 bytes.
+
+    With a reactive vehicle fleet (``scene.autopilot``), the scan carry is
+    ``(PedState, AutopilotState)`` and the recorded output is a
+    ``(StepRecord, AutopilotRecord)`` pair.
     """
     # (start_step may be traced -- segmented/resumed rollouts pass it jitted)
     steps = jnp.asarray(start_step) + jnp.arange(num_steps)
+    fleet = scene.autopilot
 
-    def body(carry, t_idx):
-        new_state, rec = simulation_step(carry, scene, params, cfg, t_idx,
-                                         axis_name=axis_name)
-        return new_state, (rec if record else None)
+    def body(carry, t_idx, want_rec):
+        if fleet is None:
+            new_state, rec = simulation_step(carry, scene, params, cfg, t_idx,
+                                             axis_name=axis_name)
+            return new_state, (rec if want_rec else None)
+        from .autopilot import (AutopilotRecord, autopilot_snapshot,
+                                autopilot_step)
+        st, ap = carry
+        # reference tick order: walkers spawn, then vehicles move inside
+        # world.tick(), then the SFM core reads them back
+        # (run_simulation.py:53-95); apply_spawn is idempotent, so
+        # simulation_step re-applying it is a no-op.
+        st = apply_spawn(st, scene.spawn, t_idx)
+        ap = autopilot_step(fleet, ap, st.pos, st.vel, st.alive, t_idx,
+                            cfg.dt)
+        snap = autopilot_snapshot(fleet, ap)
+        new_state, rec = simulation_step(st, scene, params, cfg, t_idx,
+                                         axis_name=axis_name, veh_snap=snap)
+        out = ((rec, AutopilotRecord(pos=ap.pos, heading=ap.heading,
+                                     speed=ap.speed, active=ap.active))
+               if want_rec else None)
+        return (new_state, ap), out
+
+    carry0 = state if fleet is None else (state, fleet.initial_state())
 
     if record and record_stride > 1:
         if num_steps % record_stride != 0:
@@ -289,17 +322,17 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
         chunks = steps.reshape(num_steps // record_stride, record_stride)
 
         def outer(carry, ts):
-            new_state, rec = simulation_step(carry, scene, params, cfg,
-                                             ts[0], axis_name=axis_name)
-            new_state, _ = jax.lax.scan(
-                lambda c, t: (simulation_step(c, scene, params, cfg, t,
-                                              axis_name=axis_name)[0], None),
-                new_state, ts[1:])
-            return new_state, rec
+            carry, rec = body(carry, ts[0], True)
+            carry, _ = jax.lax.scan(
+                lambda c, t: body(c, t, False), carry, ts[1:])
+            return carry, rec
 
-        return jax.lax.scan(outer, state, chunks)
-
-    final, recs = jax.lax.scan(body, state, steps)
+        final, recs = jax.lax.scan(outer, carry0, chunks)
+    else:
+        final, recs = jax.lax.scan(
+            lambda c, t: body(c, t, record), carry0, steps)
+    if fleet is not None:
+        final = final[0]
     return final, recs
 
 

@@ -58,6 +58,10 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
         run = make_sharded_rollout(mesh, scene, params, cfg, steps)
         final, recs = run(PedState.empty(cap))
     """
+    if scene.autopilot is not None:
+        raise NotImplementedError(
+            "agent-sharded rollouts with a reactive autopilot fleet are not "
+            "supported: the hazard check needs the global walker set")
     state_spec = jax.tree_util.tree_map(lambda _: P(AGENT_AXIS),
                                         PedState.empty(1))
     # Scene-of-specs: same pytree structure, slot arrays sharded, geometry

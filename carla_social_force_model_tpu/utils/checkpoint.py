@@ -48,6 +48,11 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
     import jax.numpy as jnp
     import functools
 
+    if getattr(scene, "autopilot", None) is not None:
+        raise NotImplementedError(
+            "segmented checkpoint/resume does not yet carry reactive "
+            "autopilot fleet state across segments")
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def seg(s, start, n):
         return rollout(s, scene, params, cfg, n, record=record,

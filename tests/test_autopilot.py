@@ -1,0 +1,128 @@
+"""Reactive vehicle autopilot (models/autopilot.py): the headless equivalent
+of the reference's TrafficManager-driven vehicles (vehicle_spawner.py:125-130)
+driving a jaywalking scenario class (jaywalking_scenario_config.toml)."""
+import os
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from carla_social_force_model_tpu.api.simulation import Simulation
+from carla_social_force_model_tpu.models.autopilot import (
+    AutopilotSpec, build_autopilot_fleet, autopilot_step)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCEN = os.path.join(REPO, "configs", "scenarios", "jaywalking_reactive.toml")
+SFM = os.path.join(REPO, "configs", "sfm.toml")
+
+
+@pytest.fixture(scope="module")
+def jaywalk_run():
+    sim = Simulation.from_config(SCEN, SFM, duration=25.0)
+    sim.run()
+    return sim
+
+
+def test_ped_waits_for_reactive_vehicle(jaywalk_run):
+    """The checking pedestrian must actually wait (CHECKING_TRAFFIC for a
+    while) before crossing, then finish."""
+    recs = jaywalk_run.records
+    mode = np.asarray(recs.mode)
+    alive = np.asarray(recs.alive)
+    checking = (mode[:, 0] == 4) & alive[:, 0]
+    assert checking.sum() > 10           # waited > 0.5 s at the curb
+    crossed = (mode[:, 0] == 2) & alive[:, 0]
+    assert crossed.any()
+    assert np.nonzero(crossed)[0][0] > np.nonzero(checking)[0][0]
+    assert not alive[-1, 0]              # reached the far side and despawned
+
+
+def test_vehicle_brakes_for_blind_crosser(jaywalk_run):
+    """The second pedestrian crosses blindly (negative safety margin); the
+    vehicle must brake for them, never touch them, and then resume."""
+    recs, vrec = jaywalk_run.records, jaywalk_run.veh_records
+    mode = np.asarray(recs.mode)
+    alive = np.asarray(recs.alive)
+    pos = np.asarray(recs.pos)
+    vspeed = np.asarray(vrec.speed)[:, 0]
+    vpos = np.asarray(vrec.pos)[:, 0]
+    vact = np.asarray(vrec.active)[:, 0]
+
+    w = np.nonzero((mode[:, 1] == 2) & alive[:, 1])[0]
+    assert w.size > 0
+    assert vspeed[w[0]: w[-1] + 1].min() < 1.0     # braked nearly to rest
+    assert vspeed.max() > 8.0                      # and did reach the limit
+    d = np.linalg.norm(pos - vpos[:, None, :], axis=-1)
+    d = np.where(alive & vact[:, None], d, np.inf)
+    assert d.min() > 2.4                           # never inside the bbox
+    assert vpos[vact][-1, 1] > 100.0               # resumed and finished
+    assert not alive[-1].any()                     # both peds arrived
+
+
+def test_ignore_walkers_percentage():
+    """ignore_walkers_percentage = 100 reproduces the TM knob: the vehicle
+    never brakes for the jaywalkers."""
+    from carla_social_force_model_tpu.utils.config import load_config
+    scen = load_config(SCEN)
+    scen["vehicle"]["vehicle_spawner"][0]["ignore_walkers_percentage"] = 100
+    sim = Simulation.from_config(scen, SFM, duration=20.0)
+    sim.run()
+    vspeed = np.asarray(sim.veh_records.speed)[:, 0]
+    vact = np.asarray(sim.veh_records.active)[:, 0]
+    # monotone ramp to the limit, no braking dip while active
+    active_speeds = vspeed[vact]
+    assert (np.diff(active_speeds) >= -1e-5).all()
+    assert active_speeds.max() > 8.0
+
+
+def test_fleet_seeded_jitter_matches_reference_oracle():
+    """build_autopilot_fleet's per-vehicle draws replicate the reference's
+    vehicle spawner order (vehicle_spawner.py:100-118): seed; blueprint
+    choice; cumulative speed_reduction_factor jitter; seed += 1."""
+    spec = AutopilotSpec(waypoints=np.array([[0.0, 0.0], [100.0, 0.0]]),
+                         speed_limit=10.0, speed_reduction_factor=30.0,
+                         quantity=3, spawn_interval=1.0)
+    fleet = build_autopilot_fleet([spec], 0.05, 100, vehicle_seed=55,
+                                  variate_speed_factor=5.0,
+                                  blueprint_count=23)
+    # transliterated oracle
+    seed, reduction, expect = 55, 30.0, []
+    for _ in range(3):
+        random.seed(seed)
+        random.choice(list(range(23)))
+        reduction += random.uniform(-5.0, 5.0)
+        seed += 1
+        expect.append(10.0 * (1.0 - reduction / 100.0))
+    np.testing.assert_allclose(np.asarray(fleet.target_speed), expect,
+                               rtol=0, atol=1e-6)
+
+
+def test_waypoint_following_and_loop():
+    """Kinematics: accelerate to target, turn at corners, loop the route."""
+    spec = AutopilotSpec(waypoints=np.array([[0.0, 0.0], [20.0, 0.0],
+                                             [20.0, 20.0]]),
+                         speed_limit=5.0, speed_reduction_factor=0.0,
+                         loop=True)
+    fleet = build_autopilot_fleet([spec], 0.05, 10)
+    st = fleet.initial_state()
+
+    @jax.jit
+    def run(st):
+        def body(s, t):
+            s = autopilot_step(fleet, s,
+                               jnp.zeros((1, 2)) + 1e6, jnp.zeros((1, 2)),
+                               jnp.zeros((1,), bool), t, 0.05)
+            return s, (s.pos, s.speed, s.active)
+        return jax.lax.scan(body, st, jnp.arange(1200))   # 60 s
+
+    _, (pos, speed, active) = run(st)
+    pos, speed = np.asarray(pos)[:, 0], np.asarray(speed)[:, 0]
+    assert np.asarray(active).all()           # looping: never parks
+    assert abs(speed.max() - 5.0) < 1e-5
+    # visited both legs and came back around at least once
+    assert pos[:, 0].max() > 19.0 and pos[:, 1].max() > 19.0
+    d_start = np.linalg.norm(pos - pos[0], axis=-1)
+    late = d_start[600:]
+    assert late.min() < 3.0                   # returned near the origin
