@@ -174,11 +174,40 @@ def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
     return specs
 
 
-def random_ped_spawners(planner, count: int, seed: int,
-                        speed: float = 1.0) -> list[SpawnerSpec]:
-    """Random-pedestrian spawners over a nav graph (reference
-    pedestrian_spawner.py:106-124: random origin/destination, route with
-    jaywalking allowed at junctions, origin included)."""
+def nav_mesh_sampler(points, z_offset: float = 0.0):
+    """Sampler over recorded ``get_random_location_from_navigation`` points.
+
+    ``points``: (N, 2/3) array or a path to an .npy/.npz (key ``points``)
+    capture of CARLA nav-mesh samples -- record once against a live server,
+    replay headless for distributional parity with the reference's random
+    pedestrians (pedestrian_spawner.py:113-114).
+    """
+    if isinstance(points, (str, bytes)):
+        loaded = np.load(points)
+        points = loaded["points"] if hasattr(loaded, "files") else loaded
+    points = np.asarray(points, np.float64)
+    if points.shape[1] == 2:
+        points = np.concatenate(
+            [points, np.zeros((len(points), 1))], axis=1)
+
+    def sample(rng):
+        return points[int(rng.integers(0, len(points)))] + \
+            np.array([0.0, 0.0, z_offset])
+
+    return sample
+
+
+def random_ped_spawners(planner, count: int, seed: int, speed: float = 1.0,
+                        location_sampler=None) -> list[SpawnerSpec]:
+    """Random-pedestrian spawners (reference pedestrian_spawner.py:106-124:
+    random origin/destination, route with jaywalking allowed at junctions,
+    origin included).
+
+    ``location_sampler(rng) -> xyz`` supplies origin/destination draws --
+    the CARLA bridge passes the live ``get_random_location_from_navigation``
+    and headless runs can replay a recorded nav-mesh sample set
+    (:func:`nav_mesh_sampler`).  Without one, random nav-graph nodes are
+    drawn (documented deviation: node positions, not nav-mesh area)."""
     import numpy as np
     from ..routing.graph import GraphType
     rng = np.random.default_rng(seed)
@@ -188,14 +217,21 @@ def random_ped_spawners(planner, count: int, seed: int,
     attempts = 0
     while made < count and attempts < count * 10:
         attempts += 1
-        a, b = rng.integers(0, len(nodes), 2)
-        if a == b:
-            continue
+        if location_sampler is not None:
+            a_loc = np.asarray(location_sampler(rng), np.float64)
+            b_loc = np.asarray(location_sampler(rng), np.float64)
+        else:
+            a, b = rng.integers(0, len(nodes), 2)
+            if a == b:
+                continue
+            a_loc, b_loc = nodes[a], nodes[b]
         try:
             tuples = planner.generate_route(
-                nodes[a], nodes[b], GraphType.JAYWALKING_AT_JUNCTION,
+                a_loc, b_loc, GraphType.JAYWALKING_AT_JUNCTION,
                 with_origin=True)
         except ValueError:
+            continue
+        if len(tuples) < 2:
             continue
         origin = tuples.pop(0)[0]
         waypoints = np.stack([t[0] for t in tuples], axis=0)
@@ -280,8 +316,12 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         if planner is None:
             raise ValueError("random_pedestrians requires a nav-graph planner "
                              "(routing/ or the CARLA bridge)")
+        nav_samples = walker.get("nav_mesh_samples")
+        sampler = (nav_mesh_sampler(nav_samples)
+                   if nav_samples is not None else None)
         ped_specs += random_ped_spawners(
-            planner, n_random, int(walker.get("pedestrian_seed", 2000)))
+            planner, n_random, int(walker.get("pedestrian_seed", 2000)),
+            location_sampler=sampler)
     schedule = build_spawn_schedule(
         ped_specs, dt, num_steps,
         pedestrian_seed=int(walker.get("pedestrian_seed", 2000)),

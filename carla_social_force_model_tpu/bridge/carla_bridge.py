@@ -17,7 +17,11 @@ from ..utils import csvout
 log = logging.getLogger(__name__)
 
 
-def run_with_carla(args, sfm_config) -> int:
+def run_with_carla(args, sfm_config, max_steps: int | None = None,
+                   pace: bool = True) -> int:
+    """``max_steps`` bounds the loop (None = the reference's infinite
+    real-time loop); ``pace=False`` disables the real-time sleep (test /
+    as-fast-as-possible runs)."""
     scenario = load_config(args.scenario_config)
     sfm = load_config(sfm_config)
 
@@ -43,18 +47,27 @@ def run_with_carla(args, sfm_config) -> int:
     n_random = int(walker_cfg.get("random_pedestrians", 0))
     if any(sp.get("generate_route") for sp in spawners) or n_random > 0:
         from ..api.scenario import random_ped_spawners
-        from ..routing.carla_graph import build_carla_nav_graph
+        from ..routing.carla_graph import (build_carla_nav_graph,
+                                           make_waypoint_locator)
         from ..routing.planner import PedPathPlanner
         graph = build_carla_nav_graph(
             world.carla_map,
             waypoint_distance=float(walker_cfg.get("waypoint_distance", 10)),
             jaywalking_weight_factor=float(walker_cfg.get("jaywalking_weight", 2)))
-        planner = PedPathPlanner(graph)
+        planner = PedPathPlanner(
+            graph, waypoint_locator=make_waypoint_locator(world.carla_map))
         route_provider = planner.route_provider()
         if n_random > 0:
+            # live nav-mesh draws, like the reference's random pedestrians
+            # (pedestrian_spawner.py:113-114)
+            def nav_sampler(rng):
+                loc = world.world.get_random_location_from_navigation()
+                return [loc.x, loc.y, loc.z]
+
             extra_ped_specs = random_ped_spawners(
                 planner, n_random,
-                int(walker_cfg.get("pedestrian_seed", 2000)))
+                int(walker_cfg.get("pedestrian_seed", 2000)),
+                location_sampler=nav_sampler)
 
     runner = BridgeRunner(
         world, scenario, sfm,
@@ -67,13 +80,15 @@ def run_with_carla(args, sfm_config) -> int:
     vehicles = BridgeVehicleManager(world, scenario)
 
     dt = world.dt
+    steps = 0
     try:
-        while True:
+        while max_steps is None or steps < max_steps:
             start = time.time()
             vehicles.tick(world.get_sim_time())
             runner.tick()
+            steps += 1
             elapsed = time.time() - start
-            if elapsed < dt:
+            if pace and elapsed < dt:
                 time.sleep(dt - elapsed)
     except KeyboardInterrupt:
         log.info("Cancelled by user.")

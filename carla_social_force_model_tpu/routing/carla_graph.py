@@ -12,10 +12,15 @@ Re-implements the reference's pedestrian topology pipeline
 * jaywalking edges to the opposite sidewalk with lane-id sign handling and
   sidewalk->shoulder connection edges (:503-562).
 
-Deviation (documented): nearest-node lookup during jaywalking-edge
-generation uses euclidean distance over existing graph nodes instead of the
-reference's road/section/lane edge index -- same intent (snap to an existing
-node), map-API-free.
+Every edge carries its entry waypoint's (road_id, section_id, lane_id), so
+routing-time origin/destination snapping uses the reference's
+road/section/lane edge index (path_planner.py:119-143) via
+``make_waypoint_locator`` + ``PedPathPlanner(waypoint_locator=...)``.
+
+The build-time opposite-sidewalk snap during jaywalking-edge generation also
+uses the road index over the pre-jaywalking topology snapshot, skipping the
+edge when the lookup can't resolve -- exactly the reference's
+``_find_closest_node_id`` usage at :548-552.
 """
 from __future__ import annotations
 
@@ -35,6 +40,30 @@ def _loc_xyz(waypoint):
     return np.array([loc.x, loc.y, loc.z])
 
 
+def _rsl(waypoint):
+    """Entry-waypoint OpenDRIVE coordinates for the road index
+    (reference path_planner.py:479)."""
+    return (waypoint.road_id, waypoint.section_id, waypoint.lane_id)
+
+
+def make_waypoint_locator(carla_map):
+    """Reference origin/destination snapping (path_planner.py:123-128):
+    ``map.get_waypoint(loc, lane_type=Sidewalk)`` ->
+    ``((road, section, lane), snapped_xyz)``."""
+    import carla
+
+    def locate(location):
+        wp = carla_map.get_waypoint(
+            carla.Location(float(location[0]), float(location[1]),
+                           float(location[2]) if len(location) > 2 else 0.0),
+            lane_type=carla.LaneType.Sidewalk)
+        if wp is None:
+            return None
+        return _rsl(wp), _loc_xyz(wp)
+
+    return locate
+
+
 def build_carla_nav_graph(carla_map, waypoint_distance: float = 20.0,
                           jaywalking_weight_factor: float = 2.0,
                           cache_dir: str | None = None) -> NavGraph:
@@ -45,16 +74,18 @@ def build_carla_nav_graph(carla_map, waypoint_distance: float = 20.0,
     name = f"navgraph_{town}"
     cdir = cache_dir or cache.DEFAULT_CACHE_DIR
     hit = cache.load(name, key, cdir)
-    if hit is not None:
+    if hit is not None and "edge_rsl" in hit:
         log.info("Using cached nav graph.")
         return NavGraph(nodes=hit["nodes"], edge_u=hit["edge_u"],
                         edge_v=hit["edge_v"], edge_length=hit["edge_length"],
-                        edge_type=hit["edge_type"])
+                        edge_type=hit["edge_type"], edge_rsl=hit["edge_rsl"])
 
     graph = _build(carla_map, waypoint_distance, jaywalking_weight_factor)
     cache.store(name, key, {
         "nodes": graph.nodes, "edge_u": graph.edge_u, "edge_v": graph.edge_v,
-        "edge_length": graph.edge_length, "edge_type": graph.edge_type}, cdir)
+        "edge_length": graph.edge_length, "edge_type": graph.edge_type,
+        "edge_rsl": (graph.edge_rsl if graph.edge_rsl is not None
+                     else np.full((graph.num_edges, 3), -1, np.int64))}, cdir)
     return graph
 
 
@@ -88,7 +119,8 @@ def _build(carla_map, waypoint_distance, jaywalking_weight_factor) -> NavGraph:
         for side in (lanes_left, lanes_right):
             for chain in side.values():
                 pts = [_loc_xyz(w) for w in chain]
-                builder.add_polyline(pts, EdgeType.SIDEWALK)
+                builder.add_polyline(pts, EdgeType.SIDEWALK,
+                                     rsls=[_rsl(w) for w in chain[:-1]])
                 all_sidewalk_wps.extend(chain)
 
     # --- junction edges (:242-344) ----------------------------------------
@@ -121,15 +153,17 @@ def _build(carla_map, waypoint_distance, jaywalking_weight_factor) -> NavGraph:
                 middle = chain[len(chain) // 2]
                 builder.add_polyline(
                     [_loc_xyz(wp_start), _loc_xyz(middle), _loc_xyz(wp_end)],
-                    EdgeType.SIDEWALK)
+                    EdgeType.SIDEWALK,
+                    rsls=[_rsl(wp_start), _rsl(middle)])
                 corners.append(middle)
                 all_sidewalk_wps.extend([wp_start, middle, wp_end])
             else:
                 wp_1 = wp_start.next(wp_start.lane_width)[0]
                 wp_2 = wp_end.previous(wp_start.lane_width)[0]
-                straight_polylines.append(
+                straight_polylines.append((
                     [_loc_xyz(wp_start), _loc_xyz(wp_1), _loc_xyz(wp_2),
-                     _loc_xyz(wp_end)])
+                     _loc_xyz(wp_end)],
+                    [_rsl(wp_start), _rsl(wp_1), _rsl(wp_2)]))
                 corners.extend([wp_1, wp_2])
                 all_sidewalk_wps.extend([wp_start, wp_1, wp_2, wp_end])
 
@@ -142,11 +176,11 @@ def _build(carla_map, waypoint_distance, jaywalking_weight_factor) -> NavGraph:
             pairs = [pairs[i] for i in keep]
         for a, b in pairs:
             builder.add_edge(_loc_xyz(a), _loc_xyz(b),
-                             EdgeType.JAYWALKING_JUNCTION)
+                             EdgeType.JAYWALKING_JUNCTION, rsl=_rsl(a))
         # straights appended after corner connections so their SIDEWALK type
         # overrides the equivalent connection edge (:303-306)
-        for pts in straight_polylines:
-            builder.add_polyline(pts, EdgeType.SIDEWALK)
+        for pts, rsls in straight_polylines:
+            builder.add_polyline(pts, EdgeType.SIDEWALK, rsls=rsls)
 
     # --- crosswalk edges (:346-406) ----------------------------------------
     crosswalk_corners = carla_map.get_crosswalks()
@@ -175,31 +209,59 @@ def _build(carla_map, waypoint_distance, jaywalking_weight_factor) -> NavGraph:
                 if wp is not None:
                     ends.append(wp)
             if len(ends) == 2:
-                builder.add_edge(_loc_xyz(ends[0]), _loc_xyz(ends[1]),
-                                 EdgeType.CROSSWALK)
-                # connect crosswalk ends to nearby topology waypoints (:388-406)
+                # connection edges first, crosswalk edge after: the reference
+                # extends ped_topology with connections then crosswalks
+                # (:205-208), so on shared node pairs the CROSSWALK type wins
                 for wp in ends:
                     loc = wp.transform.location
                     for n in all_sidewalk_wps:
                         if (n.road_id == wp.road_id
                                 and loc.distance(n.transform.location) < 10.0):
                             builder.add_edge(_loc_xyz(wp), _loc_xyz(n),
-                                             EdgeType.SIDEWALK)
+                                             EdgeType.SIDEWALK, rsl=_rsl(wp))
+                builder.add_edge(_loc_xyz(ends[0]), _loc_xyz(ends[1]),
+                                 EdgeType.CROSSWALK, rsl=_rsl(ends[0]))
 
     # --- jaywalking edges to the opposite sidewalk (:503-562) ---------------
-    node_positions = np.asarray(builder._nodes) if builder._nodes else None
+    # snapshot of the pre-jaywalking topology's road index, exactly what the
+    # reference's _find_closest_node_id sees during this pass (:548-552)
+    rsl_to_nodes: dict = {}
+    for (a, b), (_, _, rsl) in builder._edges.items():
+        if rsl != (-1, -1, -1):
+            rsl_to_nodes.setdefault(rsl, []).append((a, b))
+    node_positions = np.asarray(builder._nodes)
+
+    def closest_node_via_index(location_xyz):
+        loc = carla.Location(float(location_xyz[0]), float(location_xyz[1]),
+                             float(location_xyz[2]))
+        swp = carla_map.get_waypoint(loc, lane_type=carla.LaneType.Sidewalk)
+        if swp is None:
+            return None
+        pairs = rsl_to_nodes.get(_rsl(swp))
+        if not pairs:
+            return None
+        snapped = _loc_xyz(swp)
+        best, best_d = None, np.inf
+        for a, b in pairs:
+            for n in (a, b):
+                d = float(np.linalg.norm(node_positions[n] - snapped))
+                if d < best_d:
+                    best, best_d = n, d
+        return best
+
     for wp in all_sidewalk_wps:
         if wp.lane_type != carla.LaneType.Sidewalk:
             continue
         opposite = _find_opposite_sidewalk(carla, wp)
         if opposite is None:
             continue
-        # snap to the closest existing node (deviation: euclidean)
-        if node_positions is None:
+        # snap to the closest existing node via the road index; unresolvable
+        # -> no jaywalking edge, as in the reference (:549-550 ``if
+        # opposite_id:``)
+        opposite_id = closest_node_via_index(_loc_xyz(opposite))
+        if opposite_id is None:
             continue
-        opp_loc = _loc_xyz(opposite)
-        snapped = node_positions[int(np.argmin(
-            np.linalg.norm(node_positions - opp_loc, axis=1)))]
+        snapped = node_positions[opposite_id]
         shoulder = carla_map.get_waypoint(wp.transform.location,
                                           lane_type=carla.LaneType.Shoulder)
         opp_shoulder = carla_map.get_waypoint(
@@ -209,11 +271,11 @@ def _build(carla_map, waypoint_distance, jaywalking_weight_factor) -> NavGraph:
         if shoulder is None or opp_shoulder is None:
             continue
         builder.add_edge(_loc_xyz(wp), _loc_xyz(shoulder),
-                         EdgeType.SIDEWALK_TO_ROAD)
+                         EdgeType.SIDEWALK_TO_ROAD, rsl=_rsl(wp))
         builder.add_edge(snapped, _loc_xyz(opp_shoulder),
-                         EdgeType.SIDEWALK_TO_ROAD)
+                         EdgeType.SIDEWALK_TO_ROAD, rsl=_rsl(opposite))
         builder.add_edge(_loc_xyz(shoulder), _loc_xyz(opp_shoulder),
-                         EdgeType.JAYWALKING)
+                         EdgeType.JAYWALKING, rsl=_rsl(shoulder))
 
     return builder.build()
 

@@ -62,11 +62,16 @@ class NavGraph:
     edge_v: np.ndarray       # (E,) int32
     edge_length: np.ndarray  # (E,) float64 weighted length
     edge_type: np.ndarray    # (E,) int32
+    # per-edge OpenDRIVE (road_id, section_id, lane_id) of the entry
+    # waypoint, -1 where unknown (the reference's ``road_id_to_edge`` index
+    # source, path_planner.py:479-496); None on map-free graphs
+    edge_rsl: np.ndarray | None = None   # (E, 3) int64
     # CSR adjacency (built lazily)
     _offsets: np.ndarray | None = field(default=None, repr=False)
     _nbr: np.ndarray | None = field(default=None, repr=False)
     _nbr_len: np.ndarray | None = field(default=None, repr=False)
     _nbr_type: np.ndarray | None = field(default=None, repr=False)
+    _road_index: dict | None = field(default=None, repr=False)
 
     @property
     def num_nodes(self) -> int:
@@ -114,17 +119,34 @@ class NavGraph:
         mask[self.edge_v[keep]] = True
         return mask
 
+    def road_index(self) -> dict:
+        """``{(road_id, section_id, lane_id): [edge_idx, ...]}`` over edges
+        with known OpenDRIVE coordinates (reference ``road_id_to_edge``)."""
+        if self._road_index is None:
+            idx: dict = {}
+            if self.edge_rsl is not None:
+                for e, (r, s, l) in enumerate(np.asarray(self.edge_rsl)):
+                    if r < 0 and s < 0 and l < 0:
+                        continue
+                    idx.setdefault((int(r), int(s), int(l)), []).append(e)
+            self._road_index = idx
+        return self._road_index
+
     def save_npz(self, path):
+        extra = {}
+        if self.edge_rsl is not None:
+            extra["edge_rsl"] = self.edge_rsl
         np.savez_compressed(path, nodes=self.nodes, edge_u=self.edge_u,
                             edge_v=self.edge_v, edge_length=self.edge_length,
-                            edge_type=self.edge_type)
+                            edge_type=self.edge_type, **extra)
 
     @staticmethod
     def load_npz(path) -> "NavGraph":
         d = np.load(path)
         return NavGraph(nodes=d["nodes"], edge_u=d["edge_u"],
                         edge_v=d["edge_v"], edge_length=d["edge_length"],
-                        edge_type=d["edge_type"])
+                        edge_type=d["edge_type"],
+                        edge_rsl=d["edge_rsl"] if "edge_rsl" in d else None)
 
 
 class NavGraphBuilder:
@@ -156,7 +178,10 @@ class NavGraphBuilder:
         return self._id_map[key]
 
     def add_edge(self, a_xyz, b_xyz, edge_type: EdgeType,
-                 length: float | None = None) -> None:
+                 length: float | None = None, rsl=None) -> None:
+        """``rsl``: the entry waypoint's (road_id, section_id, lane_id) for
+        the reference's road index (path_planner.py:479-487); None = off-map
+        edge (indexed as -1/-1/-1)."""
         a, b = self.node_id(a_xyz), self.node_id(b_xyz)
         if a == b:
             return
@@ -165,21 +190,32 @@ class NavGraphBuilder:
         if edge_type in (EdgeType.JAYWALKING, EdgeType.JAYWALKING_JUNCTION):
             length = length * self.jaywalking_weight_factor
         key = (min(a, b), max(a, b))
-        self._edges[key] = (length, int(edge_type))  # later edges override
+        rsl = (-1, -1, -1) if rsl is None else tuple(int(x) for x in rsl)
+        self._edges[key] = (length, int(edge_type), rsl)  # later edges override
 
-    def add_polyline(self, points, edge_type: EdgeType) -> None:
-        for a, b in zip(points[:-1], points[1:]):
-            self.add_edge(a, b, edge_type)
+    def add_polyline(self, points, edge_type: EdgeType, rsls=None) -> None:
+        """``rsls``: per-sub-edge entry (road, section, lane), aligned with
+        ``points[:-1]`` (or one tuple for the whole polyline)."""
+        for i, (a, b) in enumerate(zip(points[:-1], points[1:])):
+            if rsls is None:
+                rsl = None
+            elif isinstance(rsls, tuple):
+                rsl = rsls
+            else:
+                rsl = rsls[i]
+            self.add_edge(a, b, edge_type, rsl=rsl)
 
     def build(self) -> NavGraph:
         if not self._edges:
             raise ValueError("nav graph has no edges")
         keys = np.array(sorted(self._edges), np.int32)
         vals = [self._edges[tuple(k)] for k in keys]
+        rsl = np.asarray([v[2] for v in vals], np.int64)
         return NavGraph(
             nodes=np.asarray(self._nodes, np.float64),
             edge_u=keys[:, 0].astype(np.int32),
             edge_v=keys[:, 1].astype(np.int32),
             edge_length=np.asarray([v[0] for v in vals], np.float64),
             edge_type=np.asarray([v[1] for v in vals], np.int32),
+            edge_rsl=rsl if (rsl >= 0).any() else None,
         )

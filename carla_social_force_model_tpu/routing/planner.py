@@ -16,16 +16,53 @@ from .graph import CROSSING_EDGE_TYPES, GraphType, NavGraph
 
 
 class PedPathPlanner:
-    """Generates pedestrian routes as ``[(xyz, crossing_road_bool)]``."""
+    """Generates pedestrian routes as ``[(xyz, crossing_road_bool)]``.
 
-    def __init__(self, graph: NavGraph, use_native: bool = True):
+    ``waypoint_locator``: optional callable ``location ->
+    ((road_id, section_id, lane_id), snapped_xyz) | None`` (a map's
+    ``get_waypoint(loc, lane_type=Sidewalk)``).  With it -- and a graph
+    carrying per-edge OpenDRIVE coordinates -- origin/destination snapping
+    uses the reference's road/section/lane edge index
+    (path_planner.py:119-143); without it, euclidean nearest node over the
+    subgraph (documented fallback for map-free graphs).
+    """
+
+    def __init__(self, graph: NavGraph, use_native: bool = True,
+                 waypoint_locator=None):
         self.graph = graph
         self.router = AStarRouter(graph, use_native=use_native)
+        self.waypoint_locator = waypoint_locator
         # (u, v) -> edge type for crossing flags (undirected)
         self._edge_types = {}
         for u, v, t in zip(graph.edge_u, graph.edge_v, graph.edge_type):
             self._edge_types[(int(u), int(v))] = int(t)
             self._edge_types[(int(v), int(u))] = int(t)
+
+    def nearest_node(self, location, graph_type: GraphType) -> int:
+        """Reference lookup: snap to the nearest sidewalk lane via the map,
+        then pick the closest endpoint among the graph edges built on that
+        (road, section, lane) -- distances measured from the *snapped*
+        waypoint, exactly as path_planner.py:129-141.  Falls back to
+        euclidean when the map/index can't resolve the location (where the
+        reference would return None and crash in nx.astar_path)."""
+        location = _as_xyz(location)
+        if self.waypoint_locator is not None and self.graph.edge_rsl is not None:
+            hit = self.waypoint_locator(location)
+            if hit is not None:
+                rsl, snapped = hit
+                edges = self.graph.road_index().get(tuple(int(x) for x in rsl))
+                if edges:
+                    snapped = _as_xyz(snapped)
+                    best, best_d = None, np.inf
+                    for e in edges:
+                        for node in (int(self.graph.edge_u[e]),
+                                     int(self.graph.edge_v[e])):
+                            d = float(np.linalg.norm(
+                                self.graph.nodes[node] - snapped))
+                            if d < best_d:
+                                best, best_d = node, d
+                    return best
+        return self.router.nearest_node(location, graph_type)
 
     def generate_route(self, origin, destination,
                        graph_type: GraphType = GraphType.NO_JAYWALKING,
@@ -41,8 +78,8 @@ class PedPathPlanner:
         if isinstance(graph_type, str):
             graph_type = GraphType[graph_type]
 
-        start = self.router.nearest_node(origin, graph_type)
-        goal = self.router.nearest_node(destination, graph_type)
+        start = self.nearest_node(origin, graph_type)
+        goal = self.nearest_node(destination, graph_type)
         node_path = self.router.shortest_path(start, goal, graph_type)
         if not node_path:
             raise ValueError(
@@ -60,8 +97,8 @@ class PedPathPlanner:
             etype = self._edge_types.get((node_path[i], node_path[i + 1]), -1)
             crossing = etype in {int(t) for t in CROSSING_EDGE_TYPES}
             route.append((nodes[node_path[i + 1]].copy(), crossing))
-        if len(node_path) == 1:
-            route.append((nodes[node_path[0]].copy(), False))
+        # single-node path: the reference emits only the raw destination
+        # (generate_route's loop body never runs, path_planner.py:79-96)
         route.append((destination.copy(), False))
         return route
 

@@ -152,3 +152,58 @@ def test_build_carla_nav_graph_fake_map(fmap):
     graph2 = build_carla_nav_graph(fmap, waypoint_distance=10.0,
                                    jaywalking_weight_factor=2.0)
     assert graph2.num_edges == graph.num_edges
+
+
+def test_road_index_nearest_node(fmap):
+    """Origin/destination snapping must use the reference's
+    road/section/lane edge index (path_planner.py:119-143): a point near the
+    road center snaps to the sidewalk lane the map assigns it to, even when
+    a euclidean-nearest graph node (e.g. a crosswalk shoulder node) is
+    closer."""
+    from carla_social_force_model_tpu.routing.carla_graph import (
+        build_carla_nav_graph, make_waypoint_locator)
+    from carla_social_force_model_tpu.routing.planner import PedPathPlanner
+
+    graph = build_carla_nav_graph(fmap, waypoint_distance=10.0,
+                                  jaywalking_weight_factor=2.0)
+    assert graph.edge_rsl is not None
+    # the sidewalk lanes of the fake road are indexed
+    idx = graph.road_index()
+    assert (1, 0, -3) in idx and (1, 0, 3) in idx
+
+    planner = PedPathPlanner(
+        graph, waypoint_locator=make_waypoint_locator(fmap))
+
+    # near the crosswalk at x=25, just south of the centerline: euclidean
+    # nearest node is a shoulder/crosswalk node (y = +-4.5), but the map
+    # assigns the point to sidewalk lane -3 (y = -7.5)
+    loc = np.array([25.5, -1.0, 0.0])
+    n_ref = planner.nearest_node(loc, GraphType.NO_JAYWALKING)
+    n_euc = planner.router.nearest_node(loc, GraphType.NO_JAYWALKING)
+    assert abs(graph.nodes[n_ref][1] + 7.5) < 1.0, graph.nodes[n_ref]
+    assert n_ref != n_euc
+    # and the reference index picks the node closest to the *snapped*
+    # waypoint (25.5, -7.5) among lane -3's edge endpoints
+    lane_nodes = set()
+    for e in idx[(1, 0, -3)]:
+        lane_nodes.add(int(graph.edge_u[e]))
+        lane_nodes.add(int(graph.edge_v[e]))
+    best = min(lane_nodes, key=lambda n: np.linalg.norm(
+        graph.nodes[n] - np.array([25.5, -7.5, 0.0])))
+    assert n_ref == best
+
+    # a full route built with the locator starts on the assigned sidewalk
+    route = planner.generate_route([25.5, -1.0, 0.0], [2.0, -7.5, 0.0],
+                                   GraphType.NO_JAYWALKING)
+    ys = [w[0][1] for w in route]
+    assert all(y < 0 for y in ys[1:-1] if abs(y) > 5.0) or len(route) <= 2
+
+    # npz round-trip keeps the index
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g.npz")
+        graph.save_npz(p)
+        from carla_social_force_model_tpu.routing.graph import NavGraph
+        g2 = NavGraph.load_npz(p)
+        assert g2.edge_rsl is not None
+        assert (1, 0, -3) in g2.road_index()
