@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -258,10 +259,32 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     alongside the config-defined ones, mirroring run_simulation.py:174-192's
     merge.
     """
+    config_dir = (os.path.dirname(os.path.abspath(scenario_config))
+                  if isinstance(scenario_config, (str, bytes)) else None)
     scenario = load_config(scenario_config)
     sfm = load_config(sfm_config)
     if planner is not None and route_provider is None:
         route_provider = planner.route_provider()
+
+    # map-extracted sidewalk borders replayed from a cached capture
+    # (the reference's .npz sidewalk cache, obstacles.py:27-64, made
+    # loadable without a CARLA server)
+    sw_npz = scenario.get("map", {}).get("sidewalk_borders_npz")
+    if sw_npz:
+        from ..env import cache as _cache
+        path = sw_npz
+        if not os.path.isabs(path):
+            for base in ([config_dir] if config_dir else []) + [os.getcwd()]:
+                cand = os.path.join(base, sw_npz)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        with np.load(path, allow_pickle=True) as data:
+            hit = dict(data)
+        lines = _cache.arrays_to_ragged(hit)
+        extra_borders = list(extra_borders or []) + lines
+        extra_border_sections = (list(extra_border_sections or [])
+                                 + list(zip(hit["centers"], hit["lengths"])))
 
     params = SfmParams.from_dict(sfm, strict_parity=strict_parity)
     dt = float(scenario.get("step_length", 0.05))

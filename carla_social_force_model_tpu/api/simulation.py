@@ -51,7 +51,8 @@ class Simulation:
         dt = float(scenario.get("step_length", 0.05))
         if num_steps is None:
             num_steps = int(round((duration if duration is not None else 60.0) / dt))
-        bundle = build_scenario(scenario, sfm_config, num_steps,
+        # pass the original (possibly a path: config-relative resources)
+        bundle = build_scenario(scenario_config, sfm_config, num_steps,
                                 route_provider=route_provider,
                                 strict_parity=strict_parity, **build_kwargs)
         return cls(bundle, record=record)

@@ -45,3 +45,15 @@ def test_road_crossing_scenario_waits_for_vehicle():
     alive = np.asarray(recs.alive)
     assert (mode[alive] == 4).sum() > 0   # someone checked traffic
     assert (mode[alive] == 2).sum() > 0   # and crossed
+
+
+def test_sidewalk_scenario_stays_in_extracted_corridor():
+    """The sidewalk-class scenario's crowd is confined by the cached
+    map-extracted borders (reference sidewalk_scenario_config.toml class)."""
+    sim = Simulation.from_config(
+        os.path.join(SCEN_DIR, "sidewalk_counterflow.toml"), SFM,
+        duration=45.0)
+    _, recs = sim.run()
+    alive = np.asarray(recs.alive)
+    ys = np.asarray(recs.pos)[alive][:, 1]
+    assert ((ys > -9.2) & (ys < -5.8)).all()
