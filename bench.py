@@ -20,6 +20,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", 100))
 #: optional interaction cutoff in meters (approximate mode, see BENCH.md);
 #: unset/empty = exact all-pairs reference semantics
 CUTOFF = os.environ.get("BENCH_CUTOFF", "")
+#: BASELINE.json workload: "ped" (config #1, default), "borders" (#2,
+#: + street-grid border force), "obstacles" (#3, + static/dynamic obstacles)
+MODE = os.environ.get("BENCH_MODE", "ped")
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
 
@@ -31,7 +34,9 @@ def main():
 
     import numpy as np
 
-    scene, params, cfg, state = benchmark_bundle(N)
+    scene, params, cfg, state = benchmark_bundle(
+        N, with_borders=MODE in ("borders", "obstacles"),
+        with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
@@ -52,8 +57,9 @@ def main():
 
     agent_steps = N * STEPS
     value = agent_steps / best
+    tag = "" if MODE == "ped" else f"_{MODE}"
     print(json.dumps({
-        "metric": f"agent_steps_per_sec_n{N}",
+        "metric": f"agent_steps_per_sec_n{N}{tag}",
         "value": round(value, 1),
         "unit": "agent-steps/s",
         "vs_baseline": round(value / BASELINE_AGENT_STEPS_PER_SEC, 3),

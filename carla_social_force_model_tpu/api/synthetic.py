@@ -59,14 +59,84 @@ def batched_crowds(batch: int, n: int, extent: float = 35.0, speed: float = 1.3,
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *schedules)
 
 
+def synthetic_borders(extent: float, spacing: float = 20.0,
+                      section_length: float = 30.0, resolution: float = 0.1):
+    """Street-grid walls across the arena, sampled at the reference's 0.1 m
+    border resolution and split into <=30 m sections (the reference's
+    section-center/length coarse filter granularity, forces.py:149-151).
+    BASELINE config #2's workload shape."""
+    from ..env.borders import build_border_set, sample_borderline
+    lines, centers, lengths = [], [], []
+
+    def add_wall(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        total = float(np.linalg.norm(b - a))
+        n_sec = max(1, int(np.ceil(total / section_length)))
+        for k in range(n_sec):
+            s = a + (b - a) * (k / n_sec)
+            e = a + (b - a) * ((k + 1) / n_sec)
+            pts = sample_borderline(s, e, resolution)
+            lines.append(pts)
+            centers.append((s + e) / 2.0)
+            lengths.append(float(np.linalg.norm(e - s)))
+
+    coords = np.arange(-extent, extent + 1e-6, spacing)
+    for c in coords:
+        add_wall((-extent, c), (extent, c))   # horizontal street wall
+        add_wall((c, -extent), (c, extent))   # vertical street wall
+    return build_border_set(lines, centers, lengths)
+
+
+def synthetic_obstacles(extent: float, spacing: float = 15.0,
+                        resolution: float = 0.1,
+                        perception_threshold: float = 20.0):
+    """A grid of parked-car-sized static obstacles (ellipse outlines at the
+    reference's sampling, obstacles.py:269-281).  BASELINE config #3's
+    static workload shape."""
+    from ..env.obstacles_gen import build_obstacle_set
+    from ..models.vehicles import ellipse_template
+    outlines, centers = [], []
+    coords = np.arange(-extent + spacing / 2, extent, spacing)
+    tmpl = ellipse_template(2.4, 1.1, resolution)
+    for cx in coords:
+        for cy in coords:
+            outlines.append(tmpl + np.array([cx, cy]))
+            centers.append(np.array([cx, cy]))
+    return build_obstacle_set(outlines, centers, perception_threshold)
+
+
+def synthetic_vehicles(extent: float, count: int, dt: float, num_steps: int):
+    """Moving vehicles sweeping the arena (dynamic-obstacle workload)."""
+    from ..models.vehicles import VehicleSpec, build_vehicle_states
+    specs = []
+    speed = 8.0
+    length = num_steps + 2
+    for v in range(count):
+        y = -extent + (v + 0.5) * (2 * extent / count)
+        xs = -extent + speed * dt * np.arange(length)
+        specs.append(VehicleSpec(
+            trajectory=np.column_stack([xs, np.full(length, y)]),
+            headings=np.zeros(length), speeds=np.full(length, speed)))
+    return build_vehicle_states(specs, dt, num_steps)
+
+
 def benchmark_bundle(n: int, extent: float | None = None, seed: int = 0,
-                     use_pallas: bool | None = None):
-    """(scene, params, cfg, state) for the BASELINE.json headline benchmark:
-    acceleration + pedestrian forces, headless, no despawn.
+                     use_pallas: bool | None = None,
+                     with_borders: bool = False,
+                     with_obstacles: bool = False,
+                     num_steps_hint: int = 512):
+    """(scene, params, cfg, state) for the BASELINE.json benchmarks:
+
+    * default: config #1 -- acceleration + pedestrian forces, headless.
+    * ``with_borders``: config #2 -- + border force over a street-grid wall
+      point cloud at 0.1 m resolution.
+    * ``with_obstacles``: config #3 -- + static (parked-car grid) and
+      dynamic (moving vehicles) obstacle forces.
 
     ``use_pallas=None`` auto-enables the fused kernel on TPU backends.
     """
     import jax
+    import jax.numpy as jnp
     from ..models.params import SfmParams
     if extent is None:
         # keep density roughly constant (~1 ped / 4 m^2)
@@ -74,10 +144,22 @@ def benchmark_bundle(n: int, extent: float | None = None, seed: int = 0,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     schedule = synthetic_crowd(n, extent=extent, seed=seed)
-    scene = Scene(spawn=schedule)
+
+    borders = synthetic_borders(extent) if with_borders else None
+    static_obstacles = synthetic_obstacles(extent) if with_obstacles else None
+    static_vel = (jnp.zeros((static_obstacles.num_segments, 2), jnp.float32)
+                  if static_obstacles is not None else None)
+    vehicles = (synthetic_vehicles(extent, count=8, dt=0.05,
+                                   num_steps=num_steps_hint)
+                if with_obstacles else None)
+
+    scene = Scene(spawn=schedule, borders=borders,
+                  static_obstacles=static_obstacles,
+                  static_obstacle_vel=static_vel, vehicles=vehicles)
     params = SfmParams(enable_acceleration=True, enable_pedestrian=True,
-                       enable_border=False, enable_static_obstacle=False,
-                       enable_dynamic_obstacle=False)
+                       enable_border=with_borders,
+                       enable_static_obstacle=with_obstacles,
+                       enable_dynamic_obstacle=with_obstacles)
     cfg = StepConfig(dt=0.05, waypoint_threshold=2.0, despawn_on_arrival=False,
                      use_pallas=use_pallas)
     return scene, params, cfg, PedState.empty(n)

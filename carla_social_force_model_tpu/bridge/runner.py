@@ -268,7 +268,7 @@ class BridgeRunner:
             heading=jnp.asarray(heading), extent=jnp.asarray(extent),
             active=jnp.asarray(active), template=jnp.asarray(template),
             template_valid=jnp.asarray(template_valid),
-            points_per_chunk=64)
+            points_per_chunk=128)
 
     # ------------------------------------------------------------------
     def tick(self):

@@ -72,7 +72,7 @@ def static_obstacles_from_config(obstacle_config: dict | None):
 
 
 def build_obstacle_set(outlines, centers, perception_threshold: float,
-                       chunk_size: int = 64) -> ChunkedPointSet | None:
+                       chunk_size: int = 128) -> ChunkedPointSet | None:
     """Pack obstacle outlines into a ChunkedPointSet filtered by the
     perception threshold (reference forces.py:222-224)."""
     if not outlines:

@@ -67,13 +67,20 @@ class StepConfig:
     # fused Pallas N x N kernel (TPU); force params ride as scalar-prefetch
     # values so parameter sweeps (vmap over params) keep the fused kernel
     use_pallas: bool = static_field(default=False)
+    # tile defaults from the v5e sweep (tools/tpu_tune.py): smallish tiles
+    # beat large ones -- pairwise temporaries stay VMEM-resident and pipeline
+    pallas_row_tile: int = static_field(default=192)
+    pallas_col_tile: int = static_field(default=512)
+    pallas_interpret: bool = static_field(default=False)  # CPU testing
     # column-state communication under agent-sharding: "gather" or "ring"
     axis_comm: str = static_field(default="gather")
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
     # v_max+1) is f32-exact; smaller values truncate the (exponentially
-    # decaying) interaction range.  Single-device only.
+    # decaying) interaction range.  Composes with agent-sharding: each
+    # device sorts its local shard and the per-pair cutoff keeps the sum
+    # exact; pair it with axis_comm="ring" for O(N/devices) peak memory.
     interaction_cutoff: float | None = static_field(default=None)
 
 
@@ -105,16 +112,24 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
         if cfg.use_pallas:
             from ..ops.pallas_forces import (pedestrian_force_pallas,
                                              pedestrian_force_pallas_sorted)
-            if cfg.interaction_cutoff is not None and axis_name is None:
+            tiles = dict(row_tile=cfg.pallas_row_tile,
+                         col_tile=cfg.pallas_col_tile,
+                         interpret=cfg.pallas_interpret)
+            if cfg.interaction_cutoff is not None:
+                # composes with agent-sharding: per-device Morton sort +
+                # ring/gather column comm with rotated tile bboxes
                 terms["pedestrian_force"] = pedestrian_force_pallas_sorted(
                     state.pos, state.vel, state.radius, state.alive,
                     params.pedestrian, cutoff=cfg.interaction_cutoff,
-                    use_ped_radius=params.use_ped_radius)
+                    use_ped_radius=params.use_ped_radius,
+                    axis_name=axis_name,
+                    axis_comm=cfg.axis_comm if axis_name else "gather",
+                    **tiles)
             else:
                 terms["pedestrian_force"] = pedestrian_force_pallas(
                     state.pos, state.vel, state.radius, state.alive,
                     params.pedestrian, use_ped_radius=params.use_ped_radius,
-                    axis_name=axis_name)
+                    axis_name=axis_name, axis_comm=cfg.axis_comm, **tiles)
         else:
             terms["pedestrian_force"] = forces.pedestrian_force(
                 state.pos, state.vel, state.radius, state.alive,

@@ -93,7 +93,7 @@ class VehicleStates:
     extent: jnp.ndarray     # (V, 2)
     template: jnp.ndarray   # (V, P, 2) local outline, padded
     template_valid: jnp.ndarray  # (V, P) bool
-    points_per_chunk: int = static_field(default=64)
+    points_per_chunk: int = static_field(default=128)
 
     @property
     def num_vehicles(self) -> int:
@@ -106,7 +106,7 @@ class VehicleStates:
 
 def build_vehicle_states(specs: Sequence[VehicleSpec], dt: float,
                          num_steps: int, resolution: float = 0.1,
-                         points_per_chunk: int = 64,
+                         points_per_chunk: int = 128,
                          dtype=np.float32) -> VehicleStates | None:
     """Expand scripted vehicle specs into dense per-step arrays."""
     rows = []  # (spawn_step, spec)
@@ -172,7 +172,7 @@ class VehicleSnapshot:
     active: jnp.ndarray         # (V,)
     template: jnp.ndarray       # (V, P, 2)
     template_valid: jnp.ndarray  # (V, P)
-    points_per_chunk: int = static_field(default=64)
+    points_per_chunk: int = static_field(default=128)
 
 
 def vehicle_snapshot_at(vehicles: VehicleStates, t_idx) -> VehicleSnapshot:

@@ -56,33 +56,47 @@ def _moussaid_pair_force(diff, radius_sub, dv, p: MoussaidParams, pair_ok):
         for the angle *difference* of two vectors, and the dominant
         transcendental in the N x N hot loop.
     """
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # planar (x, y) coordinate math throughout: a trailing size-2 axis in
+    # the minor dimension pads 2 -> 128 lanes on TPU and is ~10x slower
+    dx = diff[..., 0]
+    dy = diff[..., 1]
+    dvx = dv[..., 0]
+    dvy = dv[..., 1]
+    d2 = dx * dx + dy * dy
     r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
-    e = diff * r[..., None]                    # zero-safe unit vector
+    ex = dx * r                                # zero-safe unit vector
+    ey = dy * r
     d = d2 * r - radius_sub                    # = |diff| - radii
 
-    t_vec = p.lambda_ * dv + e
-    t2 = jnp.sum(t_vec * t_vec, axis=-1)
+    tx = p.lambda_ * dvx + ex
+    ty = p.lambda_ * dvy + ey
+    t2 = tx * tx + ty * ty
     rt = jax.lax.rsqrt(jnp.where(t2 == 0.0, 1.0, t2))
-    t_hat = t_vec * rt[..., None]
+    thx = tx * rt
+    thy = ty * rt
     t_len = t2 * rt
 
     # signed angle from t_hat to e via one atan2
-    cross = t_hat[..., 0] * e[..., 1] - t_hat[..., 1] * e[..., 0]
-    dot = e[..., 0] * t_hat[..., 0] + e[..., 1] * t_hat[..., 1]
+    cross = thx * ey - thy * ex
+    dot = ex * thx + ey * thy
     theta = jnp.arctan2(cross, dot)
 
     B = p.gamma * t_len
     theta = theta + B * (-p.epsilon)
-    ok = pair_ok & (B > 0.0)
+    # B == 0 (vanishing interaction vector) and d2 == 0 (exactly coincident
+    # positions) are both NaN in the reference (0/0 unit vectors); they
+    # contribute zero here (PARITY.md), which also makes the masking
+    # distance-only -- exactly the fused Pallas kernel's rule.
+    ok = pair_ok & (B > 0.0) & (d2 > 0.0)
     B_safe = jnp.where(ok, B, 1.0)
     common = -d / B_safe
     Bt = B * theta
     f_v = -p.A * jnp.exp(common - jnp.square(p.n_prime * Bt))
     f_t = -p.A * jnp.sign(theta) * jnp.exp(common - jnp.square(p.n * Bt))
-    okf = jnp.expand_dims(ok, -1)
-    n_hat = vecmath.left_normal(t_hat)
-    return jnp.where(okf, f_v[..., None] * t_hat + f_t[..., None] * n_hat, 0.0)
+    # f = f_v * t_hat + f_t * left_normal(t_hat)
+    fx = jnp.where(ok, f_v * thx - f_t * thy, 0.0)
+    fy = jnp.where(ok, f_v * thy + f_t * thx, 0.0)
+    return jnp.stack([fx, fy], axis=-1)
 
 
 def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
@@ -199,12 +213,18 @@ def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,
     """
     _, point, has_point = closest_point_per_segment(pos, borders)  # (S,N)
     in_section = segment_filter_mask(pos, borders)
-    e, d = vecmath.normalize(pos[None, :, :] - point)      # border -> ped
+    # planar math (see _moussaid_pair_force note on minor-dim-2 layouts)
+    dx = pos[None, :, 0] - point[..., 0]                   # border -> ped
+    dy = pos[None, :, 1] - point[..., 1]
+    d2 = dx * dx + dy * dy
+    r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
+    d = d2 * r
     if use_ped_radius:
         d = d - radius[None, :]
     ok = has_point & in_section & alive[None, :]
-    f = e * (p.a * jnp.exp(-d / p.b))[..., None]
-    force = jnp.sum(jnp.where(ok[..., None], f, 0.0), axis=0)  # (N, 2)
+    mag = jnp.where(ok, (p.a * jnp.exp(-d / p.b)) * r, 0.0)
+    force = jnp.stack([jnp.sum(mag * dx, axis=0),
+                       jnp.sum(mag * dy, axis=0)], axis=-1)    # (N, 2)
     crossing = (mode == modes.CROSSING_ROAD) | (mode == modes.ROAD_TO_SIDEWALK)
     return jnp.where(crossing[:, None], 0.0, force)
 
@@ -275,10 +295,15 @@ def space_repulsive_force(pos, mode, alive, borders: ChunkedPointSet,
     crossing-mode deactivation conventions."""
     _, point, has_point = closest_point_per_segment(pos, borders)
     in_section = segment_filter_mask(pos, borders)
-    e, d = vecmath.normalize(pos[None, :, :] - point)
+    dx = pos[None, :, 0] - point[..., 0]
+    dy = pos[None, :, 1] - point[..., 1]
+    d2 = dx * dx + dy * dy
+    r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
+    d = d2 * r
     ok = has_point & in_section & alive[None, :]
-    f = e * ((p.u0 / p.r) * jnp.exp(-d / p.r))[..., None]
-    force = jnp.sum(jnp.where(ok[..., None], f, 0.0), axis=0)
+    mag = jnp.where(ok, ((p.u0 / p.r) * jnp.exp(-d / p.r)) * r, 0.0)
+    force = jnp.stack([jnp.sum(mag * dx, axis=0),
+                       jnp.sum(mag * dy, axis=0)], axis=-1)
     crossing = (mode == modes.CROSSING_ROAD) | (mode == modes.ROAD_TO_SIDEWALK)
     return jnp.where(crossing[:, None], 0.0, force)
 

@@ -14,25 +14,36 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from ..env.pointsets import ChunkedPointSet
+from ..env.pointsets import PAD_COORD, ChunkedPointSet
 
 _INF = jnp.inf
 _BIG_I32 = jnp.int32(2**31 - 1)
+_PAD = float(PAD_COORD)
+#: squared-distance threshold separating real hits from padding sentinels
+_PAD_DIST2 = 1e13
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def closest_point_per_segment(pos, pset: ChunkedPointSet, max_group_elems: int = 4_000_000):
+def closest_point_per_segment(pos, pset: ChunkedPointSet,
+                              max_group_elems: int = 4_000_000,
+                              use_pallas: bool | None = None,
+                              interpret: bool = False):
     """Per (segment, pedestrian) closest outline point.
 
     Args:
       pos: ``(N, 2)`` pedestrian positions.
       pset: chunked point set with ``S`` segments.
       max_group_elems: cap on ``chunk_group_points * N`` to bound the
-        intermediate ``(G, K, N)`` distance tensor.
+        intermediate ``(G, K, N)`` distance tensor (jnp path).
+      use_pallas: fused TPU kernel for the per-chunk distance scan (the hot
+        O(P*N) part); None = auto on TPU backends when chunk_size == 128.
+      interpret: run the Pallas kernel interpreted (CPU tests).
 
     Returns:
       ``(dist, point, has_point)`` with shapes ``(S, N)``, ``(S, N, 2)``,
@@ -42,6 +53,12 @@ def closest_point_per_segment(pos, pset: ChunkedPointSet, max_group_elems: int =
     n = pos.shape[0]
     c, k, _ = pset.points.shape
     s = pset.num_segments
+
+    if use_pallas is None:
+        import jax as _jax
+        use_pallas = (_jax.default_backend() == "tpu" and k == 128)
+    if use_pallas and k == 128:
+        return _closest_point_pallas(pos, pset, interpret=interpret)
 
     # chunks per lax.map group, bounded by the (G, K, N) intermediate
     g = max(1, min(c, max_group_elems // max(1, k * n)))
@@ -54,10 +71,15 @@ def closest_point_per_segment(pos, pset: ChunkedPointSet, max_group_elems: int =
     pts_g = pts.reshape(c_pad // g, g, k, 2)
     val_g = val.reshape(c_pad // g, g, k)
 
+    px, py = pos[:, 0], pos[:, 1]
+
     def per_group(args):
         p_g, v_g = args  # (G, K, 2), (G, K)
-        diff = p_g[:, :, None, :] - pos[None, None, :, :]        # (G, K, N, 2)
-        d2 = jnp.sum(diff * diff, axis=-1)                        # (G, K, N)
+        # separate coordinate planes keep N in the minor (lane) dimension --
+        # a (..., 2)-minor layout pads 2 -> 128 lanes and is ~10x slower
+        dx = p_g[:, :, 0, None] - px[None, None, :]               # (G, K, N)
+        dy = p_g[:, :, 1, None] - py[None, None, :]
+        d2 = dx * dx + dy * dy
         d2 = jnp.where(v_g[:, :, None], d2, _INF)
         idx = jnp.argmin(d2, axis=1)                              # (G, N) first-occurrence
         dmin2 = jnp.take_along_axis(d2, idx[:, None, :], axis=1)[:, 0, :]
@@ -89,15 +111,116 @@ def closest_point_per_segment(pos, pset: ChunkedPointSet, max_group_elems: int =
     return dist, point, has_point
 
 
+def _cp_kernel(bx, by, px, py, dmin_ref, idx_ref, *, tp, tc):
+    """Per-(point-tile, ped-tile) chunk minima.  Points ride the sublane
+    axis (tp = g*128 per tile, one 128-point chunk per sublane group) and
+    pedestrians the lane axis, so the within-chunk min/argmin are natural
+    sublane reductions and the (g, TC) output block is layout-aligned."""
+    i = pl.program_id(0)
+    g = tp // 128
+
+    dx = bx[...] - px[...]            # (TP, TC)
+    dy = by[...] - py[...]
+    d2 = (dx * dx + dy * dy).reshape(g, 128, tc)
+
+    dmin = jnp.min(d2, axis=1)        # (g, TC)
+    dmin_ref[...] = dmin
+    sub = jax.lax.broadcasted_iota(jnp.int32, (g, 128, tc), 1)
+    # first-occurrence argmin, explicitly (reference np.argmin tie rule);
+    # the sentinel is a Python literal (jnp constants can't be captured)
+    first = jnp.min(jnp.where(d2 == dmin[:, None, :], sub, 2**31 - 1),
+                    axis=1)           # (g, TC)
+    base = (i * tp
+            + jax.lax.broadcasted_iota(jnp.int32, (g, tc), 0) * 128)
+    idx_ref[...] = base + first       # global flat point index
+
+
+def _closest_point_pallas(pos, pset: ChunkedPointSet, point_tile: int = 1024,
+                          ped_tile: int = 512, interpret: bool = False):
+    """Fused TPU path: one kernel computes the (C, N) per-chunk minima and
+    argmin indices (the O(P*N) hot part, replacing the (G, K, N) jnp
+    intermediates and their gathers); the cheap (C, N) -> (S, N) segmented
+    reduction stays in jnp."""
+    n = pos.shape[0]
+    c, k, _ = pset.points.shape
+    s = pset.num_segments
+    assert k == 128
+
+    # flat staged point planes; invalid slots go far away (live templates of
+    # inactive vehicles carry real coordinates with valid=False)
+    fx = jnp.where(pset.valid, pset.points[..., 0], _PAD).reshape(-1)
+    fy = jnp.where(pset.valid, pset.points[..., 1], _PAD).reshape(-1)
+    p_total = c * k
+    tp, tc = point_tile, ped_tile
+    p_pad = _round_up(p_total, tp)
+    fx = jnp.full((p_pad,), _PAD, jnp.float32).at[:p_total].set(
+        fx.astype(jnp.float32)).reshape(p_pad, 1)
+    fy = jnp.full((p_pad,), _PAD, jnp.float32).at[:p_total].set(
+        fy.astype(jnp.float32)).reshape(p_pad, 1)
+    c_pad = p_pad // k
+
+    n_pad = _round_up(max(n, tc), tc)
+    px = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
+        pos[:, 0].astype(jnp.float32)).reshape(1, n_pad)
+    py = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
+        pos[:, 1].astype(jnp.float32)).reshape(1, n_pad)
+
+    g = tp // k
+    grid = (p_pad // tp, n_pad // tc)
+    pt_spec = pl.BlockSpec((tp, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    ped_spec = pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, tc), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    import functools as _functools
+    dmin, idx = pl.pallas_call(
+        _functools.partial(_cp_kernel, tp=tp, tc=tc),
+        grid=grid,
+        in_specs=[pt_spec, pt_spec, ped_spec, ped_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((c_pad, n_pad), jnp.int32)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * n_pad * p_pad),
+            bytes_accessed=int(4 * (n_pad * grid[0] + p_pad * grid[1]
+                                    + 2 * n_pad * c_pad)),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(fx, fy, px, py)
+
+    dmin = dmin[:c, :n]               # (C, N)
+    idx = idx[:c, :n]                 # (C, N) global flat point indices
+
+    seg = pset.chunk_segment
+    dseg2 = jax.ops.segment_min(dmin, seg, num_segments=s)        # (S, N)
+    chunk_idx = jnp.arange(c, dtype=jnp.int32)[:, None]
+    cand = jnp.where(dmin == dseg2[seg], chunk_idx, _BIG_I32)
+    first_chunk = jax.ops.segment_min(cand, seg, num_segments=s)  # (S, N)
+    has_point = (dseg2 < _PAD_DIST2) & (first_chunk < _BIG_I32)
+    first_chunk = jnp.clip(first_chunk, 0, max(c - 1, 0))
+    flat_idx = jnp.take_along_axis(idx, first_chunk, axis=0)      # (S, N)
+    point = pset.points.reshape(p_total, 2)[flat_idx]             # (S, N, 2)
+    dist = jnp.sqrt(jnp.where(has_point, dseg2, 0.0))
+    return dist, point, has_point
+
+
 def segment_filter_mask(pos, pset: ChunkedPointSet):
     """Coarse per-(segment, ped) relevance filter: ``|pos - center| < radius``.
 
     Matches the reference's border section filter (forces.py:149-151) and the
     obstacle perception filter (forces.py:222-224), both strict ``<``.
+    (Planar coordinate math with N in the minor dimension and a squared
+    comparison -- sqrt(x) < r <=> x < r*r for r >= 0.)
     """
-    diff = pos[None, :, :] - pset.centers[:, None, :]          # (S, N, 2)
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    return dist < pset.filter_radius[:, None]
+    dx = pset.centers[:, 0, None] - pos[None, :, 0]            # (S, N)
+    dy = pset.centers[:, 1, None] - pos[None, :, 1]
+    d2 = dx * dx + dy * dy
+    r = jnp.maximum(pset.filter_radius, 0.0)
+    return d2 < (r * r)[:, None]
 
 
 def segment_intersection(p0, p1, q0, q1, eps: float = 0.0):

