@@ -139,3 +139,22 @@ def test_sharded_pallas_cutoff_ring_rollout():
                                   np.asarray(recs_p.alive)[:, :n])
     np.testing.assert_allclose(np.asarray(recs_s.pos),
                                np.asarray(recs_p.pos)[:, :n], atol=5e-5)
+
+
+def test_multichip_scaling_example_runs():
+    """Run in a clean subprocess (real CLI usage; in-process reuse after
+    mixed-mesh tests trips a jax-internal sharding-cache assert)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "multichip_scaling.py"),
+         "--n", "256", "--steps", "6"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "agent-steps/s" in r.stdout
