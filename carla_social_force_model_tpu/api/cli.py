@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--carla-port", default=2000, type=int)
     p.add_argument("--strict-parity", action="store_true",
                    help="reproduce reference-inert config keys and quirks")
+    p.add_argument("--pallas", action="store_true", default=None,
+                   help="use the fused Pallas N x N force kernel (TPU)")
+    p.add_argument("--cutoff", type=float, default=None, metavar="METERS",
+                   help="Morton-sorted interaction cutoff (see BENCH.md)")
+    p.add_argument("--comm", choices=("gather", "ring"), default=None,
+                   help="column-state communication under agent-sharding")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the rollout to DIR")
     p.add_argument("--checkpoint-dir", type=str, default=None,
@@ -71,7 +77,10 @@ def main(argv=None) -> int:
     sim = Simulation.from_config(
         args.scenario_config, sfm_config,
         duration=args.duration, num_steps=args.steps,
-        strict_parity=args.strict_parity)
+        strict_parity=args.strict_parity,
+        engine={"use_pallas": args.pallas,
+                "interaction_cutoff": args.cutoff,
+                "axis_comm": args.comm})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -248,8 +248,8 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
                    route_provider=None, planner=None,
                    strict_parity: bool = False,
                    extra_borders=None, extra_border_sections=None,
-                   extra_obstacles=None, extra_obstacle_centers=None
-                   ) -> ScenarioBundle:
+                   extra_obstacles=None, extra_obstacle_centers=None,
+                   engine: dict | None = None) -> ScenarioBundle:
     """Assemble a ScenarioBundle from parsed/loadable configs.
 
     ``planner`` (a routing.PedPathPlanner) serves ``generate_route``
@@ -289,10 +289,21 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     params = SfmParams.from_dict(sfm, strict_parity=strict_parity)
     dt = float(scenario.get("step_length", 0.05))
     walker = scenario.get("walker", {})
+    # engine knobs (headless extension): scenario [engine] table, overridden
+    # by the caller's engine= dict (the CLI's --pallas/--cutoff/--comm)
+    eng = dict(scenario.get("engine", {}))
+    eng.update({k: v for k, v in (engine or {}).items() if v is not None})
+    cutoff = eng.get("interaction_cutoff")
+    if cutoff is not None and not eng.get("use_pallas", False):
+        log.warning("interaction_cutoff only takes effect on the fused "
+                    "Pallas kernel; pass --pallas / engine.use_pallas")
     cfg = StepConfig(
         dt=dt,
         waypoint_threshold=float(walker.get("waypoint_threshold", 2.0)),
         despawn_on_arrival=bool(walker.get("despawn_on_arrival", True)),
+        use_pallas=bool(eng.get("use_pallas", False)),
+        interaction_cutoff=float(cutoff) if cutoff is not None else None,
+        axis_comm=str(eng.get("axis_comm", "gather")),
     )
 
     obstacles_cfg = scenario.get("obstacles")

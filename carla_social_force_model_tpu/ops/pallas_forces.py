@@ -4,17 +4,19 @@ The jnp formulation (ops/forces.pedestrian_force) is HBM-bound: XLA
 materializes multiple (rows, N) pairwise intermediates per row block.  This
 kernel tiles the interaction matrix over a (row_tile x col_tile) grid and
 keeps every pairwise temporary in VMEM, so HBM traffic drops to the O(N)
-state vectors and the O(N) force output while the VPU does the ~80 flops
-per pair (2 exp, 1 atan2, 2 rsqrt dominate).
+state vectors and the O(N) force output.  The per-pair math is division-
+free and mask-free (see _pair_tile) and sits near the transcendental-unit
+floor of 5 ops/pair (2 rsqrt, 2 exp, 1 reciprocal).
 
-Semantics are identical to ops/forces._moussaid_pair_force (same masking,
-same zero-guards); equivalence is enforced by tests against the jnp path
-and the float64 oracle.
+Semantics are identical to ops/forces._moussaid_pair_force (same masking
+rule, same zero-guards); equivalence is enforced by tests against the jnp
+path and the float64 oracle, and on hardware by tools/tpu_parity_check.py.
 
-Layout: state ships as (1, N_pad) lane-major vectors (x, y, vx, vy, radius,
-alive); each grid step loads a (1, TR) row slice and a (1, TC) column slice
-and accumulates the row force tile over the column grid dimension
-(sequential TPU grid -> revisiting-output accumulation).
+Layout: row state ships as (N_pad, 1) sublane vectors and column state as
+(1, N_pad) lane vectors (x, y, vx, vy, radius), so the (TR, TC) broadcast
+needs no in-kernel relayout; each grid step accumulates the row force tile
+over the column grid dimension (sequential TPU grid -> revisiting-output
+accumulation).  Dead/padded agents are pre-staged at a far sentinel.
 """
 from __future__ import annotations
 
@@ -34,8 +36,6 @@ def _round_up(x: int, m: int) -> int:
 
 _PI = 3.14159265358979323846
 _PI_2 = _PI / 2.0
-_PI_4 = _PI / 4.0
-_TAN_PI_8 = 0.41421356237309503
 
 
 #: smaller than any squared pedestrian distance of interest, large enough
