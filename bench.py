@@ -23,6 +23,8 @@ CUTOFF = os.environ.get("BENCH_CUTOFF", "")
 #: BASELINE.json workload: "ped" (config #1, default), "borders" (#2,
 #: + street-grid border force), "obstacles" (#3, + static/dynamic obstacles)
 MODE = os.environ.get("BENCH_MODE", "ped")
+if MODE not in ("ped", "borders", "obstacles"):
+    raise SystemExit(f"BENCH_MODE must be ped|borders|obstacles, got {MODE!r}")
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
 

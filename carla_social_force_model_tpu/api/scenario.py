@@ -266,19 +266,24 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     if planner is not None and route_provider is None:
         route_provider = planner.route_provider()
 
+    def resolve_path(p):
+        """Relative resource paths resolve against the scenario config's
+        directory first, then the cwd."""
+        if os.path.isabs(p):
+            return p
+        for base in ([config_dir] if config_dir else []) + [os.getcwd()]:
+            cand = os.path.join(base, p)
+            if os.path.exists(cand):
+                return cand
+        return p
+
     # map-extracted sidewalk borders replayed from a cached capture
     # (the reference's .npz sidewalk cache, obstacles.py:27-64, made
     # loadable without a CARLA server)
     sw_npz = scenario.get("map", {}).get("sidewalk_borders_npz")
     if sw_npz:
         from ..env import cache as _cache
-        path = sw_npz
-        if not os.path.isabs(path):
-            for base in ([config_dir] if config_dir else []) + [os.getcwd()]:
-                cand = os.path.join(base, sw_npz)
-                if os.path.exists(cand):
-                    path = cand
-                    break
+        path = resolve_path(sw_npz)
         with np.load(path, allow_pickle=True) as data:
             hit = dict(data)
         lines = _cache.arrays_to_ragged(hit)
@@ -351,6 +356,8 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
             raise ValueError("random_pedestrians requires a nav-graph planner "
                              "(routing/ or the CARLA bridge)")
         nav_samples = walker.get("nav_mesh_samples")
+        if isinstance(nav_samples, str):
+            nav_samples = resolve_path(nav_samples)
         sampler = (nav_mesh_sampler(nav_samples)
                    if nav_samples is not None else None)
         ped_specs += random_ped_spawners(

@@ -95,13 +95,20 @@ class CarlaWorld:
         (first library entry as a last resort)."""
         carla = self._carla
         if isinstance(blueprint, str) and blueprint:
-            bp = next(b for b in self._blueprints if b.id == blueprint)
+            bp = next((b for b in self._blueprints if b.id == blueprint),
+                      None)
+            if bp is None:
+                raise ValueError(
+                    f"unknown walker blueprint {blueprint!r} (library has "
+                    f"{len(self._blueprints)} walker.pedestrian.* entries)")
         elif isinstance(blueprint, int):
             bp = self._blueprints[blueprint]
         else:
             bp = self._blueprints[0]
-        if role_name and bp.has_attribute("role_name"):
-            bp.set_attribute("role_name", role_name)
+        if bp.has_attribute("role_name"):
+            # always (re)set: blueprints are shared library objects, so a
+            # stale role_name from an earlier spawn would leak otherwise
+            bp.set_attribute("role_name", role_name or "")
         loc = np.asarray(location, float)
         z = loc[2] if loc.shape[0] > 2 else 1.0
         tf = carla.Transform(carla.Location(float(loc[0]), float(loc[1]), float(z)),

@@ -305,6 +305,12 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
     # (start_step may be traced -- segmented/resumed rollouts pass it jitted)
     steps = jnp.asarray(start_step) + jnp.arange(num_steps)
     fleet = scene.autopilot
+    if fleet is not None and not (isinstance(start_step, int)
+                                  and start_step == 0):
+        raise NotImplementedError(
+            "rollouts with a reactive autopilot fleet cannot resume from "
+            "start_step != 0: the fleet state would restart from its route "
+            "origins (vehicles whose spawn step already passed never spawn)")
 
     def body(carry, t_idx, want_rec):
         if fleet is None:

@@ -48,11 +48,6 @@ _TINY = 1e-35
 _SENTINEL = 1.0e7
 
 
-def _copysign(x, s):
-    """x * sign(s) for s != 0 (one compare + one select)."""
-    return jnp.where(s < 0.0, -x, x)
-
-
 #: minimax fit of atan(t)/t as a degree-7 polynomial in t^2 on t in [0, 1]
 #: (max |t*P(t^2) - atan(t)| = 7.5e-8, at the f32 ulp scale) -- no
 #: tan(pi/8) range reduction needed, which removes the numerator/
@@ -179,6 +174,12 @@ def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
     # and B == 0 (zero interaction vector at d > 0) drives common to -inf
     # through rt = rsqrt(tiny).  One compare, no index bookkeeping.
     ok = d2 > 0.0
+    if use_radius:
+        # with radii subtracted, d can be negative while t2 == 0 (zero
+        # interaction vector): common would be +inf -> exp overflow -> NaN,
+        # so the B > 0 condition must be masked explicitly here (without
+        # radii, d > 0 whenever d2 > 0 and exp underflows on its own)
+        ok = ok & (t2 > 0.0)
     if cutoff is not None:
         # per-pair cutoff makes the result independent of tile layout:
         # force = sum over pairs within the cutoff radius, exactly
@@ -188,10 +189,10 @@ def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
     common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
     u2 = jnp.square(t_len * theta)
     f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
-    # sign(theta)*exp(..) via copysign (sign(0)=0 is covered: theta==+-0
-    # implies t_len==0 or an exactly cancelled shift -- both masked or
-    # measure-zero, and the reference's np.sign(0)=0 only differs there)
-    f_t = -A * _copysign(jnp.exp(common - jnp.square(n * gamma) * u2), theta)
+    # sign(theta) must be exact (sign(0) = 0): theta == 0 is NOT
+    # measure-zero when epsilon is configured to 0 (every equal-velocity
+    # pair), and the reference emits no tangential force there
+    f_t = (-A * jnp.sign(theta)) * jnp.exp(common - jnp.square(n * gamma) * u2)
 
     # f = f_v * t_hat + f_t * left_normal(t_hat); fold the 1/|t| of the
     # unit vector into the magnitudes

@@ -195,3 +195,42 @@ def test_pallas_sorted_cutoff_under_sharding():
         got = jax.jit(fn)(pos, vel, radius, alive)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5, err_msg=comm)
+
+
+def test_pallas_epsilon_zero_no_spurious_tangential():
+    """epsilon=0 makes theta==0 for every pair whose interaction vector is
+    parallel to the separation (e.g. mutually stationary agents); the
+    reference's np.sign(0)=0 emits no tangential force there (regression:
+    a copysign-based sign gave every such pair a full-magnitude sideways
+    push)."""
+    import dataclasses
+    p = dataclasses.replace(MoussaidParams(), epsilon=0.0)
+    pos = jnp.asarray([[0.0, 0.0], [1.0, 0.0]], jnp.float32)
+    vel = jnp.zeros((2, 2), jnp.float32)
+    want = forces.pedestrian_force(pos, vel, jnp.full((2,), 0.3),
+                                   jnp.ones((2,), bool), p)
+    got = pedestrian_force_pallas(pos, vel, jnp.full((2,), 0.3),
+                                  jnp.ones((2,), bool), p,
+                                  row_tile=8, col_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert abs(np.asarray(got)[0, 1]) < 1e-6   # no sideways force
+
+
+def test_pallas_overlapping_radii_zero_interaction_vector():
+    """use_ped_radius with overlapping agents and a vanishing interaction
+    vector (lam*dv + e == 0): d < 0 and B == 0 -> the reference/jnp rule is
+    zero force (regression: exp(+inf)*0 NaN poisoned the row sums)."""
+    p = MoussaidParams()   # lambda = 2
+    pos = jnp.asarray([[0.0, 0.0], [0.4, 0.0]], jnp.float32)
+    vel = jnp.asarray([[0.0, 0.0], [0.5, 0.0]], jnp.float32)  # lam*dv = -e
+    radius = jnp.full((2,), 0.3, jnp.float32)
+    alive = jnp.ones((2,), bool)
+    want = forces.pedestrian_force(pos, vel, radius, alive, p,
+                                   use_ped_radius=True)
+    got = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                  use_ped_radius=True,
+                                  row_tile=8, col_tile=128, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
