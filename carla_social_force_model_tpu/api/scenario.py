@@ -263,8 +263,6 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
                   if isinstance(scenario_config, (str, bytes)) else None)
     scenario = load_config(scenario_config)
     sfm = load_config(sfm_config)
-    if planner is not None and route_provider is None:
-        route_provider = planner.route_provider()
 
     def resolve_path(p):
         """Relative resource paths resolve against the scenario config's
@@ -277,6 +275,20 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
                 return cand
         return p
 
+    # map-extracted navigation graph replayed from a cached capture: routing
+    # scenarios (the reference's routing/routing2 classes,
+    # config/scenarios/routing*_scenario_config.toml) become runnable
+    # headless -- the graph a live run would build via the CARLA topology
+    # walk (path_planner.py:210-574 semantics, routing/carla_graph.py) is
+    # serialized once and loaded here
+    ng_npz = scenario.get("map", {}).get("nav_graph_npz")
+    if ng_npz and planner is None:
+        from ..routing.graph import NavGraph
+        from ..routing.planner import PedPathPlanner
+        planner = PedPathPlanner(NavGraph.load_npz(resolve_path(ng_npz)))
+    if planner is not None and route_provider is None:
+        route_provider = planner.route_provider()
+
     # map-extracted sidewalk borders replayed from a cached capture
     # (the reference's .npz sidewalk cache, obstacles.py:27-64, made
     # loadable without a CARLA server)
@@ -288,8 +300,14 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
             hit = dict(data)
         lines = _cache.arrays_to_ragged(hit)
         extra_borders = list(extra_borders or []) + lines
+        # "lengths" is the ragged point-count index; section lengths in
+        # meters (the reference's coarse-filter radius, forces.py:149-151)
+        # ride in "section_lengths".  Older captures without it fall back
+        # to point-count * resolution (the sampling step is 0.1 m).
+        sec_len = (hit["section_lengths"] if "section_lengths" in hit
+                   else np.asarray(hit["lengths"], np.float64) * 0.1)
         extra_border_sections = (list(extra_border_sections or [])
-                                 + list(zip(hit["centers"], hit["lengths"])))
+                                 + list(zip(hit["centers"], sec_len)))
 
     params = SfmParams.from_dict(sfm, strict_parity=strict_parity)
     dt = float(scenario.get("step_length", 0.05))

@@ -30,7 +30,9 @@ def extract_sidewalk(carla_map, resolution: float = 0.1,
     Returns ``(border_lines, section_centers, section_lengths)``.
     """
     t0 = time.time()
-    key = cache.content_key(carla_map.to_opendrive(), resolution)
+    # "v2" bumps past caches that stored section meters under "lengths",
+    # clobbering the ragged point-count index ragged_to_arrays needs
+    key = cache.content_key(carla_map.to_opendrive(), resolution, "v2")
     town = carla_map.name.split("/")[-1]
     name = f"sidewalk_{town}"
     cdir = cache_dir or cache.DEFAULT_CACHE_DIR
@@ -39,13 +41,13 @@ def extract_sidewalk(carla_map, resolution: float = 0.1,
         log.info("Using cached sidewalk borders.")
         lines = cache.arrays_to_ragged(hit)
         centers = hit["centers"]
-        lengths = hit["lengths"]
+        lengths = hit["section_lengths"]
         return lines, list(centers), list(lengths)
 
     lines, centers, lengths = _extract_sidewalk_borders(carla_map, resolution)
     payload = cache.ragged_to_arrays(lines)
     payload["centers"] = np.asarray(centers, np.float64).reshape(-1, 2)
-    payload["lengths"] = np.asarray(lengths, np.float64)
+    payload["section_lengths"] = np.asarray(lengths, np.float64)
     cache.store(name, key, payload, cdir)
     log.info("Finished extracting sidewalks. Time: %s", time.time() - t0)
     return lines, centers, lengths

@@ -130,10 +130,11 @@ class BridgeRunner:
         self._veh_template_pts = 128
         self._veh_templates: dict[int, np.ndarray] = {}
 
-        self._scene_geom = Scene(
+        from ..models.stepper import prepare_scene
+        self._scene_geom = prepare_scene(Scene(
             spawn=self._dummy_schedule(), borders=borders,
             static_obstacles=static_obstacles, static_obstacle_vel=static_vel,
-            vehicles=None)
+            vehicles=None))
         self._core = jax.jit(self._core_fn)
         self.history = []     # per-tick StepRecord snapshots (numpy)
         self.veh_history = []  # per-tick list of VehicleObs

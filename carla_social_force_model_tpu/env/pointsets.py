@@ -50,6 +50,70 @@ class ChunkedPointSet:
         return self.points.shape[1]
 
 
+@pytree_dataclass
+class SegmentPointSet:
+    """Segment-major point layout: one fixed-size row per segment.
+
+    The fused environment-force kernels (ops/pallas_env.py) compute the
+    per-segment closest point *and* the force inside one kernel, which
+    requires each segment's points to be contiguous and uniformly sized:
+    ``points[s]`` holds all sampled points of segment ``s`` padded with
+    ``PAD_COORD`` to a common ``K`` (multiple of 128).  Unlike
+    :class:`ChunkedPointSet` there is no chunk/segment indirection, so no
+    segmented reduction or gather is ever needed downstream.
+    """
+
+    points: jnp.ndarray        # (S, K, 2) f32, PAD_COORD in padding slots
+    centers: jnp.ndarray       # (S, 2) per-segment filter center
+    filter_radius: jnp.ndarray  # (S,) per-segment filter radius
+    num_segments: int = static_field()
+
+    @property
+    def points_per_segment(self) -> int:
+        return self.points.shape[1]
+
+
+def segment_major(pset: ChunkedPointSet | None,
+                  max_points_per_segment: int = 4096
+                  ) -> SegmentPointSet | None:
+    """Repack a (host-side, concrete) :class:`ChunkedPointSet` into the
+    segment-major layout, or None when a segment is too long (callers fall
+    back to the chunked closest-point path) or the set is empty.
+
+    Must run outside jit (concrete arrays); Scene builders call this once
+    per scenario via models.stepper.prepare_scene.
+    """
+    if pset is None:
+        return None
+    pts = np.asarray(pset.points)
+    valid = np.asarray(pset.valid)
+    seg = np.asarray(pset.chunk_segment)
+    s_count = pset.num_segments
+    k_chunk = pts.shape[1]
+
+    per_seg: list[np.ndarray] = [np.zeros((0, 2), pts.dtype)
+                                 for _ in range(s_count)]
+    for c in range(pts.shape[0]):
+        v = valid[c]
+        if not v.any():
+            continue
+        per_seg[seg[c]] = np.concatenate([per_seg[seg[c]], pts[c][v]], axis=0)
+
+    longest = max((p.shape[0] for p in per_seg), default=0)
+    if longest == 0 or longest > max_points_per_segment:
+        return None
+    k = -(-max(longest, 1) // k_chunk) * k_chunk
+    out = np.full((s_count, k, 2), PAD_COORD, pts.dtype)
+    for si, p in enumerate(per_seg):
+        out[si, : p.shape[0]] = p
+    return SegmentPointSet(
+        points=jnp.asarray(out),
+        centers=pset.centers,
+        filter_radius=pset.filter_radius,
+        num_segments=s_count,
+    )
+
+
 def build_chunked_pointset(
     point_lists: Sequence[np.ndarray],
     centers: np.ndarray,

@@ -54,6 +54,26 @@ class Scene:
     # state rides in the rollout carry, so rollouts with a fleet scan a
     # (PedState, AutopilotState) carry
     autopilot: object | None = None
+    # segment-major relayouts of borders/static_obstacles for the fused
+    # environment-force kernels (ops/pallas_env.py); populated host-side by
+    # :func:`prepare_scene` (None -> the jnp closest-point path is used)
+    borders_seg: object | None = None
+    static_obstacles_seg: object | None = None
+
+
+def prepare_scene(scene: Scene) -> Scene:
+    """Populate the segment-major point layouts consumed by the fused
+    environment-force kernels.  Host-side (concrete arrays; call outside
+    jit) and idempotent; rollout/sharding/sweep builders call it so every
+    entry point gets the fast path automatically."""
+    from ..env.pointsets import segment_major
+    upd = {}
+    if scene.borders is not None and scene.borders_seg is None:
+        upd["borders_seg"] = segment_major(scene.borders)
+    if (scene.static_obstacles is not None
+            and scene.static_obstacles_seg is None):
+        upd["static_obstacles_seg"] = segment_major(scene.static_obstacles)
+    return dataclasses.replace(scene, **upd) if upd else scene
 
 
 @pytree_dataclass
@@ -74,6 +94,10 @@ class StepConfig:
     pallas_interpret: bool = static_field(default=False)  # CPU testing
     # column-state communication under agent-sharding: "gather" or "ring"
     axis_comm: str = static_field(default="gather")
+    # fused environment-force kernels (ops/pallas_env.py) for border/
+    # obstacle forces when use_pallas is on and the scene carries the
+    # segment-major layouts (prepare_scene); off -> jnp closest-point path
+    use_pallas_env: bool = static_field(default=True)
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
@@ -103,6 +127,12 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
     (shard_map agent-sharding), the N x N force gathers its column state over
     that axis; all other forces are row-local.
     """
+    fused_env: dict[str, jnp.ndarray] = {}
+    if cfg.use_pallas and cfg.use_pallas_env:
+        from ..ops.pallas_env import fused_environment_terms
+        fused_env = fused_environment_terms(
+            state, scene, params, veh_snap, interpret=cfg.pallas_interpret)
+
     terms: dict[str, jnp.ndarray] = {}
     if params.enable_acceleration:
         terms["acceleration_force"] = forces.acceleration_force(
@@ -137,34 +167,47 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 row_block=cfg.row_block, axis_name=axis_name,
                 axis_comm=cfg.axis_comm)
     if params.enable_border and scene.borders is not None:
-        terms["border_force"] = forces.border_force(
-            state.pos, state.mode, state.radius, state.alive, scene.borders,
-            params.border, use_ped_radius=params.use_ped_radius)
+        if "border_force" in fused_env:
+            terms["border_force"] = fused_env["border_force"]
+        else:
+            terms["border_force"] = forces.border_force(
+                state.pos, state.mode, state.radius, state.alive,
+                scene.borders, params.border,
+                use_ped_radius=params.use_ped_radius)
     if params.enable_static_obstacle and scene.static_obstacles is not None:
-        obs_vel = scene.static_obstacle_vel
-        if obs_vel is None:
-            obs_vel = jnp.zeros((scene.static_obstacles.num_segments, 2),
-                                state.pos.dtype)
-        terms["static_obstacle_force"] = forces.obstacle_force(
-            state.pos, state.vel, state.radius, state.alive,
-            scene.static_obstacles, obs_vel, params.static_obstacle,
-            use_ped_radius=params.use_ped_radius)
+        if "static_obstacle_force" in fused_env:
+            terms["static_obstacle_force"] = fused_env["static_obstacle_force"]
+        else:
+            obs_vel = scene.static_obstacle_vel
+            if obs_vel is None:
+                obs_vel = jnp.zeros((scene.static_obstacles.num_segments, 2),
+                                    state.pos.dtype)
+            terms["static_obstacle_force"] = forces.obstacle_force(
+                state.pos, state.vel, state.radius, state.alive,
+                scene.static_obstacles, obs_vel, params.static_obstacle,
+                use_ped_radius=params.use_ped_radius)
     if params.enable_ped_repulsive:
         desired, _ = vecmath.normalize(state.waypoint - state.pos)
         terms["ped_repulsive_force"] = forces.ped_repulsive_force(
             state.pos, state.vel, desired, state.alive, params.ped_repulsive,
             row_block=cfg.row_block)
     if params.enable_space_repulsive and scene.borders is not None:
-        terms["space_repulsive_force"] = forces.space_repulsive_force(
-            state.pos, state.mode, state.alive, scene.borders,
-            params.space_repulsive)
+        if "space_repulsive_force" in fused_env:
+            terms["space_repulsive_force"] = fused_env["space_repulsive_force"]
+        else:
+            terms["space_repulsive_force"] = forces.space_repulsive_force(
+                state.pos, state.mode, state.alive, scene.borders,
+                params.space_repulsive)
     if params.enable_dynamic_obstacle and veh_snap is not None:
-        vset, vvel, vact = snapshot_pointset(
-            veh_snap, params.dynamic_obstacle.perception_threshold)
-        terms["dynamic_obstacle_force"] = forces.obstacle_force(
-            state.pos, state.vel, state.radius, state.alive, vset, vvel,
-            params.dynamic_obstacle, use_ped_radius=params.use_ped_radius,
-            obstacle_active=vact)
+        if "dynamic_obstacle_force" in fused_env:
+            terms["dynamic_obstacle_force"] = fused_env["dynamic_obstacle_force"]
+        else:
+            vset, vvel, vact = snapshot_pointset(
+                veh_snap, params.dynamic_obstacle.perception_threshold)
+            terms["dynamic_obstacle_force"] = forces.obstacle_force(
+                state.pos, state.vel, state.radius, state.alive, vset, vvel,
+                params.dynamic_obstacle,
+                use_ped_radius=params.use_ped_radius, obstacle_active=vact)
     return terms
 
 
@@ -366,6 +409,7 @@ def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
     commonly reuse the same initial state across invocations, and the carry
     is tiny compared to the recorded trajectory output.)
     """
+    scene = prepare_scene(scene)
 
     @jax.jit
     def run(state: PedState):

@@ -185,6 +185,32 @@ def vehicle_snapshot_at(vehicles: VehicleStates, t_idx) -> VehicleSnapshot:
         points_per_chunk=vehicles.points_per_chunk)
 
 
+def snapshot_segment_pointset(snap: VehicleSnapshot, perception_threshold):
+    """Segment-major dynamic-obstacle point set from a snapshot (on device).
+
+    One row per vehicle (the template is already padded to a multiple of
+    128), for the fused environment-force kernel (ops/pallas_env.py).
+    Returns ``(SegmentPointSet, obstacle_vel (V, 2), active (V,))``.
+    """
+    from ..env.pointsets import SegmentPointSet
+
+    c, s = jnp.cos(snap.heading), jnp.sin(snap.heading)
+    tx = jnp.where(snap.template_valid, snap.template[..., 0], 0.0)  # (V, P)
+    ty = jnp.where(snap.template_valid, snap.template[..., 1], 0.0)
+    wx = c[:, None] * tx - s[:, None] * ty + snap.center[:, None, 0]
+    wy = s[:, None] * tx + c[:, None] * ty + snap.center[:, None, 1]
+    world = jnp.stack([wx, wy], axis=-1)                            # (V, P, 2)
+    world = jnp.where(snap.template_valid[..., None], world, PAD_COORD)
+
+    v = world.shape[0]
+    pset = SegmentPointSet(
+        points=world, centers=snap.center,
+        filter_radius=jnp.full((v,), perception_threshold, world.dtype),
+        num_segments=v,
+    )
+    return pset, snap.vel, snap.active
+
+
 def snapshot_pointset(snap: VehicleSnapshot, perception_threshold):
     """Dynamic-obstacle ChunkedPointSet from a snapshot (on device).
 

@@ -1,0 +1,393 @@
+"""Fused Pallas TPU kernels for the environment forces (borders/obstacles).
+
+The two-phase formulation (ops/geometry.closest_point_per_segment feeding
+ops/forces.border_force / obstacle_force) is bound by its (S, N)-shaped
+phase-2: the segmented min over chunks and especially the per-(segment, ped)
+point gathers cost ~14 us per segment row at N=10k on v5e -- 22 ms/step for
+a 154-section street grid, independent of the point count (measured,
+tools/profile_borders.py).  These kernels instead compute the per-segment
+closest point *and* the force in one pass and accumulate straight into the
+per-pedestrian force vector, so nothing (S, N)-shaped, no segmented
+reduction, and no gather ever exists:
+
+* segment-major layout (env/pointsets.SegmentPointSet): one fixed-size,
+  PAD-padded row of points per segment -- the within-row first-occurrence
+  argmin IS the reference's per-border/per-obstacle ``np.argmin``
+  (/root/reference/forces.py:154-155, :228-229);
+* pedestrians ride the lane axis, Morton-sorted (ops/spatial.py) so each
+  512-lane tile is spatially tight;
+* the reference's coarse relevance filters -- border section filter
+  (forces.py:149-151) and obstacle perception threshold (forces.py:222-224)
+  -- become (a) a per-(segment, ped) mask inside the kernel and (b) a
+  tile-level skip: a (point-tile, ped-tile) pair runs only if some segment's
+  filter circle touches the ped tile's bounding box.  Skipping is exact:
+  pairs outside the filter circle contribute zero force by definition.
+
+Two kernels cover all four environment forces:
+
+* ``exp`` kernel: magnitude ``a * exp(-d/b)`` away from the closest point --
+  the border force (reference forces.py:138-179) and the Helbing-1995
+  space-repulsive force (u0/r * exp(-d/r));
+* ``moussaid`` kernel: the full Moussaid interaction against the closest
+  point with relative velocity -- static and dynamic obstacle forces
+  (reference forces.py:182-283), sharing the atan2 polynomial and parameter
+  folding of the pairwise kernel (ops/pallas_forces.py).
+
+Equivalence to the jnp path (ops/forces.py) is enforced by
+tests/test_env_pallas.py in interpret mode and on hardware by
+tools/tpu_parity_check.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_forces import _atan2, _SENTINEL, _TINY
+from .spatial import morton_order, tile_bboxes
+from ..env.pointsets import PAD_COORD
+
+#: squared-distance threshold separating real closest points from padding
+#: sentinels (PAD_COORD = 1e8 -> padded distances >= ~1e14)
+_PAD_DIST2 = 1e13
+_PAD32 = float(PAD_COORD)
+
+#: target points per kernel tile (gs = segments/tile is derived from this)
+_POINT_TILE_TARGET = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _closest_sel(bx, by, px, py, *, gs, kk):
+    """Per-(segment, ped) closest point within one kernel tile.
+
+    ``bx``/``by``: (gs*kk, 1) point planes; ``px``/``py``: (1, tc) ped
+    planes.  Returns ``(dmin2, bxm, bym)`` of shape (gs, tc): squared
+    distance and coordinates of the first-occurrence argmin point (the
+    reference's ``np.argmin`` tie rule).  Unselected/pad slots yield
+    coordinates at PAD_COORD (finite, so masked magnitudes multiply garbage
+    by exactly 0.0 without producing NaN).
+    """
+    dxp = bx[...] - px[...]                   # (gs*kk, tc)
+    dyp = by[...] - py[...]
+    tc = dxp.shape[1]
+    d2 = (dxp * dxp + dyp * dyp).reshape(gs, kk, tc)
+    dmin = jnp.min(d2, axis=1)                # (gs, tc)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (gs, kk, tc), 1)
+    ismin = d2 == dmin[:, None, :]
+    first = jnp.min(jnp.where(ismin, sub, 2**31 - 1), axis=1)
+    sel = ismin & (sub == first[:, None, :])
+    bxm = jnp.min(jnp.where(sel, bx[...].reshape(gs, kk, 1), _PAD32), axis=1)
+    bym = jnp.min(jnp.where(sel, by[...].reshape(gs, kk, 1), _PAD32), axis=1)
+    return dmin, bxm, bym
+
+
+def _tile_hit(bb_ref, circ_ref, j, i, gs):
+    """Does any segment's filter circle in point tile ``i`` touch ped tile
+    ``j``'s bounding box?  Padded segments carry radius^2 = -1 (never hit);
+    empty ped tiles carry inverted infinite boxes (gaps are +inf)."""
+    minx = bb_ref[j, 0]
+    maxx = bb_ref[j, 1]
+    miny = bb_ref[j, 2]
+    maxy = bb_ref[j, 3]
+    hit = None
+    for gi in range(gs):
+        s = i * gs + gi
+        scx = circ_ref[s, 0]
+        scy = circ_ref[s, 1]
+        sr2 = circ_ref[s, 2]
+        gx = jnp.maximum(jnp.maximum(scx - maxx, minx - scx), 0.0)
+        gy = jnp.maximum(jnp.maximum(scy - maxy, miny - scy), 0.0)
+        h = gx * gx + gy * gy <= sr2
+        hit = h if hit is None else jnp.logical_or(hit, h)
+    return hit
+
+
+def _exp_kernel(prm_ref, bb_ref, circ_ref,
+                bx, by, cx, cy, r2, px, py, prad,
+                fx_ref, fy_ref, *, gs, kk, use_radius):
+    """f = a * exp(-d/b) away from the per-segment closest point, summed
+    over in-filter segments (reference forces.py:154-165; the space
+    repulsive variant maps a = u0/r, b = r)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when(_tile_hit(bb_ref, circ_ref, j, i, gs))
+    def _():
+        a = prm_ref[0]
+        inv_b = prm_ref[1]
+        dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+        r = jax.lax.rsqrt(dmin + _TINY)
+        d = dmin * r
+        if use_radius:
+            d = d - prad[...]
+        # segment metadata rides as full (S_pad, 1) arrays (tiny; loaded
+        # once -- constant index map); slice this tile's gs rows here (a
+        # (gs, 1) block shape would violate the TPU (8, 128) block rule)
+        cxg = cx[pl.ds(i * gs, gs), :]           # (gs, 1)
+        cyg = cy[pl.ds(i * gs, gs), :]
+        r2g = r2[pl.ds(i * gs, gs), :]
+        fdx = cxg - px[...]                      # (gs, tc) filter distance
+        fdy = cyg - py[...]
+        ok = (fdx * fdx + fdy * fdy < r2g) & (dmin < _PAD_DIST2)
+        # e = (ped - point) * r; fold the unit vector's r into the magnitude
+        mag = jnp.where(ok, (a * jnp.exp(-d * inv_b)) * r, 0.0)
+        fx_ref[...] += jnp.sum(mag * (px[...] - bxm), axis=0, keepdims=True)
+        fy_ref[...] += jnp.sum(mag * (py[...] - bym), axis=0, keepdims=True)
+
+
+def _moussaid_kernel(prm_ref, bb_ref, circ_ref,
+                     bx, by, cx, cy, r2, ovx, ovy,
+                     px, py, pvx, pvy, prad,
+                     fx_ref, fy_ref, *, gs, kk, use_radius):
+    """Moussaid interaction against the per-segment closest point with
+    relative velocity v_ped - v_obstacle (reference forces.py:233-270),
+    using the pairwise kernel's parameter folding and atan2 polynomial."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when(_tile_hit(bb_ref, circ_ref, j, i, gs))
+    def _():
+        lam = prm_ref[0]
+        A = prm_ref[1]
+        gamma = prm_ref[2]
+        n = prm_ref[3]
+        n_prime = prm_ref[4]
+        epsilon = prm_ref[5]
+
+        dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+        dx = bxm - px[...]                     # ped -> obstacle point
+        dy = bym - py[...]
+        r = jax.lax.rsqrt(dmin + _TINY)
+        ex = dx * r
+        ey = dy * r
+        d = dmin * r
+        if use_radius:
+            d = d - prad[...]
+
+        # full-array segment metadata, sliced per tile (see _exp_kernel)
+        cxg = cx[pl.ds(i * gs, gs), :]
+        cyg = cy[pl.ds(i * gs, gs), :]
+        r2g = r2[pl.ds(i * gs, gs), :]
+        dvx = pvx[...] - ovx[pl.ds(i * gs, gs), :]   # v_ped - v_obstacle
+        dvy = pvy[...] - ovy[pl.ds(i * gs, gs), :]
+        tx = lam * dvx + ex
+        ty = lam * dvy + ey
+        t2 = tx * tx + ty * ty
+        rt = jax.lax.rsqrt(t2 + _TINY)
+        t_len = t2 * rt
+        cross = tx * ey - ty * ex
+        dot = ex * tx + ey * ty
+        theta = _atan2(cross, dot) + (-epsilon * gamma) * t_len
+
+        fdx = cxg - px[...]
+        fdy = cyg - py[...]
+        ok = ((fdx * fdx + fdy * fdy < r2g)
+              & (dmin < _PAD_DIST2) & (dmin > 0.0))
+        if use_radius:
+            # d can be negative with radii subtracted while t2 == 0; mask
+            # B > 0 explicitly (without radii the exp underflows on its own)
+            ok = ok & (t2 > 0.0)
+        common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
+        u2 = jnp.square(t_len * theta)
+        f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
+        f_t = (-A * jnp.sign(theta)) * jnp.exp(
+            common - jnp.square(n * gamma) * u2)
+        f_v = f_v * rt
+        f_t = f_t * rt
+        fx_ref[...] += jnp.sum(f_v * tx - f_t * ty, axis=0, keepdims=True)
+        fy_ref[...] += jnp.sum(f_v * ty + f_t * tx, axis=0, keepdims=True)
+
+
+def _stage_lane(a, fill, mask, n_pad):
+    """(n,) -> (n_pad,) f32 with dead/padded slots at ``fill``."""
+    n = a.shape[0]
+    a = jnp.where(mask, a.astype(jnp.float32), jnp.float32(fill))
+    return jnp.full((n_pad,), jnp.float32(fill)).at[:n].set(a)
+
+
+def _stage_seg_plane(a, fill, s_pad):
+    s = a.shape[0]
+    return jnp.full((s_pad, 1), jnp.float32(fill)).at[:s, 0].set(
+        a.astype(jnp.float32))
+
+
+def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
+                    ped_planes, bb, circ, *, gs, kk, tc, n_pad,
+                    use_radius, interpret):
+    """One fused kernel launch; returns (fx, fy) of shape (1, n_pad)."""
+    s_pad_k = seg_points[0].shape[0]
+    grid = (n_pad // tc, s_pad_k // (gs * kk))
+
+    s_pad = circ_planes[0].shape[0]
+    pt_spec = pl.BlockSpec((gs * kk, 1), lambda j, i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+    # segment metadata as whole arrays (a (gs, 1) block violates the TPU
+    # (8, 128) block-shape rule for gs not divisible by 8); kernels slice
+    # their gs rows with pl.ds
+    seg_spec = pl.BlockSpec((s_pad, 1), lambda j, i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    ped_spec = pl.BlockSpec((1, tc), lambda j, i, *_: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tc), lambda j, i, *_: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    if kind == "exp":
+        kernel = functools.partial(_exp_kernel, gs=gs, kk=kk,
+                                   use_radius=use_radius)
+        inputs = [*seg_points, *circ_planes, *ped_planes]
+        in_specs = ([pt_spec] * 2 + [seg_spec] * 3 + [ped_spec] * 3)
+        transcendentals = 2 * s_pad_k // kk * n_pad
+    else:
+        kernel = functools.partial(_moussaid_kernel, gs=gs, kk=kk,
+                                   use_radius=use_radius)
+        inputs = [*seg_points, *circ_planes, *obs_vel_planes, *ped_planes]
+        in_specs = ([pt_spec] * 2 + [seg_spec] * 5 + [ped_spec] * 5)
+        transcendentals = 5 * s_pad_k // kk * n_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(12 * s_pad_k * n_pad),
+            bytes_accessed=int(4 * (2 * s_pad_k * grid[0]
+                                    + 8 * n_pad * grid[1])),
+            transcendentals=int(transcendentals)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(prm, bb, circ, *inputs)
+
+
+def fused_environment_terms(state, scene, params, veh_snap,
+                            ped_tile: int = 512, interpret: bool = False):
+    """Environment force terms via the fused kernels, keyed like
+    models.stepper.force_terms.  Covers the terms whose segment-major
+    layout is available (models.stepper.prepare_scene) -- callers fall back
+    to the jnp path for the rest.
+
+    One Morton sort + staging is shared by all terms; each term unsorts only
+    its final (N, 2) force vector.
+    """
+    from ..models import modes
+    from ..models.vehicles import snapshot_segment_pointset
+
+    jobs = []  # (name, kind, segset, prm tuple, obs_vel (S,2)|None, active)
+    if params.enable_border and scene.borders_seg is not None:
+        b = params.border
+        jobs.append(("border_force", "exp", scene.borders_seg,
+                     (b.a, 1.0 / b.b), None, None, params.use_ped_radius))
+    if params.enable_space_repulsive and scene.borders_seg is not None:
+        sp = params.space_repulsive
+        jobs.append(("space_repulsive_force", "exp", scene.borders_seg,
+                     (sp.u0 / sp.r, 1.0 / sp.r), None, None, False))
+    if (params.enable_static_obstacle
+            and scene.static_obstacles_seg is not None):
+        p = params.static_obstacle
+        jobs.append(("static_obstacle_force", "moussaid",
+                     scene.static_obstacles_seg,
+                     (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon),
+                     scene.static_obstacle_vel, None, params.use_ped_radius))
+    if params.enable_dynamic_obstacle and veh_snap is not None:
+        p = params.dynamic_obstacle
+        dset, dvel, dact = snapshot_segment_pointset(
+            veh_snap, p.perception_threshold)
+        jobs.append(("dynamic_obstacle_force", "moussaid", dset,
+                     (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon),
+                     dvel, dact, params.use_ped_radius))
+    if not jobs:
+        return {}
+
+    pos, vel, radius, mode, alive = (state.pos, state.vel, state.radius,
+                                     state.mode, state.alive)
+    n = pos.shape[0]
+    tc = ped_tile
+    n_pad = _round_up(max(n, tc), tc)
+
+    perm, inv = morton_order(pos, alive)
+    salive = alive[perm]
+    spos = pos[perm]
+    svel = vel[perm]
+    px = _stage_lane(spos[:, 0], _SENTINEL, salive, n_pad)
+    py = _stage_lane(spos[:, 1], _SENTINEL, salive, n_pad)
+    pvx = _stage_lane(svel[:, 0], 0.0, salive, n_pad)
+    pvy = _stage_lane(svel[:, 1], 0.0, salive, n_pad)
+    prad = _stage_lane(radius[perm], 0.0, salive, n_pad)
+    alive_pad = jnp.zeros((n_pad,), bool).at[:n].set(salive)
+    bb = tile_bboxes(px, py, alive_pad, tc)
+    lane = lambda a: a.reshape(1, n_pad)  # noqa: E731
+
+    crossing = ((mode == modes.CROSSING_ROAD)
+                | (mode == modes.ROAD_TO_SIDEWALK))[:, None]
+
+    terms = {}
+    for name, kind, sset, prm_vals, obs_vel, active, use_radius in jobs:
+        s = sset.num_segments
+        kk = sset.points_per_segment
+        gs = max(1, _POINT_TILE_TARGET // kk)
+        s_pad = _round_up(s, gs)
+
+        ptsx = sset.points[..., 0].reshape(-1)
+        ptsy = sset.points[..., 1].reshape(-1)
+        bxp = jnp.full((s_pad * kk, 1), _PAD32, jnp.float32)
+        bxp = bxp.at[: s * kk, 0].set(ptsx.astype(jnp.float32))
+        byp = jnp.full((s_pad * kk, 1), _PAD32, jnp.float32)
+        byp = byp.at[: s * kk, 0].set(ptsy.astype(jnp.float32))
+
+        r = jnp.maximum(sset.filter_radius, 0.0)
+        r2 = r * r
+        if active is not None:
+            r2 = jnp.where(active, r2, -1.0)
+        cxp = _stage_seg_plane(sset.centers[:, 0], _PAD32, s_pad)
+        cyp = _stage_seg_plane(sset.centers[:, 1], _PAD32, s_pad)
+        r2p = _stage_seg_plane(r2, -1.0, s_pad)
+        circ = jnp.concatenate([cxp, cyp, r2p], axis=1)  # (s_pad, 3) SMEM
+
+        if kind == "moussaid":
+            ov = (obs_vel if obs_vel is not None
+                  else jnp.zeros((s, 2), jnp.float32))
+            ovx = _stage_seg_plane(ov[:, 0], 0.0, s_pad)
+            ovy = _stage_seg_plane(ov[:, 1], 0.0, s_pad)
+            obs_planes = [ovx, ovy]
+            ped_planes = [lane(px), lane(py), lane(pvx), lane(pvy),
+                          lane(prad)]
+        else:
+            obs_planes = []
+            ped_planes = [lane(px), lane(py), lane(prad)]
+
+        prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in prm_vals])
+        fx, fy = _env_force_call(
+            kind, prm, [bxp, byp], [cxp, cyp, r2p], obs_planes, ped_planes,
+            bb, circ, gs=gs, kk=kk, tc=tc, n_pad=n_pad,
+            use_radius=use_radius, interpret=interpret)
+
+        f = jnp.stack([fx[0, :n], fy[0, :n]], axis=-1)[inv].astype(pos.dtype)
+        if kind == "exp":
+            # border/space forces are disabled for crossing pedestrians
+            # (reference forces.py:176-177)
+            f = jnp.where(crossing, 0.0, f)
+        terms[name] = f
+    return terms

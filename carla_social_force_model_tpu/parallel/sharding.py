@@ -62,6 +62,8 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
         raise NotImplementedError(
             "agent-sharded rollouts with a reactive autopilot fleet are not "
             "supported: the hazard check needs the global walker set")
+    from ..models.stepper import prepare_scene
+    scene = prepare_scene(scene)
     state_spec = jax.tree_util.tree_map(lambda _: P(AGENT_AXIS),
                                         PedState.empty(1))
     # Scene-of-specs: same pytree structure, slot arrays sharded, geometry

@@ -76,6 +76,8 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     (borders/obstacles/vehicles) is unbatched and broadcast.  Params stay
     concrete, so the fused Pallas kernel is eligible under the vmap.
     """
+    from ..models.stepper import prepare_scene
+    scene_batch = prepare_scene(scene_batch)
     spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_batch.spawn)
     scene_axes = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: None, scene_batch), spawn=spawn_axes)
@@ -108,6 +110,9 @@ def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
     With ``mesh`` given, the parameter batch (and the result) is sharded over
     the ``batch`` axis -- data parallelism over independent rollouts.
     """
+
+    from ..models.stepper import prepare_scene
+    scene = prepare_scene(scene)
 
     def one(params_row: SfmParams):
         state = PedState.empty(scene.spawn.capacity)

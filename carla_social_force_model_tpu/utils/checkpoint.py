@@ -44,9 +44,11 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
     Returns ``(final_state, stacked_records_or_None)``.  Resume by loading
     the newest checkpoint and passing its step as ``start_step``.
     """
-    from ..models.stepper import StepRecord, rollout
+    from ..models.stepper import StepRecord, prepare_scene, rollout
     import jax.numpy as jnp
     import functools
+
+    scene = prepare_scene(scene)
 
     if getattr(scene, "autopilot", None) is not None:
         raise NotImplementedError(

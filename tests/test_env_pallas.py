@@ -1,0 +1,226 @@
+"""Fused environment-force kernels (ops/pallas_env.py) vs the jnp path.
+
+The fused kernels compute per-segment closest points and force accumulation
+in one pass over a segment-major layout; these tests pin their equivalence
+to the reference-parity jnp formulation (ops/forces.py) in interpret mode,
+including dead pedestrians, crossing-mode masking, filter circles, inactive
+vehicles, and ragged segment sizes.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from carla_social_force_model_tpu.env.borders import build_border_set
+from carla_social_force_model_tpu.env.obstacles_gen import build_obstacle_set
+from carla_social_force_model_tpu.env.pointsets import segment_major
+from carla_social_force_model_tpu.models import modes
+from carla_social_force_model_tpu.models.params import SfmParams
+from carla_social_force_model_tpu.models.state import PedState
+from carla_social_force_model_tpu.models.stepper import (
+    Scene, StepConfig, force_terms, prepare_scene)
+from carla_social_force_model_tpu.models.vehicles import (
+    VehicleSpec, build_vehicle_states, vehicle_snapshot_at)
+from carla_social_force_model_tpu.ops import forces
+from carla_social_force_model_tpu.ops.pallas_env import (
+    fused_environment_terms)
+
+RNG = np.random.default_rng(17)
+
+
+def _ragged_borders():
+    """Borders with ragged lengths (1 chunk to several), varying filters."""
+    lines = [
+        np.column_stack([np.linspace(-20, 20, 401), np.full(401, 6.0)]),
+        np.column_stack([np.linspace(-20, 5, 120), np.full(120, -6.0)]),
+        np.column_stack([np.full(30, 0.0), np.linspace(-5, 5, 30)]),
+    ]
+    centers = [l[len(l) // 2] for l in lines]
+    lengths = [25.0, 14.0, 6.0]
+    return build_border_set(lines, centers, lengths)
+
+
+def _obstacles():
+    from carla_social_force_model_tpu.models.vehicles import ellipse_template
+    outlines, centers = [], []
+    for cx, cy in [(-8.0, 2.0), (3.0, -3.0), (12.0, 4.0)]:
+        outlines.append(ellipse_template(2.4, 1.1, 0.1) + np.array([cx, cy]))
+        centers.append(np.array([cx, cy]))
+    return build_obstacle_set(outlines, centers, perception_threshold=10.0)
+
+
+def _state(n=97, dead_frac=0.15, crossing_frac=0.2):
+    pos = jnp.asarray(RNG.uniform(-22, 22, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.asarray(RNG.uniform(0.2, 0.4, (n,)), jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) > dead_frac)
+    mode = jnp.where(jnp.asarray(RNG.uniform(size=n) < crossing_frac),
+                     modes.CROSSING_ROAD, modes.WALKING_SIDEWALK)
+    st = PedState.empty(n)
+    return dataclasses.replace(st, pos=pos, vel=vel, radius=radius,
+                               alive=alive, mode=mode)
+
+
+def _scene(with_vehicles=True):
+    borders = _ragged_borders()
+    statics = _obstacles()
+    vehicles = None
+    if with_vehicles:
+        traj = np.column_stack([np.linspace(-15, 15, 40),
+                                np.full(40, -1.0)])
+        specs = [VehicleSpec(trajectory=traj, headings=np.zeros(40),
+                             speeds=np.full(40, 6.0)),
+                 VehicleSpec(trajectory=traj[::-1].copy(),
+                             headings=np.full(40, np.pi),
+                             speeds=np.full(40, 4.0), spawn_time=0.5)]
+        vehicles = build_vehicle_states(specs, 0.05, num_steps=30)
+    scene = Scene(spawn=None, borders=borders, static_obstacles=statics,
+                  static_obstacle_vel=jnp.zeros((statics.num_segments, 2),
+                                                jnp.float32),
+                  vehicles=vehicles)
+    return prepare_scene(scene)
+
+
+@pytest.mark.parametrize("use_radius", [False, True])
+def test_fused_terms_match_jnp(use_radius):
+    scene = _scene()
+    state = _state()
+    params = SfmParams(enable_border=True, enable_static_obstacle=True,
+                       enable_dynamic_obstacle=True,
+                       enable_space_repulsive=True,
+                       use_ped_radius=use_radius)
+    snap = vehicle_snapshot_at(scene.vehicles, jnp.asarray(12))
+
+    got = fused_environment_terms(state, scene, params, snap,
+                                  ped_tile=128, interpret=True)
+    assert set(got) == {"border_force", "space_repulsive_force",
+                        "static_obstacle_force", "dynamic_obstacle_force"}
+
+    want = {
+        "border_force": forces.border_force(
+            state.pos, state.mode, state.radius, state.alive, scene.borders,
+            params.border, use_ped_radius=use_radius),
+        "space_repulsive_force": forces.space_repulsive_force(
+            state.pos, state.mode, state.alive, scene.borders,
+            params.space_repulsive),
+    }
+    from carla_social_force_model_tpu.models.vehicles import snapshot_pointset
+    vset, vvel, vact = snapshot_pointset(
+        snap, params.dynamic_obstacle.perception_threshold)
+    want["static_obstacle_force"] = forces.obstacle_force(
+        state.pos, state.vel, state.radius, state.alive,
+        scene.static_obstacles, scene.static_obstacle_vel,
+        params.static_obstacle, use_ped_radius=use_radius)
+    want["dynamic_obstacle_force"] = forces.obstacle_force(
+        state.pos, state.vel, state.radius, state.alive, vset, vvel,
+        params.dynamic_obstacle, use_ped_radius=use_radius,
+        obstacle_active=vact)
+
+    for name in want:
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]),
+            rtol=3e-5, atol=3e-5, err_msg=name)
+        # dead pedestrians feel nothing (staged at the far sentinel)
+        assert np.all(np.asarray(got[name])[~np.asarray(state.alive)] == 0.0)
+
+
+def test_fused_terms_via_stepper_dispatch():
+    """force_terms uses the fused kernels when cfg.use_pallas is set and
+    falls back identically when the seg layout is absent."""
+    scene = _scene(with_vehicles=False)
+    state = _state(n=64)
+    params = SfmParams(enable_acceleration=True, enable_pedestrian=True,
+                       enable_border=True, enable_static_obstacle=True)
+    cfg_ref = StepConfig(use_pallas=False)
+    cfg_fused = StepConfig(use_pallas=True, pallas_interpret=True,
+                           pallas_row_tile=8, pallas_col_tile=128)
+
+    ref = force_terms(state, scene, params, cfg_ref, None)
+    fused = force_terms(state, scene, params, cfg_fused, None)
+    assert set(ref) == set(fused)
+    for name in ("border_force", "static_obstacle_force"):
+        np.testing.assert_allclose(np.asarray(fused[name]),
+                                   np.asarray(ref[name]),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+    # without the seg layout the dispatch falls back to the jnp path
+    bare = dataclasses.replace(scene, borders_seg=None,
+                               static_obstacles_seg=None)
+    fb = force_terms(state, bare, params, cfg_fused, None)
+    for name in ("border_force", "static_obstacle_force"):
+        np.testing.assert_allclose(np.asarray(fb[name]),
+                                   np.asarray(ref[name]),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_far_pedestrians_feel_nothing():
+    """Tile skipping: pedestrians far outside every filter circle get an
+    exactly-zero force (the skip is not an approximation)."""
+    scene = _scene(with_vehicles=False)
+    n = 32
+    st = PedState.empty(n)
+    pos = jnp.asarray(RNG.uniform(4000.0, 4100.0, (n, 2)), jnp.float32)
+    st = dataclasses.replace(
+        st, pos=pos, vel=jnp.zeros((n, 2), jnp.float32),
+        radius=jnp.full((n,), 0.3, jnp.float32),
+        alive=jnp.ones((n,), bool),
+        mode=jnp.full((n,), modes.WALKING_SIDEWALK, jnp.int32))
+    params = SfmParams(enable_border=True, enable_static_obstacle=True)
+    got = fused_environment_terms(st, scene, params, None,
+                                  ped_tile=128, interpret=True)
+    assert np.all(np.asarray(got["border_force"]) == 0.0)
+    assert np.all(np.asarray(got["static_obstacle_force"]) == 0.0)
+
+
+def test_segment_major_roundtrip():
+    pset = _ragged_borders()
+    seg = segment_major(pset)
+    assert seg is not None
+    assert seg.num_segments == pset.num_segments
+    assert seg.points_per_segment % 128 == 0
+    pts = np.asarray(pset.points)
+    valid = np.asarray(pset.valid)
+    cseg = np.asarray(pset.chunk_segment)
+    out = np.asarray(seg.points)
+    for s in range(pset.num_segments):
+        ref_pts = np.concatenate(
+            [pts[c][valid[c]] for c in range(pts.shape[0]) if cseg[c] == s],
+            axis=0) if (cseg == s).any() else np.zeros((0, 2))
+        np.testing.assert_array_equal(out[s, : len(ref_pts)], ref_pts)
+        assert np.all(out[s, len(ref_pts):] >= 1e7)  # padding sentinel
+
+    # over-long segments refuse (fallback to the chunked path)
+    assert segment_major(pset, max_points_per_segment=64) is None
+    assert segment_major(None) is None
+
+
+def test_fused_rollout_matches_jnp_rollout():
+    """Whole-rollout equivalence through simulation_step (spawn pipeline,
+    scripted vehicles, waypoints) between the fused and jnp env paths."""
+    import os
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    from carla_social_force_model_tpu.models.stepper import rollout
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bundle = Simulation.from_config(
+        os.path.join(root, "configs/scenarios/obstacle_evasion.toml"),
+        os.path.join(root, "configs/sfm.toml"), duration=2.0).bundle
+
+    scene = prepare_scene(bundle.scene)
+    assert scene.static_obstacles_seg is not None
+    cfg_ref = bundle.cfg
+    cfg_fused = dataclasses.replace(bundle.cfg, use_pallas=True,
+                                    pallas_interpret=True,
+                                    pallas_row_tile=8, pallas_col_tile=128)
+    steps = 40
+    f_ref, rec_ref = jax.jit(
+        lambda s: rollout(s, scene, bundle.params, cfg_ref, steps))(
+            bundle.initial_state)
+    f_fused, rec_fused = jax.jit(
+        lambda s: rollout(s, scene, bundle.params, cfg_fused, steps))(
+            bundle.initial_state)
+    np.testing.assert_allclose(np.asarray(f_fused.pos),
+                               np.asarray(f_ref.pos), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(rec_fused.alive),
+                                  np.asarray(rec_ref.alive))

@@ -48,12 +48,18 @@ def test_native_writer_speed(tmp_path):
     if load("trajio") is None:
         pytest.skip("no native toolchain")
     recs = random_records(300, 500)  # 150k rows x ~80% alive
-    t0 = time.perf_counter()
-    write_pedestrian_csv(str(tmp_path / "n.csv"), recs, 0.05, use_native=True)
-    native_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    write_pedestrian_csv(str(tmp_path / "p.csv"), recs, 0.05, use_native=False)
-    python_t = time.perf_counter() - t0
+
+    def timed(use_native, path):
+        # best of 3: wall-clock timing flakes under concurrent machine load
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            write_pedestrian_csv(path, recs, 0.05, use_native=use_native)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    native_t = timed(True, str(tmp_path / "n.csv"))
+    python_t = timed(False, str(tmp_path / "p.csv"))
     # native should be decisively faster (typically 10-50x)
     assert native_t < python_t, (native_t, python_t)
     assert os.path.getsize(tmp_path / "n.csv") > 1_000_000
