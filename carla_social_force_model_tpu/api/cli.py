@@ -85,16 +85,20 @@ def main(argv=None) -> int:
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented
         b = sim.bundle
-        state, start = b.initial_state, 0
+        state, start, ap = b.initial_state, 0, None
         if args.resume:
             ckpt = latest_checkpoint(args.checkpoint_dir)
             if ckpt:
-                state, start = load_state(ckpt)
+                state, start, ap = load_state(ckpt, with_autopilot=True)
                 log.info("resuming from %s (step %d)", ckpt, start)
         final, recs = run_segmented(
             state, b.scene, b.params, b.cfg, b.num_steps - start,
             segment_steps=args.checkpoint_every,
-            checkpoint_dir=args.checkpoint_dir, start_step=start)
+            checkpoint_dir=args.checkpoint_dir, start_step=start,
+            autopilot_state=ap)
+        from ..models.stepper import StepRecord
+        if recs is not None and not isinstance(recs, StepRecord):
+            recs, sim.veh_records = recs   # reactive-fleet segment records
         sim.final_state, sim.records = final, recs
     elif args.profile:
         from ..utils.profiling import trace

@@ -333,7 +333,8 @@ def simulation_step(state: PedState, scene: Scene, params: SfmParams,
 
 def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             num_steps: int, record: bool = True, start_step: int = 0,
-            axis_name: str | None = None, record_stride: int = 1):
+            axis_name: str | None = None, record_stride: int = 1,
+            autopilot_state=None, return_autopilot_state: bool = False):
     """Run ``num_steps`` ticks under ``lax.scan``.
 
     Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
@@ -343,17 +344,21 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
 
     With a reactive vehicle fleet (``scene.autopilot``), the scan carry is
     ``(PedState, AutopilotState)`` and the recorded output is a
-    ``(StepRecord, AutopilotRecord)`` pair.
+    ``(StepRecord, AutopilotRecord)`` pair.  Segmented/resumed rollouts pass
+    the fleet state in via ``autopilot_state`` and read it back by setting
+    ``return_autopilot_state`` (the first element then becomes the
+    ``(PedState, AutopilotState)`` pair).
     """
     # (start_step may be traced -- segmented/resumed rollouts pass it jitted)
     steps = jnp.asarray(start_step) + jnp.arange(num_steps)
     fleet = scene.autopilot
-    if fleet is not None and not (isinstance(start_step, int)
-                                  and start_step == 0):
+    if (fleet is not None and autopilot_state is None
+            and not (isinstance(start_step, int) and start_step == 0)):
         raise NotImplementedError(
             "rollouts with a reactive autopilot fleet cannot resume from "
-            "start_step != 0: the fleet state would restart from its route "
-            "origins (vehicles whose spawn step already passed never spawn)")
+            "start_step != 0 without the saved fleet state: a fresh "
+            "AutopilotState restarts vehicles from their route origins "
+            "(pass autopilot_state from the checkpoint)")
 
     def body(carry, t_idx, want_rec):
         if fleet is None:
@@ -368,7 +373,16 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
         # (run_simulation.py:53-95); apply_spawn is idempotent, so
         # simulation_step re-applying it is a no-op.
         st = apply_spawn(st, scene.spawn, t_idx)
-        ap = autopilot_step(fleet, ap, st.pos, st.vel, st.alive, t_idx,
+        if axis_name is not None:
+            # the braking hazard check needs the GLOBAL walker set; the
+            # fleet state itself is replicated (identical deterministic
+            # update on every device)
+            w_pos = jax.lax.all_gather(st.pos, axis_name, tiled=True)
+            w_vel = jax.lax.all_gather(st.vel, axis_name, tiled=True)
+            w_alive = jax.lax.all_gather(st.alive, axis_name, tiled=True)
+        else:
+            w_pos, w_vel, w_alive = st.pos, st.vel, st.alive
+        ap = autopilot_step(fleet, ap, w_pos, w_vel, w_alive, t_idx,
                             cfg.dt)
         snap = autopilot_snapshot(fleet, ap)
         new_state, rec = simulation_step(st, scene, params, cfg, t_idx,
@@ -378,7 +392,11 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
                if want_rec else None)
         return (new_state, ap), out
 
-    carry0 = state if fleet is None else (state, fleet.initial_state())
+    if fleet is None:
+        carry0 = state
+    else:
+        carry0 = (state, autopilot_state if autopilot_state is not None
+                  else fleet.initial_state())
 
     if record and record_stride > 1:
         if num_steps % record_stride != 0:
@@ -395,7 +413,7 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
     else:
         final, recs = jax.lax.scan(
             lambda c, t: body(c, t, record), carry0, steps)
-    if fleet is not None:
+    if fleet is not None and not return_autopilot_state:
         final = final[0]
     return final, recs
 

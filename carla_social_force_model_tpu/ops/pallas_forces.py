@@ -350,7 +350,10 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
             transcendentals=int(5 * n_rows * n_cols)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(__import__("os").environ.get(
-                "PF_VMEM_MB", "32")) * 1024 * 1024),
+                "PF_VMEM_MB", "32")) * 1024 * 1024,
+            # row tiles are independent; only the column dimension revisits
+            # the output block (accumulation), so it must stay "arbitrary"
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(prm, row_bb, col_bb, *row_args, *col_args)
 

@@ -58,10 +58,6 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
         run = make_sharded_rollout(mesh, scene, params, cfg, steps)
         final, recs = run(PedState.empty(cap))
     """
-    if scene.autopilot is not None:
-        raise NotImplementedError(
-            "agent-sharded rollouts with a reactive autopilot fleet are not "
-            "supported: the hazard check needs the global walker set")
     from ..models.stepper import prepare_scene
     scene = prepare_scene(scene)
     state_spec = jax.tree_util.tree_map(lambda _: P(AGENT_AXIS),
@@ -77,13 +73,15 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
                        axis_name=AGENT_AXIS)
 
     if record:
-        rec_spec = jax.tree_util.tree_map(
-            lambda _: P(None, AGENT_AXIS),
-            PedState.empty(1))
-        # StepRecord is a 4-tuple of (T, N, ...) arrays
+        # StepRecord is a 4-tuple of (T, N, ...) arrays; a reactive fleet's
+        # AutopilotRecord (T, V, ...) is replicated (identical on all devices)
         from ..models.stepper import StepRecord
         rec_spec = StepRecord(pos=P(None, AGENT_AXIS), vel=P(None, AGENT_AXIS),
                               mode=P(None, AGENT_AXIS), alive=P(None, AGENT_AXIS))
+        if scene.autopilot is not None:
+            from ..models.autopilot import AutopilotRecord
+            rec_spec = (rec_spec, AutopilotRecord(pos=P(), heading=P(),
+                                                  speed=P(), active=P()))
         out_specs = (state_spec, rec_spec)
     else:
         out_specs = (state_spec, None)

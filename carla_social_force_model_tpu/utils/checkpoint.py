@@ -17,65 +17,98 @@ import jax
 from ..models.state import PedState
 
 
-def save_state(path: str, state: PedState, step: int) -> str:
-    """Snapshot the rollout carry at ``step`` to ``path`` (npz)."""
+def save_state(path: str, state: PedState, step: int,
+               autopilot=None) -> str:
+    """Snapshot the rollout carry at ``step`` to ``path`` (npz).
+
+    ``autopilot``: the AutopilotState of a reactive-fleet rollout, saved
+    alongside so a resumed rollout restores vehicles mid-route.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {f"state__{f.name}": np.asarray(getattr(state, f.name))
                for f in dataclasses.fields(PedState)}
+    if autopilot is not None:
+        for f in dataclasses.fields(type(autopilot)):
+            payload[f"ap__{f.name}"] = np.asarray(getattr(autopilot, f.name))
     payload["step"] = np.asarray(step, np.int64)
     np.savez_compressed(path, **payload)
     return path
 
 
-def load_state(path: str):
-    """Returns ``(state, step)``."""
+def load_state(path: str, with_autopilot: bool = False):
+    """Returns ``(state, step)``, or ``(state, step, autopilot_or_None)``
+    when ``with_autopilot`` (None for checkpoints without a fleet)."""
     with np.load(path) as data:
         kwargs = {f.name: jax.numpy.asarray(data[f"state__{f.name}"])
                   for f in dataclasses.fields(PedState)}
         step = int(data["step"])
+        ap = None
+        if with_autopilot and any(k.startswith("ap__") for k in data.files):
+            from ..models.autopilot import AutopilotState
+            ap = AutopilotState(**{
+                f.name: jax.numpy.asarray(data[f"ap__{f.name}"])
+                for f in dataclasses.fields(AutopilotState)})
+    if with_autopilot:
+        return PedState(**kwargs), step, ap
     return PedState(**kwargs), step
 
 
 def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
                   segment_steps: int, checkpoint_dir: str | None = None,
-                  start_step: int = 0, record: bool = True):
+                  start_step: int = 0, record: bool = True,
+                  autopilot_state=None):
     """Rollout in jitted segments with host-side checkpoints in between.
 
     Returns ``(final_state, stacked_records_or_None)``.  Resume by loading
-    the newest checkpoint and passing its step as ``start_step``.
+    the newest checkpoint and passing its step as ``start_step``; with a
+    reactive autopilot fleet, also pass its saved ``autopilot_state``
+    (``load_state(..., with_autopilot=True)``) -- the record output is then
+    a ``(StepRecord, AutopilotRecord)`` pair like :func:`rollout`'s.
     """
     from ..models.stepper import StepRecord, prepare_scene, rollout
     import jax.numpy as jnp
     import functools
 
     scene = prepare_scene(scene)
-
-    if getattr(scene, "autopilot", None) is not None:
-        raise NotImplementedError(
-            "segmented checkpoint/resume does not yet carry reactive "
-            "autopilot fleet state across segments")
+    fleet = getattr(scene, "autopilot", None)
+    ap = autopilot_state
+    if fleet is not None and ap is None:
+        if start_step != 0:
+            raise ValueError(
+                "resuming a reactive-fleet rollout needs the checkpointed "
+                "autopilot_state (load_state(..., with_autopilot=True))")
+        ap = fleet.initial_state()
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def seg(s, start, n):
+    def seg(s, ap, start, n):
         return rollout(s, scene, params, cfg, n, record=record,
-                       start_step=start)
+                       start_step=start, autopilot_state=ap,
+                       return_autopilot_state=fleet is not None)
 
     records = []
     step = start_step
     end = start_step + num_steps
     while step < end:
         n = min(segment_steps, end - step)
-        state, rec = seg(state, jnp.asarray(step), n)
+        out, rec = seg(state, ap, jnp.asarray(step), n)
         # NOTE: start_step is traced; rollout uses jnp.arange(start, start+n)
+        state, ap = out if fleet is not None else (out, None)
         if record:
             records.append(jax.tree_util.tree_map(np.asarray, rec))
         step += n
         if checkpoint_dir is not None:
             save_state(os.path.join(checkpoint_dir, f"ckpt_{step:08d}.npz"),
-                       state, step)
+                       state, step, autopilot=ap)
     if record and records:
-        stacked = StepRecord(*[np.concatenate([getattr(r, f) for r in records])
-                               for f in StepRecord._fields])
+        def stack(tuples, cls):
+            return cls(*[np.concatenate([getattr(r, f) for r in tuples])
+                         for f in cls._fields])
+        if fleet is not None:
+            from ..models.autopilot import AutopilotRecord
+            stacked = (stack([r[0] for r in records], StepRecord),
+                       stack([r[1] for r in records], AutopilotRecord))
+        else:
+            stacked = stack(records, StepRecord)
         return state, stacked
     return state, None
 

@@ -42,6 +42,51 @@ def test_segmented_rollout_bit_equal_and_resumable(tmp_path):
     assert latest_checkpoint(ckpt_dir).endswith("ckpt_00000060.npz")
 
 
+def test_segmented_autopilot_fleet_resume(tmp_path):
+    """Reactive-fleet rollouts checkpoint/resume bit-exactly: the
+    AutopilotState rides in the snapshot, so resumed vehicles continue
+    mid-route instead of restarting from their origins."""
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    b = Simulation.from_config(
+        os.path.join(repo, "configs/scenarios/jaywalking_reactive.toml"),
+        os.path.join(repo, "configs/sfm.toml"), duration=8.0).bundle
+    assert b.scene.autopilot is not None
+    steps = b.num_steps
+
+    final_full, (recs_full, veh_full) = run_segmented(
+        b.initial_state, b.scene, b.params, b.cfg, steps,
+        segment_steps=steps)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    final_seg, (recs_seg, veh_seg) = run_segmented(
+        b.initial_state, b.scene, b.params, b.cfg, steps,
+        segment_steps=45, checkpoint_dir=ckpt_dir)
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_seg.pos))
+    np.testing.assert_array_equal(np.asarray(recs_full.pos),
+                                  np.asarray(recs_seg.pos))
+    np.testing.assert_array_equal(np.asarray(veh_full.pos),
+                                  np.asarray(veh_seg.pos))
+
+    ckpt = os.path.join(ckpt_dir, "ckpt_00000090.npz")
+    assert os.path.exists(ckpt)
+    mid_state, step, ap = load_state(ckpt, with_autopilot=True)
+    assert step == 90 and ap is not None
+    final_resumed, _ = run_segmented(
+        mid_state, b.scene, b.params, b.cfg, steps - step,
+        segment_steps=1000, start_step=step, record=False,
+        autopilot_state=ap)
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_resumed.pos))
+
+    # resuming without the fleet state is refused, not silently wrong
+    import pytest
+    with pytest.raises(ValueError, match="autopilot_state"):
+        run_segmented(mid_state, b.scene, b.params, b.cfg, 10,
+                      segment_steps=10, start_step=step, record=False)
+
+
 def test_save_load_roundtrip(tmp_path):
     state = PedState.empty(7)
     p = save_state(str(tmp_path / "s.npz"), state, 123)

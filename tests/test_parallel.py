@@ -40,6 +40,40 @@ def test_sharded_rollout_matches_single_device():
                                np.asarray(final_p.pos)[:n], atol=2e-5)
 
 
+def test_sharded_autopilot_rollout_matches_single_device():
+    """Reactive-fleet rollouts compose with agent-sharding: the hazard
+    check gathers the global walker set over the mesh axis while the fleet
+    state stays replicated (ROADMAP round-2 item)."""
+    import os
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    b = Simulation.from_config(
+        os.path.join(repo, "configs/scenarios/jaywalking_reactive.toml"),
+        os.path.join(repo, "configs/sfm.toml"), duration=8.0).bundle
+    assert b.scene.autopilot is not None
+    n, steps = b.capacity, b.num_steps
+
+    run_single = make_rollout_fn(b.scene, b.params, b.cfg, steps, record=True)
+    final_s, (recs_s, veh_s) = run_single(b.initial_state)
+
+    mesh = make_mesh(n_agent_shards=8)
+    scene_p, cap = prepare_sharded_scene(b.scene, 8)
+    run_sharded = make_sharded_rollout(mesh, scene_p, b.params, b.cfg, steps,
+                                       record=True)
+    final_p, (recs_p, veh_p) = run_sharded(PedState.empty(cap))
+
+    np.testing.assert_array_equal(np.asarray(recs_s.alive),
+                                  np.asarray(recs_p.alive)[:, :n])
+    np.testing.assert_allclose(np.asarray(recs_s.pos),
+                               np.asarray(recs_p.pos)[:, :n], atol=2e-5)
+    # the replicated fleet trajectory matches (vehicles brake identically
+    # for the same walkers)
+    np.testing.assert_array_equal(np.asarray(veh_s.active),
+                                  np.asarray(veh_p.active))
+    np.testing.assert_allclose(np.asarray(veh_s.pos),
+                               np.asarray(veh_p.pos), atol=2e-5)
+
+
 def test_ring_comm_matches_gather():
     import dataclasses
     n, steps = 48, 15
