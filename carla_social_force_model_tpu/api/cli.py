@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", type=str, default=None,
                    help="write state snapshots every --checkpoint-every steps")
     p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--checkpoint-backend", choices=("npz", "orbax"),
+                   default="npz", help="snapshot format (resume reads both)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest checkpoint in --checkpoint-dir")
     p.add_argument("--debug", action="store_true")
@@ -95,7 +97,7 @@ def main(argv=None) -> int:
             state, b.scene, b.params, b.cfg, b.num_steps - start,
             segment_steps=args.checkpoint_every,
             checkpoint_dir=args.checkpoint_dir, start_step=start,
-            autopilot_state=ap)
+            autopilot_state=ap, backend=args.checkpoint_backend)
         from ..models.stepper import StepRecord
         if recs is not None and not isinstance(recs, StepRecord):
             recs, sim.veh_records = recs   # reactive-fleet segment records

@@ -5,6 +5,16 @@ here the whole rollout carry is a pytree of arrays, so a snapshot is one
 npz (content-addressed by step) and resume is exact: a segmented rollout
 that checkpoints every K steps produces bit-identical trajectories to an
 uninterrupted one (covered by tests).
+
+Two interchangeable backends:
+
+* ``"npz"`` (default) -- one compressed npz file per snapshot; zero extra
+  dependencies, loads anywhere.
+* ``"orbax"`` -- an orbax-checkpoint directory per snapshot (the standard
+  JAX ecosystem format: async-friendly, sharding-aware on restore).  Same
+  ``ckpt_<step>`` naming with an ``.orbax`` suffix; ``latest_checkpoint``
+  and ``load_state`` dispatch on the suffix, so the two formats can be
+  mixed in one directory and a run can resume from either.
 """
 from __future__ import annotations
 
@@ -17,37 +27,65 @@ import jax
 from ..models.state import PedState
 
 
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+    try:
+        return ocp.PyTreeCheckpointer()
+    except AttributeError:  # newer orbax dropped the alias
+        return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
 def save_state(path: str, state: PedState, step: int,
                autopilot=None) -> str:
-    """Snapshot the rollout carry at ``step`` to ``path`` (npz).
+    """Snapshot the rollout carry at ``step`` to ``path``.
+
+    ``path`` ending in ``.orbax`` selects the orbax directory format,
+    anything else writes a compressed npz file.
 
     ``autopilot``: the AutopilotState of a reactive-fleet rollout, saved
     alongside so a resumed rollout restores vehicles mid-route.
     """
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {f"state__{f.name}": np.asarray(getattr(state, f.name))
                for f in dataclasses.fields(PedState)}
     if autopilot is not None:
         for f in dataclasses.fields(type(autopilot)):
             payload[f"ap__{f.name}"] = np.asarray(getattr(autopilot, f.name))
     payload["step"] = np.asarray(step, np.int64)
+    if path.endswith(".orbax"):
+        path = os.path.abspath(path)
+        if os.path.isdir(path):    # orbax refuses to overwrite in place
+            import shutil
+            shutil.rmtree(path)
+        _orbax_checkpointer().save(path, payload)
+        return path
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, **payload)
     return path
 
 
 def load_state(path: str, with_autopilot: bool = False):
     """Returns ``(state, step)``, or ``(state, step, autopilot_or_None)``
-    when ``with_autopilot`` (None for checkpoints without a fleet)."""
-    with np.load(path) as data:
+    when ``with_autopilot`` (None for checkpoints without a fleet).
+    Dispatches on the path suffix (``.orbax`` directory vs npz file)."""
+    if path.rstrip("/").endswith(".orbax"):
+        data = _orbax_checkpointer().restore(os.path.abspath(path))
+        files = list(data.keys())
+    else:
+        data = np.load(path)
+        files = data.files
+    try:
         kwargs = {f.name: jax.numpy.asarray(data[f"state__{f.name}"])
                   for f in dataclasses.fields(PedState)}
         step = int(data["step"])
         ap = None
-        if with_autopilot and any(k.startswith("ap__") for k in data.files):
+        if with_autopilot and any(k.startswith("ap__") for k in files):
             from ..models.autopilot import AutopilotState
             ap = AutopilotState(**{
                 f.name: jax.numpy.asarray(data[f"ap__{f.name}"])
                 for f in dataclasses.fields(AutopilotState)})
+    finally:
+        if hasattr(data, "close"):
+            data.close()
     if with_autopilot:
         return PedState(**kwargs), step, ap
     return PedState(**kwargs), step
@@ -56,7 +94,7 @@ def load_state(path: str, with_autopilot: bool = False):
 def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
                   segment_steps: int, checkpoint_dir: str | None = None,
                   start_step: int = 0, record: bool = True,
-                  autopilot_state=None):
+                  autopilot_state=None, backend: str = "npz"):
     """Rollout in jitted segments with host-side checkpoints in between.
 
     Returns ``(final_state, stacked_records_or_None)``.  Resume by loading
@@ -97,7 +135,8 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
             records.append(jax.tree_util.tree_map(np.asarray, rec))
         step += n
         if checkpoint_dir is not None:
-            save_state(os.path.join(checkpoint_dir, f"ckpt_{step:08d}.npz"),
+            ext = "orbax" if backend == "orbax" else "npz"
+            save_state(os.path.join(checkpoint_dir, f"ckpt_{step:08d}.{ext}"),
                        state, step, autopilot=ap)
     if record and records:
         def stack(tuples, cls):
@@ -114,9 +153,11 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
 
 
 def latest_checkpoint(checkpoint_dir: str):
-    """Newest ``ckpt_*.npz`` in the directory or None."""
+    """Newest ``ckpt_*`` snapshot (npz file or .orbax directory) or None."""
     if not os.path.isdir(checkpoint_dir):
         return None
-    files = sorted(f for f in os.listdir(checkpoint_dir)
-                   if f.startswith("ckpt_") and f.endswith(".npz"))
+    files = sorted((f for f in os.listdir(checkpoint_dir)
+                    if f.startswith("ckpt_")
+                    and (f.endswith(".npz") or f.endswith(".orbax"))),
+                   key=lambda f: f.split(".")[0])
     return os.path.join(checkpoint_dir, files[-1]) if files else None

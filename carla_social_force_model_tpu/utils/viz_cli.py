@@ -4,6 +4,8 @@ Subcommands:
   graph         render a NavGraph (.npz, or built live from a CARLA map)
                 to a PNG, or draw it into a running CARLA world
   trajectories  render a simulation run's CSV output to a PNG
+  animate       render a run's CSV output as a GIF/MP4 animation
+                (mode-colored peds, trails, vehicle rectangles)
 
 Examples:
   python -m carla_social_force_model_tpu.utils.viz_cli graph \
@@ -94,6 +96,91 @@ def _cmd_trajectories(args) -> int:
     return 0
 
 
+def _records_from_csv(csv_dir: str):
+    """Rebuild dense (T, N)-shaped record arrays from a run's CSV output
+    (the reference schemas, output_generator.py:32-73) for animation."""
+    import os
+    from types import SimpleNamespace
+
+    rows = []
+    with open(os.path.join(csv_dir, "pedestrian.csv")) as f:
+        for r in csv.DictReader(f):
+            try:
+                m = int(r["mode"])
+            except ValueError:      # strict-parity runs write the enum text
+                from ..models.modes import PedMode
+                m = int(PedMode[r["mode"].split(".")[-1]])
+            rows.append((int(r["ped_id"]), int(r["frame"]),
+                         float(r["x"]), float(r["y"]), m))
+    ids = sorted({r[0] for r in rows})
+    id_slot = {p: i for i, p in enumerate(ids)}
+    T = max(r[1] for r in rows) + 1
+    pos = np.zeros((T, len(ids), 2), np.float32)
+    alive = np.zeros((T, len(ids)), bool)
+    mode = np.zeros((T, len(ids)), np.int8)
+    for pid, fr, x, y, m in rows:
+        s = id_slot[pid]
+        pos[fr, s] = (x, y)
+        alive[fr, s] = True
+        mode[fr, s] = m
+    recs = SimpleNamespace(pos=pos, alive=alive, mode=mode)
+
+    veh = None
+    vpath = os.path.join(csv_dir, "vehicle.csv")
+    if os.path.exists(vpath):
+        vrows = []
+        with open(vpath) as f:
+            for r in csv.DictReader(f):
+                vrows.append((int(r["veh_id"]), int(r["frame"]), float(r["x"]),
+                              float(r["y"]), float(r["heading"]),
+                              float(r["ext_x"]), float(r["ext_y"])))
+        if vrows:
+            vids = sorted({r[0] for r in vrows})
+            vslot = {v: i for i, v in enumerate(vids)}
+            vT = max(T, max(r[1] for r in vrows) + 1)
+            v_pos = np.zeros((vT, len(vids), 2), np.float32)
+            v_head = np.zeros((vT, len(vids)), np.float32)
+            v_act = np.zeros((vT, len(vids)), bool)
+            v_ext = np.full((len(vids), 2), (2.4, 1.1), np.float32)
+            for vid, fr, x, y, h, ex, ey in vrows:
+                s = vslot[vid]
+                v_pos[fr, s] = (x, y)
+                v_head[fr, s] = h
+                v_act[fr, s] = True
+                v_ext[s] = (ex, ey)
+            veh = SimpleNamespace(pos=v_pos[:T], heading=v_head[:T],
+                                  active=v_act[:T], extents=v_ext)
+
+    borders = []
+    bpath = os.path.join(csv_dir, "borders.csv")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            pts = [(float(r["x"]), float(r["y"])) for r in csv.DictReader(f)]
+        if pts:
+            borders = [np.asarray(pts)]
+    obstacles = []
+    opath = os.path.join(csv_dir, "obstacles.csv")
+    if os.path.exists(opath):
+        with open(opath) as f:
+            pts = [(float(r["x"]), float(r["y"])) for r in csv.DictReader(f)]
+        if pts:
+            obstacles = [np.asarray(pts)]
+    return recs, veh, borders, obstacles
+
+
+def _cmd_animate(args) -> int:
+    from .visualize import animate_trajectories
+    recs, veh, borders, obstacles = _records_from_csv(args.csv_dir)
+    out = animate_trajectories(
+        recs, args.out, border_lines=borders, obstacle_outlines=obstacles,
+        vehicle_records=veh, dt=args.dt, stride=args.stride, fps=args.fps,
+        trail=args.trail)
+    log.info("wrote %s (%d frames, %d peds%s)", out,
+             recs.pos.shape[0] // args.stride, recs.pos.shape[1],
+             f", {veh.pos.shape[1]} vehicles" if veh is not None else "")
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(levelname)s: %(message)s", level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
@@ -115,6 +202,17 @@ def main(argv=None) -> int:
     t.add_argument("--csv-dir", type=str, required=True)
     t.add_argument("--out", type=str, default="trajectories.png")
     t.set_defaults(fn=_cmd_trajectories)
+
+    a = sub.add_parser("animate", help="render a run's CSV output as an "
+                       "animation (gif, or mp4 with ffmpeg)")
+    a.add_argument("--csv-dir", type=str, required=True)
+    a.add_argument("--out", type=str, default="run.gif")
+    a.add_argument("--dt", type=float, default=0.05)
+    a.add_argument("--stride", type=int, default=2,
+                   help="render every k-th recorded frame")
+    a.add_argument("--fps", type=int, default=20)
+    a.add_argument("--trail", type=int, default=40)
+    a.set_defaults(fn=_cmd_animate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -95,6 +95,73 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded.pos), np.asarray(state.pos))
 
 
+def test_orbax_backend_roundtrip_and_resume(tmp_path):
+    """The orbax backend saves/loads the same payload as npz, and a
+    resumed run reads a mixed npz/orbax checkpoint directory."""
+    n, steps = 16, 30
+    scene, params, cfg, state = benchmark_bundle(n, extent=10.0)
+    run = make_rollout_fn(scene, params, cfg, steps, record=False)
+    final_full, _ = run(state)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    final_seg, _ = run_segmented(state, scene, params, cfg, steps,
+                                 segment_steps=10, checkpoint_dir=ckpt_dir,
+                                 record=False, backend="orbax")
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_seg.pos))
+
+    ckpt = latest_checkpoint(ckpt_dir)
+    assert ckpt.endswith("ckpt_00000030.orbax") and os.path.isdir(ckpt)
+    loaded, step = load_state(ckpt)
+    assert step == 30
+    np.testing.assert_array_equal(np.asarray(loaded.pos),
+                                  np.asarray(final_seg.pos))
+
+    # mixed-format directory: newest snapshot wins regardless of format
+    mid = os.path.join(ckpt_dir, "ckpt_00000020.orbax")
+    mid_state, mid_step = load_state(mid)
+    final_resumed, _ = run_segmented(mid_state, scene, params, cfg,
+                                     steps - mid_step, segment_steps=100,
+                                     start_step=mid_step, record=False)
+    np.testing.assert_array_equal(np.asarray(final_full.pos),
+                                  np.asarray(final_resumed.pos))
+
+    save_state(os.path.join(ckpt_dir, "ckpt_00000031.npz"), final_seg, 31)
+    assert latest_checkpoint(ckpt_dir).endswith("ckpt_00000031.npz")
+
+
+def test_animate_trajectories(tmp_path):
+    """The headless animation viewer renders a GIF from records (and from
+    a run's CSV output via the viz CLI)."""
+    from carla_social_force_model_tpu.utils.visualize import (
+        animate_trajectories)
+    n, steps = 8, 24
+    scene, params, cfg, state = benchmark_bundle(n, extent=8.0)
+    run = make_rollout_fn(scene, params, cfg, steps, record=True)
+    _, recs = run(state)
+    out = animate_trajectories(recs, str(tmp_path / "run.gif"),
+                               stride=4, fps=10, dt=cfg.dt)
+    assert os.path.getsize(out) > 2000
+
+
+def test_viz_cli_animate_from_csv(tmp_path):
+    """CSV -> dense records reconstruction -> GIF, incl. the vehicle
+    fleet rectangles, on a reactive-fleet scenario run."""
+    from carla_social_force_model_tpu.api.cli import main as cli_main
+    from carla_social_force_model_tpu.utils.viz_cli import main as viz_main
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outdir = str(tmp_path / "out")
+    assert cli_main([
+        "--scenario-config",
+        os.path.join(repo, "configs/scenarios/jaywalking_reactive.toml"),
+        "--duration", "4", "--csv", "--output", outdir]) == 0
+    run_dir = os.path.join(outdir, os.listdir(outdir)[0])
+    gif = tmp_path / "run.gif"
+    assert viz_main(["animate", "--csv-dir", run_dir, "--out", str(gif),
+                     "--stride", "8", "--fps", "10"]) == 0
+    assert os.path.getsize(gif) > 2000
+
+
 def test_plot_outputs(tmp_path):
     from carla_social_force_model_tpu.utils.visualize import (
         plot_nav_graph, plot_trajectories)
