@@ -579,6 +579,71 @@ class Town2Map:
         return "<fake-opendrive-town2/>"
 
 
+class CrossTownMap:
+    """Junction-faithful 4-way-junction town: roads are SPLIT at the
+    junction polygon like real OpenDRIVE (each approach road ends at the
+    junction boundary), so the full sidewalk-border extraction produces no
+    wall that crosses another road's sidewalk channel -- unlike Town2Map,
+    whose road footprints overlap at junctions (see make_town2_assets.py).
+    This is the fixture behind the ``routed_town_walled`` scenario: routing
+    over junction corners + crosswalks WITH the extracted borders active.
+
+    * road 11: W approach (0,0)->(40,0);  road 12: E approach (60,0)->(100,0)
+    * road 13: S approach (50,-50)->(50,-10); road 14: N (50,10)->(50,50)
+    * junction J1 box x in [40,60], y in [-10,10]; 4 corner sidewalk
+      segments connect the exact sidewalk chain-end nodes
+    * crosswalks: across road 11 at x=25 and across road 13 at y=-25
+      (both off the 10 m waypoint grid)
+    """
+
+    name = "Fake/CrossTown"
+
+    def __init__(self):
+        self.roads = {
+            11: Road(11, [(0.0, 0.0), (40.0, 0.0)]),
+            12: Road(12, [(60.0, 0.0), (100.0, 0.0)]),
+            13: Road(13, [(50.0, -50.0), (50.0, -10.0)]),
+            14: Road(14, [(50.0, 10.0), (50.0, 50.0)]),
+        }
+        # corner endpoints == sidewalk chain-end node positions, so the
+        # node-rounding dedup fuses them into the road chains:
+        # road 11 ends (40, -7.5)/(40, 7.5); road 12 starts (60, -7.5)/
+        # (60, 7.5); road 13 ends (42.5, -10)/(57.5, -10); road 14 starts
+        # (42.5, 10)/(57.5, 10)
+        self._j1 = GenericJunction(1, corner_segments=[
+            (111, 111, (40.0, -7.5), (42.5, -10.0)),   # SW: W <-> S west
+            (112, 112, (40.0, 7.5), (42.5, 10.0)),     # NW: W <-> N west
+            (113, 113, (57.5, -10.0), (60.0, -7.5)),   # SE: S east <-> E
+            (114, 114, (57.5, 10.0), (60.0, 7.5)),     # NE: N east <-> E
+        ])
+
+    def get_topology(self):
+        topo = []
+        for road in self.roads.values():
+            topo.append((RoadWaypoint(road, -1, 0.0),
+                         RoadWaypoint(road, -1, road.length)))
+            topo.append((RoadWaypoint(road, 1, road.length),
+                         RoadWaypoint(road, 1, 0.0)))
+        wp = SegmentWaypoint((40.0, 0.0), (60.0, 0.0), 0.0, road_id=99,
+                             lane_id=-1, junction=self._j1,
+                             lane_type=LaneType.Driving)
+        end = wp.next(1.0)
+        topo.append((wp, end[0] if end else wp))
+        return topo
+
+    def get_crosswalks(self):
+        a = [Location(24.0, -6.0), Location(26.0, -6.0),
+             Location(26.0, 6.0), Location(24.0, 6.0)]
+        b = [Location(44.0, -26.0), Location(44.0, -24.0),
+             Location(56.0, -24.0), Location(56.0, -26.0)]
+        return a + [a[0]] + b + [b[0]]
+
+    get_waypoint = Town2Map.get_waypoint
+
+    def to_opendrive(self):
+        return "<fake-opendrive-crosstown/>"
+
+
 # ---------------------------------------------------------------------------
 # Fake CARLA *server*: the client/world/actor/TrafficManager API subset that
 # bridge/carla_world.py and bridge/vehicle_spawner.py consume, so the
@@ -964,3 +1029,10 @@ def install_town2():
     """Install the module as ``carla`` and return the multi-road town."""
     install()
     return Town2Map()
+
+
+def install_crosstown():
+    """Install the module as ``carla`` and return the split-road
+    4-way-junction town (junction-faithful borders)."""
+    install()
+    return CrossTownMap()

@@ -164,3 +164,41 @@ def test_route_parity_straight_map(tmp_path, monkeypatch):
                                   gt), (gt.name, a, b)
                 compared += 1
     assert compared >= 60
+
+
+def test_route_parity_crosstown(tmp_path, monkeypatch):
+    """Same parity check on the junction-faithful split-road town (the
+    routed_town_walled fixture): 4 corner segments + two crosswalks."""
+    import networkx as nx
+    m = fake_carla.install_crosstown()
+    monkeypatch.chdir(tmp_path)
+    from carla_social_force_model_tpu.routing.carla_graph import (
+        build_carla_nav_graph, make_waypoint_locator)
+    from carla_social_force_model_tpu.routing.planner import PedPathPlanner
+    from oracle_routing import RoutingOracle
+
+    graph = build_carla_nav_graph(m, waypoint_distance=10.0,
+                                  jaywalking_weight_factor=2.0)
+    planner = PedPathPlanner(graph, waypoint_locator=make_waypoint_locator(m))
+    oracle = RoutingOracle(m, waypoint_distance=10.0,
+                           jaywalking_weight_factor=2.0)
+    probes = [(5.0, -7.5), (25.0, -7.5), (40.0, -7.5), (5.0, 7.5),
+              (30.0, 7.5), (42.5, -20.0), (57.5, -30.0), (42.5, 25.0),
+              (66.0, -7.5), (90.0, 7.5), (70.0, 7.5)]
+    rng = np.random.default_rng(1)
+    pairs = [(a, b) for a in probes for b in probes if a != b]
+    rng.shuffle(pairs)
+    compared = 0
+    for gt in GraphType:
+        for a, b in pairs[:30]:
+            origin = np.array([a[0], a[1], 0.0])
+            dest = np.array([b[0], b[1], 0.0])
+            try:
+                want = oracle.generate_route(origin, dest, gt)
+            except (nx.NetworkXNoPath, nx.NodeNotFound):
+                continue
+            got = planner.generate_route(origin, dest, gt)
+            assert _parity_ok(got, want, planner, oracle, origin, dest,
+                              gt), (gt.name, a, b)
+            compared += 1
+    assert compared >= 40, f"only {compared} comparable pairs"

@@ -115,3 +115,83 @@ def test_vehicle_evasion_no_collisions():
     d = np.linalg.norm(pos[:t, :, None, :] - vpos[:t, None, :, :], axis=-1)
     ok = alive[:t, :, None] & vact[:t, None, :]
     assert np.where(ok, d, np.inf).min() > 1.0, "pedestrian run over"
+
+
+def test_crosstown_assets_match_live_build():
+    """The shipped CrossTown captures (nav graph + full sidewalk borders)
+    match a live build/extraction from the fixture, and the junction-
+    faithful split-road geometry keeps every extracted border wall out of
+    the sidewalk channel interiors (only sub-1.2 m corner-seam stubs at the
+    junction mouths, the same artifact real OpenDRIVE towns have)."""
+    import fake_carla
+    from carla_social_force_model_tpu.routing.carla_graph import (
+        build_carla_nav_graph)
+    from carla_social_force_model_tpu.bridge.extract import extract_sidewalk
+    from carla_social_force_model_tpu.env import cache as _cache
+
+    m = fake_carla.install_crosstown()
+    live = build_carla_nav_graph(m, waypoint_distance=10.0,
+                                 jaywalking_weight_factor=2.0)
+    loaded = NavGraph.load_npz(
+        os.path.join(REPO, "configs", "data", "crosstown_navgraph.npz"))
+    np.testing.assert_allclose(loaded.nodes, live.nodes)
+    np.testing.assert_array_equal(loaded.edge_type, live.edge_type)
+
+    with np.load(os.path.join(REPO, "configs", "data",
+                              "crosstown_sidewalks.npz")) as data:
+        shipped = np.concatenate(_cache.arrays_to_ragged(dict(data)))
+    lines, _, _ = extract_sidewalk(m, resolution=0.1,
+                                   cache_dir=None if False else
+                                   os.path.join(os.getcwd(), "cache"))
+    pts = np.concatenate(lines)
+    assert shipped.shape == pts.shape
+    np.testing.assert_allclose(shipped, pts)
+
+    # sidewalk channels (between the 6 m and 9 m walls, 0.1 m inset)
+    channels = [((0, 40), (-8.9, -6.1)), ((0, 40), (6.1, 8.9)),
+                ((60, 100), (-8.9, -6.1)), ((60, 100), (6.1, 8.9)),
+                ((41.1, 43.9), (-50, -10)), ((56.1, 58.9), (-50, -10)),
+                ((41.1, 43.9), (10, 50)), ((56.1, 58.9), (10, 50))]
+    for (x0, x1), (y0, y1) in channels:
+        inside = ((pts[:, 0] > x0) & (pts[:, 0] < x1)
+                  & (pts[:, 1] > y0) & (pts[:, 1] < y1))
+        if not inside.any():
+            continue
+        # any interior point is a corner-seam stub within 1.2 m of a
+        # channel mouth -- never a wall across the channel
+        p = pts[inside]
+        mouth_dist = np.minimum(
+            np.abs(p - [[x0, y0]]), np.abs(p - [[x1, y1]])).min(axis=1)
+        assert mouth_dist.max() < 1.2, ((x0, x1, y0, y1), p[:5])
+
+
+def test_routed_town_walled_full_routes_between_walls():
+    """routed_town_walled: every pedestrian completes its route (junction
+    corners, crosswalks, jaywalking) WITH the full map borders active --
+    confined to the sidewalk channels while walking, passing the walls
+    only in crossing modes (reference forces.py:176-177 zeroing)."""
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    sim = Simulation.from_config(
+        os.path.join(SCEN, "routed_town_walled.toml"), SFM, duration=90.0)
+    final, recs = sim.run()
+    alive = np.asarray(recs.alive)
+    pos = np.asarray(recs.pos)
+    mode = np.asarray(recs.mode)
+
+    assert int(alive.any(axis=0).sum()) == 8        # everyone spawned
+    assert int(np.asarray(final.alive).sum()) == 0  # everyone arrived
+
+    # walking (mode 1) peds on the W/E-road sidewalks stay between the
+    # extracted walls (|y| in (6, 9)), up to the 2 m waypoint threshold:
+    # a crossing ped flips back to WALKING as soon as it is within the
+    # threshold of its sidewalk re-entry waypoint
+    walking = alive & (mode == 1)
+    on_we = walking & (np.abs(pos[..., 1]) > 3.0) & \
+        ((pos[..., 0] < 39.0) | (pos[..., 0] > 61.0))
+    ys = np.abs(pos[..., 1][on_we])
+    assert ys.size and (ys > 5.4).all() and (ys < 9.1).all()
+    assert (ys > 5.9).mean() > 0.95   # the bulk is strictly in-channel
+
+    # someone actually crossed between the walls (mode 2 inside a road)
+    crossing = alive & (mode == 2)
+    assert crossing.any()
