@@ -98,6 +98,10 @@ class StepConfig:
     # obstacle forces when use_pallas is on and the scene carries the
     # segment-major layouts (prepare_scene); off -> jnp closest-point path
     use_pallas_env: bool = static_field(default=True)
+    # env-kernel tiles: peds per lane tile / target points per segment tile
+    # (v5e sweep, tools/tpu_tune.py env mode)
+    env_ped_tile: int = static_field(default=512)
+    env_point_tile: int = static_field(default=1024)
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
@@ -131,7 +135,8 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
     if cfg.use_pallas and cfg.use_pallas_env:
         from ..ops.pallas_env import fused_environment_terms
         fused_env = fused_environment_terms(
-            state, scene, params, veh_snap, interpret=cfg.pallas_interpret)
+            state, scene, params, veh_snap, ped_tile=cfg.env_ped_tile,
+            point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret)
 
     terms: dict[str, jnp.ndarray] = {}
     if params.enable_acceleration:

@@ -55,8 +55,6 @@ from ..env.pointsets import PAD_COORD
 _PAD_DIST2 = 1e13
 _PAD32 = float(PAD_COORD)
 
-#: target points per kernel tile (gs = segments/tile is derived from this)
-_POINT_TILE_TARGET = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -283,7 +281,8 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
 
 
 def fused_environment_terms(state, scene, params, veh_snap,
-                            ped_tile: int = 512, interpret: bool = False):
+                            ped_tile: int = 512, point_tile: int = 1024,
+                            interpret: bool = False):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back
@@ -347,7 +346,7 @@ def fused_environment_terms(state, scene, params, veh_snap,
     for name, kind, sset, prm_vals, obs_vel, active, use_radius in jobs:
         s = sset.num_segments
         kk = sset.points_per_segment
-        gs = max(1, _POINT_TILE_TARGET // kk)
+        gs = max(1, point_tile // kk)
         s_pad = _round_up(s, gs)
 
         ptsx = sset.points[..., 0].reshape(-1)

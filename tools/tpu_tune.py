@@ -75,8 +75,47 @@ def time_rollout(n, tr, tc, steps=200, cutoff=None, forces="ped"):
     return steps / dt, n * steps / dt
 
 
+def time_env_rollout(n, ped_tile, point_tile, steps=100, forces="borders"):
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+    from carla_social_force_model_tpu.models.stepper import make_rollout_fn
+
+    kw = dict(with_borders=True)
+    if forces == "obstacles":
+        kw["with_obstacles"] = True
+    scene, params, cfg, state = benchmark_bundle(n, **kw)
+    cfg = dataclasses.replace(cfg, use_pallas=True, env_ped_tile=ped_tile,
+                              env_point_tile=point_tile)
+    run = make_rollout_fn(scene, params, cfg, steps, record=False)
+    final, _ = run(state)
+    _sync(final.pos)
+    t0 = time.perf_counter()
+    final, _ = run(state)
+    _sync(final.pos)
+    dt = time.perf_counter() - t0
+    return steps / dt, n * steps / dt
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    if what == "env":
+        forces = os.environ.get("ENV_FORCES", "borders")
+        for pt in (256, 512, 1024):
+            for kt in (512, 1024, 2048):
+                try:
+                    sps, aps = time_env_rollout(10_000, pt, kt,
+                                                forces=forces)
+                    print(json.dumps({"what": f"env_{forces}",
+                                      "ped_tile": pt, "point_tile": kt,
+                                      "steps_per_s": round(sps, 1),
+                                      "agent_steps_per_s": round(aps)}),
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"what": f"env_{forces}",
+                                      "ped_tile": pt, "point_tile": kt,
+                                      "ok": False, "err": str(e)[:160]}),
+                          flush=True)
+        return
     if what in ("kernel", "all"):
         for n in (10_000,):
             for tr, tc in ((256, 512), (512, 512), (256, 1024), (512, 1024),
