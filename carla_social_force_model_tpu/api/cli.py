@@ -98,10 +98,7 @@ def main(argv=None) -> int:
             segment_steps=args.checkpoint_every,
             checkpoint_dir=args.checkpoint_dir, start_step=start,
             autopilot_state=ap, backend=args.checkpoint_backend)
-        from ..models.stepper import StepRecord
-        if recs is not None and not isinstance(recs, StepRecord):
-            recs, sim.veh_records = recs   # reactive-fleet segment records
-        sim.final_state, sim.records = final, recs
+        sim.set_results(final, recs)
     elif args.profile:
         from ..utils.profiling import trace
         with trace(args.profile):

@@ -57,16 +57,22 @@ class Simulation:
                                 strict_parity=strict_parity, **build_kwargs)
         return cls(bundle, record=record)
 
+    def set_results(self, final, recs):
+        """Store rollout results, splitting a reactive-autopilot record
+        pair into ``records`` + ``veh_records``; returns ``records``."""
+        from ..models.stepper import StepRecord
+        if recs is not None and not isinstance(recs, StepRecord):
+            recs, self.veh_records = recs
+        self.final_state, self.records = final, recs
+        return recs
+
     def run(self):
         """Execute the rollout; returns ``(final_state, records)``."""
         start = time.perf_counter()
         final, recs = self._run(self.bundle.initial_state)
         jax.block_until_ready(final)
         self.elapsed = time.perf_counter() - start
-        from ..models.stepper import StepRecord
-        if recs is not None and not isinstance(recs, StepRecord):
-            recs, self.veh_records = recs   # reactive-autopilot rollout
-        self.final_state, self.records = final, recs
+        recs = self.set_results(final, recs)
         steps = self.bundle.num_steps
         log.info("rollout: %d steps x %d slots in %.3fs (%.0f steps/s)",
                  steps, self.bundle.capacity, self.elapsed,

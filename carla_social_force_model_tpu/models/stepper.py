@@ -98,10 +98,12 @@ class StepConfig:
     # obstacle forces when use_pallas is on and the scene carries the
     # segment-major layouts (prepare_scene); off -> jnp closest-point path
     use_pallas_env: bool = static_field(default=True)
-    # env-kernel tiles: peds per lane tile / target points per segment tile
-    # (v5e sweep, tools/tpu_tune.py env mode)
+    # env-kernel tiles: peds per lane tile / target points per segment tile.
+    # v5e sweep (tools/tpu_tune.py env mode): 512x512 beats 512x1024 by
+    # ~6-9% on both the border and obstacle configs; >=1024-ped tiles lose
+    # ~12% (same smallish-tile pattern as the pairwise kernel)
     env_ped_tile: int = static_field(default=512)
-    env_point_tile: int = static_field(default=1024)
+    env_point_tile: int = static_field(default=512)
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*

@@ -5,7 +5,12 @@ schedule, route buffer) sharded along the ``agents`` mesh axis and the scene
 geometry replicated.  Only the N x N pedestrian force communicates: it
 all-gathers the (pos, vel, radius, alive) column tile over ICI
 (ops/forces.py ``axis_name``); every other stage is slot-local, so one tick
-costs exactly one all-gather of ~17 bytes/agent.
+costs exactly one all-gather of ~17 bytes/agent (or the ppermute ring,
+``axis_comm="ring"``).  Exception: a reactive autopilot fleet
+(``scene.autopilot``) adds a second all-gather of (pos, vel, alive) per
+tick for its hazard check -- fleets are small-scenario features, so the
+extra collective is accepted rather than threading the gathered copy
+through the force path.
 """
 from __future__ import annotations
 

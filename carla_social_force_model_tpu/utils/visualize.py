@@ -82,8 +82,9 @@ def plot_trajectories(records, path: str, border_lines=(), obstacle_outlines=(),
 
 def animate_trajectories(records, path: str, border_lines=(),
                          obstacle_outlines=(), vehicle_records=None,
-                         dt: float = 0.05, stride: int = 1, fps: int = 20,
-                         trail: int = 40, extents=None):
+                         vehicle_extents=None, dt: float = 0.05,
+                         stride: int = 1, fps: int = 20,
+                         trail: int = 40, view=None):
     """Render a rollout as an animation (GIF via Pillow, MP4 via ffmpeg if
     the extension asks for it).
 
@@ -92,12 +93,15 @@ def animate_trajectories(records, path: str, border_lines=(),
     "visual inspection"): pedestrian dots colored by mode, fading trails,
     borders/obstacle outlines, and optionally the vehicle fleet as
     heading-aligned rectangles (``vehicle_records`` = AutopilotRecord or
-    any object with (T, V)-shaped ``pos/heading/active`` and per-vehicle
-    ``extents`` passed separately).
+    any object with (T, V)-shaped ``pos/heading/active``; half-extents
+    come from its ``extents`` attribute if present, else from the
+    ``vehicle_extents`` (V, 2) argument, else the reference's default
+    walker-vehicle 2.4 x 1.1 m).
 
     ``records``: StepRecord (or any pytree with (T, N, 2) ``pos``,
     (T, N) ``alive`` and optionally ``mode``).  ``stride`` subsamples
-    frames; ``trail`` is the per-ped trail length in *recorded* frames.
+    frames; ``trail`` is the per-ped trail length in *recorded* frames;
+    ``view`` fixes the axis bounds as ((x0, x1), (y0, y1)).
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -126,11 +130,11 @@ def animate_trajectories(records, path: str, border_lines=(),
             ax.plot(b[:, 0], b[:, 1], ".", ms=1, color=color, zorder=1)
 
     live = alive.any(axis=0)
-    if extents is None:
+    if view is None:
         p = pos[alive] if alive.any() else pos.reshape(-1, 2)
         lo, hi = p.min(axis=0) - 3.0, p.max(axis=0) + 3.0
     else:
-        (lo_x, hi_x), (lo_y, hi_y) = extents
+        (lo_x, hi_x), (lo_y, hi_y) = view
         lo, hi = np.asarray([lo_x, lo_y]), np.asarray([hi_x, hi_y])
     ax.set_xlim(lo[0], hi[0])
     ax.set_ylim(lo[1], hi[1])
@@ -149,10 +153,11 @@ def animate_trajectories(records, path: str, border_lines=(),
         v_pos = np.asarray(vehicle_records.pos)[::stride]
         v_head = np.asarray(vehicle_records.heading)[::stride]
         v_act = np.asarray(vehicle_records.active)[::stride]
-        v_ext = np.asarray(getattr(vehicle_records, "extents", None)
-                           if getattr(vehicle_records, "extents", None)
-                           is not None else
-                           np.full((v_pos.shape[1], 2), (2.4, 1.1)))
+        ext = getattr(vehicle_records, "extents", None)
+        if ext is None:
+            ext = vehicle_extents
+        v_ext = (np.asarray(ext) if ext is not None
+                 else np.full((v_pos.shape[1], 2), (2.4, 1.1)))
         for v in range(v_pos.shape[1]):
             ex, ey = float(v_ext[v, 0]), float(v_ext[v, 1])
             r = Rectangle((0, 0), 2 * ex, 2 * ey, facecolor="tab:olive",

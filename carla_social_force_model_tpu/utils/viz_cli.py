@@ -112,6 +112,9 @@ def _records_from_csv(csv_dir: str):
                 m = int(PedMode[r["mode"].split(".")[-1]])
             rows.append((int(r["ped_id"]), int(r["frame"]),
                          float(r["x"]), float(r["y"]), m))
+    if not rows:
+        raise SystemExit(f"no pedestrian rows in {csv_dir}/pedestrian.csv "
+                         "(nothing to animate)")
     ids = sorted({r[0] for r in rows})
     id_slot = {p: i for i, p in enumerate(ids)}
     T = max(r[1] for r in rows) + 1

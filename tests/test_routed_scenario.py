@@ -117,7 +117,7 @@ def test_vehicle_evasion_no_collisions():
     assert np.where(ok, d, np.inf).min() > 1.0, "pedestrian run over"
 
 
-def test_crosstown_assets_match_live_build():
+def test_crosstown_assets_match_live_build(tmp_path):
     """The shipped CrossTown captures (nav graph + full sidewalk borders)
     match a live build/extraction from the fixture, and the junction-
     faithful split-road geometry keeps every extracted border wall out of
@@ -140,9 +140,10 @@ def test_crosstown_assets_match_live_build():
     with np.load(os.path.join(REPO, "configs", "data",
                               "crosstown_sidewalks.npz")) as data:
         shipped = np.concatenate(_cache.arrays_to_ragged(dict(data)))
+    # tmp cache: a repo-level cache hit would make the live side of the
+    # comparison stale-code output and the test vacuous
     lines, _, _ = extract_sidewalk(m, resolution=0.1,
-                                   cache_dir=None if False else
-                                   os.path.join(os.getcwd(), "cache"))
+                                   cache_dir=str(tmp_path / "cache"))
     pts = np.concatenate(lines)
     assert shipped.shape == pts.shape
     np.testing.assert_allclose(shipped, pts)

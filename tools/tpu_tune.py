@@ -99,22 +99,36 @@ def time_env_rollout(n, ped_tile, point_tile, steps=100, forces="borders"):
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "kernel"
     if what == "env":
+        # one SUBPROCESS per config: several large Pallas programs in one
+        # process produce spurious INVALID_ARGUMENT TPU backend errors on
+        # this runtime (see CLAUDE.md environment gotchas)
+        import subprocess
         forces = os.environ.get("ENV_FORCES", "borders")
+        if os.environ.get("ENV_ONE_CONFIG"):
+            pt, kt = (int(v) for v in
+                      os.environ["ENV_ONE_CONFIG"].split("x"))
+            sps, aps = time_env_rollout(10_000, pt, kt, forces=forces)
+            print(json.dumps({"what": f"env_{forces}", "ped_tile": pt,
+                              "point_tile": kt,
+                              "steps_per_s": round(sps, 1),
+                              "agent_steps_per_s": round(aps)}),
+                  flush=True)
+            return
         for pt in (256, 512, 1024):
             for kt in (512, 1024, 2048):
-                try:
-                    sps, aps = time_env_rollout(10_000, pt, kt,
-                                                forces=forces)
+                env = dict(os.environ, ENV_ONE_CONFIG=f"{pt}x{kt}")
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "env"],
+                    env=env, capture_output=True, text=True, timeout=900)
+                line = [ln for ln in r.stdout.splitlines()
+                        if ln.startswith("{")]
+                if line:
+                    print(line[-1], flush=True)
+                else:
                     print(json.dumps({"what": f"env_{forces}",
                                       "ped_tile": pt, "point_tile": kt,
-                                      "steps_per_s": round(sps, 1),
-                                      "agent_steps_per_s": round(aps)}),
-                          flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(json.dumps({"what": f"env_{forces}",
-                                      "ped_tile": pt, "point_tile": kt,
-                                      "ok": False, "err": str(e)[:160]}),
-                          flush=True)
+                                      "ok": False,
+                                      "err": r.stderr[-160:]}), flush=True)
         return
     if what in ("kernel", "all"):
         for n in (10_000,):
