@@ -97,7 +97,9 @@ class Simulation:
                 if b.scene.vehicles is not None else None)
         terms = jax.jit(
             lambda s: force_terms(s, b.scene, b.params, b.cfg, snap))(state)
-        return {k: np.asarray(v) for k, v in terms.items()}
+        # terms are (fx, fy) plane pairs on device; assemble (N, 2) here
+        return {k: np.stack([np.asarray(fx), np.asarray(fy)], axis=-1)
+                for k, (fx, fy) in terms.items()}
 
     def write_csv(self, output_path: str = "output",
                   mode_text: bool | None = None) -> str:

@@ -29,21 +29,23 @@ def synthetic_crowd(n: int, extent: float = 100.0, speed: float = 1.3,
     direction = direction / np.where(nrm == 0, 1, nrm)
     speeds = np.full((n,), speed, dtype) + rng.uniform(-0.2, 0.2, n).astype(dtype)
 
+    vel = direction * speeds[:, None]
     routes = RouteBuffer(
-        waypoints=jnp.asarray(dest[:, None, :]),
+        wp_x=jnp.asarray(dest[:, None, 0]),
+        wp_y=jnp.asarray(dest[:, None, 1]),
         crossing=jnp.zeros((n, 1), bool),
         count=jnp.ones((n,), jnp.int32),
     )
     return SpawnSchedule(
         step=jnp.zeros((n,), jnp.int32),
-        pos=jnp.asarray(pos),
-        vel=jnp.asarray(direction * speeds[:, None]),
+        pos_x=jnp.asarray(pos[:, 0]), pos_y=jnp.asarray(pos[:, 1]),
+        vel_x=jnp.asarray(vel[:, 0]), vel_y=jnp.asarray(vel[:, 1]),
         speed=jnp.asarray(speeds),
         crossing_speed=jnp.asarray(speeds * 1.5),
         margin=jnp.full((n,), 1.5, dtype),
         radius=jnp.full((n,), radius, dtype),
         initial_mode=jnp.full((n,), modes.WALKING_SIDEWALK, jnp.int32),
-        first_waypoint=jnp.asarray(dest),
+        fwp_x=jnp.asarray(dest[:, 0]), fwp_y=jnp.asarray(dest[:, 1]),
         routes=routes,
     )
 

@@ -151,12 +151,12 @@ class BridgeRunner:
     def _dummy_schedule(self) -> SpawnSchedule:
         """Routes live in the scene for tick_core's waypoint advance."""
         z = jnp.zeros((self.capacity,), jnp.float32)
-        z2 = jnp.zeros((self.capacity, 2), jnp.float32)
         return SpawnSchedule(
-            step=jnp.full((self.capacity,), -1, jnp.int32), pos=z2, vel=z2,
+            step=jnp.full((self.capacity,), -1, jnp.int32),
+            pos_x=z, pos_y=z, vel_x=z, vel_y=z,
             speed=z, crossing_speed=z, margin=z, radius=z,
             initial_mode=jnp.zeros((self.capacity,), jnp.int32),
-            first_waypoint=z2,
+            fwp_x=z, fwp_y=z,
             routes=build_route_buffer([], [], capacity=self.capacity))
 
     def _core_fn(self, state, routes_wp, routes_cr, routes_cnt, snap, sim_time):
@@ -166,7 +166,8 @@ class BridgeRunner:
                 self._scene_geom.spawn,
                 routes=dataclasses.replace(
                     self._scene_geom.spawn.routes,
-                    waypoints=routes_wp, crossing=routes_cr, count=routes_cnt)))
+                    wp_x=routes_wp[..., 0], wp_y=routes_wp[..., 1],
+                    crossing=routes_cr, count=routes_cnt)))
         return tick_core(state, scene, self.params, self.cfg, sim_time, snap)
 
     # ------------------------------------------------------------------
@@ -212,9 +213,10 @@ class BridgeRunner:
             self._routes_cnt[slot] = k
 
             h = self.h
-            h["pos"][slot] = loc
+            h["pos_x"][slot], h["pos_y"][slot] = loc
             nrm = np.linalg.norm(direction)
-            h["vel"][slot] = (direction / nrm * s.speed) if nrm > 0 else 0.0
+            v0 = (direction / nrm * s.speed) if nrm > 0 else np.zeros(2)
+            h["vel_x"][slot], h["vel_y"][slot] = v0
             h["radius"][slot] = self.world.get_walker_radius(actor_id)
             h["base_speed"][slot] = s.speed
             h["crossing_speed"][slot] = spec.crossing_speed_factor * s.speed
@@ -224,7 +226,7 @@ class BridgeRunner:
             h["mode"][slot] = (modes.CROSSING_ROAD if (flags and flags[0])
                                else modes.WALKING_SIDEWALK)
             h["next_mode_time"][slot] = -1.0
-            h["waypoint"][slot] = wps[0]
+            h["wp_x"][slot], h["wp_y"][slot] = wps[0]
             h["waypoint_idx"][slot] = 0
             h["alive"][slot] = True
             h["spawned"][slot] = True
@@ -281,8 +283,8 @@ class BridgeRunner:
         h = self.h
         for slot in np.nonzero(h["alive"])[0]:
             loc, vel = self.world.get_walker_state(int(self.slot_actor[slot]))
-            h["pos"][slot] = loc[:2]
-            h["vel"][slot] = vel[:2]
+            h["pos_x"][slot], h["pos_y"][slot] = loc[:2]
+            h["vel_x"][slot], h["vel_y"][slot] = vel[:2]
             if self.draw_bounding_boxes:
                 self.world.draw_bounding_box(int(self.slot_actor[slot]),
                                              self.cfg.dt)
@@ -294,7 +296,8 @@ class BridgeRunner:
             jnp.asarray(self._routes_cnt), snap,
             jnp.asarray(sim_time, jnp.float32))
 
-        v_np = np.asarray(v_new)
+        v_np = np.stack([np.asarray(v_new[0]), np.asarray(v_new[1])],
+                        axis=-1)
         for slot in np.nonzero(h["alive"])[0]:
             v = v_np[slot]
             speed = float(np.linalg.norm(v))
@@ -304,7 +307,7 @@ class BridgeRunner:
 
         # persist FSM/waypoint outputs
         for name in ("mode", "fsm_target", "applied_target", "next_mode_time",
-                     "waypoint", "waypoint_idx"):
+                     "wp_x", "wp_y", "waypoint_idx"):
             h[name][...] = np.asarray(getattr(state2, name))
 
         fin = np.asarray(finished)
@@ -314,7 +317,13 @@ class BridgeRunner:
                 h["alive"][slot] = False
                 log.info("Despawned pedestrian %s.", self.slot_name[slot])
 
-        self.history.append(tuple(np.asarray(x) for x in record))
+        # record is the planar RecordXY; store the assembled snapshot
+        self.history.append((
+            np.stack([np.asarray(record.pos_x), np.asarray(record.pos_y)],
+                     axis=-1),
+            np.stack([np.asarray(record.vel_x), np.asarray(record.vel_y)],
+                     axis=-1),
+            np.asarray(record.mode), np.asarray(record.alive)))
 
     def run(self, num_steps: int):
         for _ in range(num_steps):

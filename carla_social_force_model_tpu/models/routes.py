@@ -17,13 +17,21 @@ from ..utils.pytree import pytree_dataclass
 
 @pytree_dataclass
 class RouteBuffer:
-    waypoints: jnp.ndarray  # (N, W, 2) f32
+    # coordinates as separate x/y planes (size-2 minor dims pad 2 -> 128
+    # lanes on TPU; see models/state.py)
+    wp_x: jnp.ndarray       # (N, W) f32
+    wp_y: jnp.ndarray       # (N, W) f32
     crossing: jnp.ndarray   # (N, W) bool: road crossed when heading to wp
     count: jnp.ndarray      # (N,) int32 number of valid waypoints
 
     @property
     def max_waypoints(self) -> int:
-        return self.waypoints.shape[1]
+        return self.wp_x.shape[1]
+
+    @property
+    def waypoints(self) -> jnp.ndarray:
+        """(N, W, 2) assembly view (host-side consumers)."""
+        return jnp.stack([self.wp_x, self.wp_y], axis=-1)
 
 
 def build_route_buffer(routes: Sequence[np.ndarray],
@@ -46,5 +54,6 @@ def build_route_buffer(routes: Sequence[np.ndarray],
         wp[i, :k] = np.asarray(r, dtype=dtype).reshape(-1, 2)[:k]
         cr[i, :k] = np.asarray(c, dtype=bool)[:k]
         cnt[i] = k
-    return RouteBuffer(waypoints=jnp.asarray(wp), crossing=jnp.asarray(cr),
-                       count=jnp.asarray(cnt))
+    return RouteBuffer(wp_x=jnp.asarray(wp[..., 0]),
+                       wp_y=jnp.asarray(wp[..., 1]),
+                       crossing=jnp.asarray(cr), count=jnp.asarray(cnt))

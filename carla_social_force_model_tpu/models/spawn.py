@@ -55,22 +55,42 @@ class SpawnerSpec:
 
 @pytree_dataclass
 class SpawnSchedule:
-    """Per-slot spawn data; ``step == -1`` means the slot is never used."""
+    """Per-slot spawn data; ``step == -1`` means the slot is never used.
+
+    Coordinates are x/y planes, not ``(N, 2)`` (see models/state.py on the
+    TPU size-2-minor layout rule); the ``pos`` / ``vel`` /
+    ``first_waypoint`` properties assemble host-side views.
+    """
 
     step: jnp.ndarray            # (N,) int32 realized spawn step
-    pos: jnp.ndarray             # (N, 2)
-    vel: jnp.ndarray             # (N, 2) initial velocity (toward first wp)
+    pos_x: jnp.ndarray           # (N,)
+    pos_y: jnp.ndarray
+    vel_x: jnp.ndarray           # (N,) initial velocity (toward first wp)
+    vel_y: jnp.ndarray
     speed: jnp.ndarray           # (N,) target walking speed (jittered)
     crossing_speed: jnp.ndarray  # (N,)
     margin: jnp.ndarray          # (N,) gap-acceptance safety margin
     radius: jnp.ndarray          # (N,)
     initial_mode: jnp.ndarray    # (N,) int32
-    first_waypoint: jnp.ndarray  # (N, 2)
+    fwp_x: jnp.ndarray           # (N,) first waypoint
+    fwp_y: jnp.ndarray
     routes: RouteBuffer
 
     @property
     def capacity(self) -> int:
         return self.step.shape[0]
+
+    @property
+    def pos(self) -> jnp.ndarray:
+        return jnp.stack([self.pos_x, self.pos_y], axis=-1)
+
+    @property
+    def vel(self) -> jnp.ndarray:
+        return jnp.stack([self.vel_x, self.vel_y], axis=-1)
+
+    @property
+    def first_waypoint(self) -> jnp.ndarray:
+        return jnp.stack([self.fwp_x, self.fwp_y], axis=-1)
 
 
 def realized_spawn_steps(spawn_time: float, spawn_interval: float,
@@ -184,11 +204,12 @@ def build_spawn_schedule(
     route_buffer = build_route_buffer(routes, crossings, capacity=n)
     return SpawnSchedule(
         step=jnp.asarray(step_arr),
-        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        pos_x=jnp.asarray(pos[:, 0]), pos_y=jnp.asarray(pos[:, 1]),
+        vel_x=jnp.asarray(vel[:, 0]), vel_y=jnp.asarray(vel[:, 1]),
         speed=jnp.asarray(speed), crossing_speed=jnp.asarray(crossing_speed),
         margin=jnp.asarray(margin), radius=jnp.asarray(radius),
         initial_mode=jnp.asarray(initial_mode),
-        first_waypoint=jnp.asarray(first_wp),
+        fwp_x=jnp.asarray(first_wp[:, 0]), fwp_y=jnp.asarray(first_wp[:, 1]),
         routes=route_buffer,
     )
 
@@ -203,14 +224,13 @@ def apply_spawn(state: PedState, schedule: SpawnSchedule, t_idx) -> PedState:
     newly = (schedule.step == t_idx) & ~state.spawned
 
     def sel(new, old):
-        m = newly
-        if new.ndim > m.ndim:
-            m = newly[:, None]
-        return jnp.where(m, new, old)
+        return jnp.where(newly, new, old)
 
     return PedState(
-        pos=sel(schedule.pos, state.pos),
-        vel=sel(schedule.vel, state.vel),
+        pos_x=sel(schedule.pos_x, state.pos_x),
+        pos_y=sel(schedule.pos_y, state.pos_y),
+        vel_x=sel(schedule.vel_x, state.vel_x),
+        vel_y=sel(schedule.vel_y, state.vel_y),
         radius=sel(schedule.radius, state.radius),
         base_speed=sel(schedule.speed, state.base_speed),
         crossing_speed=sel(schedule.crossing_speed, state.crossing_speed),
@@ -220,7 +240,8 @@ def apply_spawn(state: PedState, schedule: SpawnSchedule, t_idx) -> PedState:
         mode=sel(schedule.initial_mode, state.mode),
         next_mode_time=sel(jnp.full_like(state.next_mode_time, -1.0),
                            state.next_mode_time),
-        waypoint=sel(schedule.first_waypoint, state.waypoint),
+        wp_x=sel(schedule.fwp_x, state.wp_x),
+        wp_y=sel(schedule.fwp_y, state.wp_y),
         waypoint_idx=sel(jnp.zeros_like(state.waypoint_idx), state.waypoint_idx),
         alive=state.alive | newly,
         spawned=state.spawned | newly,

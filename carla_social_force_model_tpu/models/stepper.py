@@ -115,12 +115,35 @@ class StepConfig:
 
 
 class StepRecord(NamedTuple):
-    """Per-step snapshot (the reference's ``all_states`` recording)."""
+    """Per-step snapshot (the reference's ``all_states`` recording).
+
+    The public record type: ``pos``/``vel`` are (T, N, 2).  In-scan the
+    stepper records :class:`RecordXY` planes (a (T, N, 2) scan output would
+    pay the TPU size-2-minor lane padding on every step's write) and
+    :func:`rollout` assembles this once after the scan.
+    """
 
     pos: jnp.ndarray
     vel: jnp.ndarray
     mode: jnp.ndarray
     alive: jnp.ndarray
+
+
+class RecordXY(NamedTuple):
+    """Planar in-scan snapshot (see StepRecord)."""
+
+    pos_x: jnp.ndarray
+    pos_y: jnp.ndarray
+    vel_x: jnp.ndarray
+    vel_y: jnp.ndarray
+    mode: jnp.ndarray
+    alive: jnp.ndarray
+
+    def assemble(self) -> StepRecord:
+        return StepRecord(
+            pos=jnp.stack([self.pos_x, self.pos_y], axis=-1),
+            vel=jnp.stack([self.vel_x, self.vel_y], axis=-1),
+            mode=self.mode, alive=self.alive)
 
 
 def force_terms(state: PedState, scene: Scene, params: SfmParams,
@@ -129,21 +152,43 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
     """Enabled force terms by name (the reference's per-force debug dump,
     forces.py:28-32, as data instead of log lines).
 
+    Every term is an ``(fx, fy)`` plane pair -- coordinate planes, never
+    ``(N, 2)`` (the TPU size-2-minor layout rule, models/state.py).
+
     ``axis_name``: when the pedestrian slots are sharded over a mesh axis
     (shard_map agent-sharding), the N x N force gathers its column state over
     that axis; all other forces are row-local.
     """
-    fused_env: dict[str, jnp.ndarray] = {}
+    from .state import split_xy
+
+    fused_env: dict = {}
     if cfg.use_pallas and cfg.use_pallas_env:
         from ..ops.pallas_env import fused_environment_terms
         fused_env = fused_environment_terms(
             state, scene, params, veh_snap, ped_tile=cfg.env_ped_tile,
             point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret)
 
-    terms: dict[str, jnp.ndarray] = {}
+    # (N, 2) assembly for the jnp force paths (parity oracle / CPU); the
+    # production Pallas paths consume the planes directly
+    pos2 = vel2 = None
+
+    def _pos2():
+        nonlocal pos2
+        if pos2 is None:
+            pos2 = state.pos
+        return pos2
+
+    def _vel2():
+        nonlocal vel2
+        if vel2 is None:
+            vel2 = state.vel
+        return vel2
+
+    terms: dict = {}
     if params.enable_acceleration:
-        terms["acceleration_force"] = forces.acceleration_force(
-            state.pos, state.vel, state.waypoint, state.applied_target,
+        terms["acceleration_force"] = forces.acceleration_force_xy(
+            state.pos_x, state.pos_y, state.vel_x, state.vel_y,
+            state.wp_x, state.wp_y, state.applied_target,
             params.acceleration)
     if params.enable_pedestrian:
         if cfg.use_pallas:
@@ -151,12 +196,13 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                                              pedestrian_force_pallas_sorted)
             tiles = dict(row_tile=cfg.pallas_row_tile,
                          col_tile=cfg.pallas_col_tile,
-                         interpret=cfg.pallas_interpret)
+                         interpret=cfg.pallas_interpret, planar_out=True)
             if cfg.interaction_cutoff is not None:
                 # composes with agent-sharding: per-device Morton sort +
                 # ring/gather column comm with rotated tile bboxes
                 terms["pedestrian_force"] = pedestrian_force_pallas_sorted(
-                    state.pos, state.vel, state.radius, state.alive,
+                    (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),
+                    state.radius, state.alive,
                     params.pedestrian, cutoff=cfg.interaction_cutoff,
                     use_ped_radius=params.use_ped_radius,
                     axis_name=axis_name,
@@ -164,23 +210,24 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                     **tiles)
             else:
                 terms["pedestrian_force"] = pedestrian_force_pallas(
-                    state.pos, state.vel, state.radius, state.alive,
+                    (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),
+                    state.radius, state.alive,
                     params.pedestrian, use_ped_radius=params.use_ped_radius,
                     axis_name=axis_name, axis_comm=cfg.axis_comm, **tiles)
         else:
-            terms["pedestrian_force"] = forces.pedestrian_force(
-                state.pos, state.vel, state.radius, state.alive,
+            terms["pedestrian_force"] = split_xy(forces.pedestrian_force(
+                _pos2(), _vel2(), state.radius, state.alive,
                 params.pedestrian, use_ped_radius=params.use_ped_radius,
                 row_block=cfg.row_block, axis_name=axis_name,
-                axis_comm=cfg.axis_comm)
+                axis_comm=cfg.axis_comm))
     if params.enable_border and scene.borders is not None:
         if "border_force" in fused_env:
             terms["border_force"] = fused_env["border_force"]
         else:
-            terms["border_force"] = forces.border_force(
-                state.pos, state.mode, state.radius, state.alive,
+            terms["border_force"] = split_xy(forces.border_force(
+                _pos2(), state.mode, state.radius, state.alive,
                 scene.borders, params.border,
-                use_ped_radius=params.use_ped_radius)
+                use_ped_radius=params.use_ped_radius))
     if params.enable_static_obstacle and scene.static_obstacles is not None:
         if "static_obstacle_force" in fused_env:
             terms["static_obstacle_force"] = fused_env["static_obstacle_force"]
@@ -188,46 +235,52 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
             obs_vel = scene.static_obstacle_vel
             if obs_vel is None:
                 obs_vel = jnp.zeros((scene.static_obstacles.num_segments, 2),
-                                    state.pos.dtype)
-            terms["static_obstacle_force"] = forces.obstacle_force(
-                state.pos, state.vel, state.radius, state.alive,
+                                    state.pos_x.dtype)
+            terms["static_obstacle_force"] = split_xy(forces.obstacle_force(
+                _pos2(), _vel2(), state.radius, state.alive,
                 scene.static_obstacles, obs_vel, params.static_obstacle,
-                use_ped_radius=params.use_ped_radius)
+                use_ped_radius=params.use_ped_radius))
     if params.enable_ped_repulsive:
-        desired, _ = vecmath.normalize(state.waypoint - state.pos)
-        terms["ped_repulsive_force"] = forces.ped_repulsive_force(
-            state.pos, state.vel, desired, state.alive, params.ped_repulsive,
-            row_block=cfg.row_block)
+        desired, _ = vecmath.normalize(state.waypoint - _pos2())
+        terms["ped_repulsive_force"] = split_xy(forces.ped_repulsive_force(
+            _pos2(), _vel2(), desired, state.alive, params.ped_repulsive,
+            row_block=cfg.row_block))
     if params.enable_space_repulsive and scene.borders is not None:
         if "space_repulsive_force" in fused_env:
             terms["space_repulsive_force"] = fused_env["space_repulsive_force"]
         else:
-            terms["space_repulsive_force"] = forces.space_repulsive_force(
-                state.pos, state.mode, state.alive, scene.borders,
-                params.space_repulsive)
+            terms["space_repulsive_force"] = split_xy(
+                forces.space_repulsive_force(
+                    _pos2(), state.mode, state.alive, scene.borders,
+                    params.space_repulsive))
     if params.enable_dynamic_obstacle and veh_snap is not None:
         if "dynamic_obstacle_force" in fused_env:
             terms["dynamic_obstacle_force"] = fused_env["dynamic_obstacle_force"]
         else:
             vset, vvel, vact = snapshot_pointset(
                 veh_snap, params.dynamic_obstacle.perception_threshold)
-            terms["dynamic_obstacle_force"] = forces.obstacle_force(
-                state.pos, state.vel, state.radius, state.alive, vset, vvel,
+            terms["dynamic_obstacle_force"] = split_xy(forces.obstacle_force(
+                _pos2(), _vel2(), state.radius, state.alive, vset, vvel,
                 params.dynamic_obstacle,
-                use_ped_radius=params.use_ped_radius, obstacle_active=vact)
+                use_ped_radius=params.use_ped_radius, obstacle_active=vact))
     return terms
 
 
 def compute_forces(state: PedState, scene: Scene, params: SfmParams,
                    cfg: StepConfig, veh_snap: VehicleSnapshot | None,
-                   axis_name: str | None = None) -> jnp.ndarray:
-    """Sum of enabled forces, masked to alive pedestrians."""
+                   axis_name: str | None = None):
+    """Sum of enabled forces, masked to alive pedestrians.
+
+    Returns ``(fx, fy)`` planes."""
     terms = force_terms(state, scene, params, cfg, veh_snap,
                         axis_name=axis_name)
-    total = jnp.zeros_like(state.pos)
-    for term in terms.values():
-        total = total + term
-    return jnp.where(state.alive[:, None], total, 0.0)
+    fx = jnp.zeros_like(state.pos_x)
+    fy = jnp.zeros_like(state.pos_y)
+    for tx, ty in terms.values():
+        fx = fx + tx
+        fy = fy + ty
+    zero = jnp.zeros((), fx.dtype)
+    return jnp.where(state.alive, fx, zero), jnp.where(state.alive, fy, zero)
 
 
 def tick_core(state: PedState, scene: Scene, params: SfmParams,
@@ -269,28 +322,45 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
         next_mode_time=nmt)
 
     # 5. snapshot (reference records after transitions, before forces)
-    record = StepRecord(pos=state.pos, vel=state.vel, mode=state.mode,
-                        alive=state.alive)
+    record = RecordXY(pos_x=state.pos_x, pos_y=state.pos_y,
+                      vel_x=state.vel_x, vel_y=state.vel_y,
+                      mode=state.mode, alive=state.alive)
 
     # 6-7. forces and commanded velocity
-    force = compute_forces(state, scene, params, cfg, veh_snap,
-                           axis_name=axis_name)
-    v_new = vecmath.cap_velocity(state.vel + cfg.dt * force,
-                                 state.max_speed(params.max_speed_factor))
-    v_new = jnp.where(alive[:, None], v_new, 0.0)
+    fx, fy = compute_forces(state, scene, params, cfg, veh_snap,
+                            axis_name=axis_name)
+    vx, vy = vecmath.cap_velocity_xy(state.vel_x + cfg.dt * fx,
+                                     state.vel_y + cfg.dt * fy,
+                                     state.max_speed(params.max_speed_factor))
+    zero = jnp.zeros((), vx.dtype)
+    vx = jnp.where(alive, vx, zero)
+    vy = jnp.where(alive, vy, zero)
 
     # 8. waypoint arrival (2-D distance, run_simulation.py:118 +
     #    pedestrian_simulation.py:88-97)
-    dist_wp = vecmath.norm(state.waypoint - state.pos)
+    dist_wp = vecmath.norm_xy(state.wp_x - state.pos_x,
+                              state.wp_y - state.pos_y)
     arrived = alive & (dist_wp < cfg.waypoint_threshold)
     routes: RouteBuffer = scene.spawn.routes
+    if routes.max_waypoints == 1:
+        # single-waypoint routes can never advance: arrival is always
+        # route exhaustion, no waypoint/mode update (static fast path --
+        # the per-step route lookup disappears from the compiled step)
+        return state, (vx, vy), arrived, record
     has_next = (state.waypoint_idx + 1) < routes.count
     advance = arrived & has_next
     new_idx = jnp.where(advance, state.waypoint_idx + 1, state.waypoint_idx)
-    slot = jnp.arange(state.capacity)
-    next_wp = routes.waypoints[slot, new_idx]
-    next_crossing = routes.crossing[slot, new_idx]
-    waypoint = jnp.where(advance[:, None], next_wp, state.waypoint)
+    # one-hot masked reduction over the (small) W axis instead of a gather:
+    # a row-indexed gather compiles to a ~10 ns/row loop (measured 2.7 ms
+    # per gather at 256k rows); the select+reduce is a single vector pass
+    onehot = (jnp.arange(routes.max_waypoints, dtype=new_idx.dtype)
+              == new_idx[..., None])                       # (..., N, W)
+    next_crossing = jnp.any(onehot & routes.crossing, axis=-1)
+    zero = jnp.zeros((), state.wp_x.dtype)
+    next_wp_x = jnp.sum(jnp.where(onehot, routes.wp_x, zero), axis=-1)
+    next_wp_y = jnp.sum(jnp.where(onehot, routes.wp_y, zero), axis=-1)
+    wp_x = jnp.where(advance, next_wp_x, state.wp_x)
+    wp_y = jnp.where(advance, next_wp_y, state.wp_y)
     desired_mode = jnp.where(next_crossing, modes.CROSSING_ROAD,
                              modes.WALKING_SIDEWALK)
     mode, fsm_t, nmt = modes.set_mode(
@@ -300,8 +370,8 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
 
     state = dataclasses.replace(
         state, fsm_target=fsm_t, mode=mode, next_mode_time=nmt,
-        waypoint=waypoint, waypoint_idx=new_idx)
-    return state, v_new, finished, record
+        wp_x=wp_x, wp_y=wp_y, waypoint_idx=new_idx)
+    return state, (vx, vy), finished, record
 
 
 def simulation_step(state: PedState, scene: Scene, params: SfmParams,
@@ -324,7 +394,7 @@ def simulation_step(state: PedState, scene: Scene, params: SfmParams,
 
     if veh_snap is None and scene.vehicles is not None:
         veh_snap = vehicle_snapshot_at(scene.vehicles, t_idx)
-    state, v_new, finished, record = tick_core(
+    state, (vx, vy), finished, record = tick_core(
         state, scene, params, cfg, sim_time, veh_snap, axis_name=axis_name)
 
     alive = state.alive
@@ -332,10 +402,14 @@ def simulation_step(state: PedState, scene: Scene, params: SfmParams,
         alive = alive & ~finished
 
     # 9. integrate (headless CARLA-equivalent position update)
-    pos = jnp.where(alive[:, None], state.pos + cfg.dt * v_new, state.pos)
-    vel = jnp.where(alive[:, None], v_new, 0.0)
+    zero = jnp.zeros((), vx.dtype)
+    pos_x = jnp.where(alive, state.pos_x + cfg.dt * vx, state.pos_x)
+    pos_y = jnp.where(alive, state.pos_y + cfg.dt * vy, state.pos_y)
+    vel_x = jnp.where(alive, vx, zero)
+    vel_y = jnp.where(alive, vy, zero)
 
-    return dataclasses.replace(state, pos=pos, vel=vel, alive=alive), record
+    return dataclasses.replace(state, pos_x=pos_x, pos_y=pos_y,
+                               vel_x=vel_x, vel_y=vel_y, alive=alive), record
 
 
 def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
@@ -383,10 +457,12 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
         if axis_name is not None:
             # the braking hazard check needs the GLOBAL walker set; the
             # fleet state itself is replicated (identical deterministic
-            # update on every device)
-            w_pos = jax.lax.all_gather(st.pos, axis_name, tiled=True)
-            w_vel = jax.lax.all_gather(st.vel, axis_name, tiled=True)
-            w_alive = jax.lax.all_gather(st.alive, axis_name, tiled=True)
+            # update on every device).  Planes gather separately (no (N, 2)
+            # lane padding on the wire).
+            g = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)  # noqa: E731
+            w_pos = jnp.stack([g(st.pos_x), g(st.pos_y)], axis=-1)
+            w_vel = jnp.stack([g(st.vel_x), g(st.vel_y)], axis=-1)
+            w_alive = g(st.alive)
         else:
             w_pos, w_vel, w_alive = st.pos, st.vel, st.alive
         ap = autopilot_step(fleet, ap, w_pos, w_vel, w_alive, t_idx,
@@ -422,6 +498,13 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             lambda c, t: body(c, t, record), carry0, steps)
     if fleet is not None and not return_autopilot_state:
         final = final[0]
+    # assemble the public (T, N, 2) record from the planar scan output
+    # (one stack per rollout instead of a padded write per step)
+    if record:
+        if fleet is None:
+            recs = recs.assemble()
+        else:
+            recs = (recs[0].assemble(), recs[1])
     return final, recs
 
 

@@ -37,6 +37,15 @@ def acceleration_force(pos, vel, waypoint, applied_target, p: AccelerationParams
     return (applied_target[:, None] * e - vel) / p.tau
 
 
+def acceleration_force_xy(pos_x, pos_y, vel_x, vel_y, wp_x, wp_y,
+                          applied_target, p: AccelerationParams):
+    """Planar :func:`acceleration_force` (identical math on x/y planes);
+    returns ``(fx, fy)``."""
+    ex, ey, _ = vecmath.normalize_xy(wp_x - pos_x, wp_y - pos_y)
+    return ((applied_target * ex - vel_x) / p.tau,
+            (applied_target * ey - vel_y) / p.tau)
+
+
 def _moussaid_pair_force(diff, radius_sub, dv, p: MoussaidParams, pair_ok):
     """Shared Moussaid et al. (2009) interaction term.
 

@@ -320,27 +320,24 @@ def fused_environment_terms(state, scene, params, veh_snap,
     if not jobs:
         return {}
 
-    pos, vel, radius, mode, alive = (state.pos, state.vel, state.radius,
-                                     state.mode, state.alive)
-    n = pos.shape[0]
+    radius, mode, alive = state.radius, state.mode, state.alive
+    n = state.pos_x.shape[0]
     tc = ped_tile
     n_pad = _round_up(max(n, tc), tc)
 
-    perm, inv = morton_order(pos, alive)
+    perm, inv = morton_order((state.pos_x, state.pos_y), alive)
     salive = alive[perm]
-    spos = pos[perm]
-    svel = vel[perm]
-    px = _stage_lane(spos[:, 0], _SENTINEL, salive, n_pad)
-    py = _stage_lane(spos[:, 1], _SENTINEL, salive, n_pad)
-    pvx = _stage_lane(svel[:, 0], 0.0, salive, n_pad)
-    pvy = _stage_lane(svel[:, 1], 0.0, salive, n_pad)
+    px = _stage_lane(state.pos_x[perm], _SENTINEL, salive, n_pad)
+    py = _stage_lane(state.pos_y[perm], _SENTINEL, salive, n_pad)
+    pvx = _stage_lane(state.vel_x[perm], 0.0, salive, n_pad)
+    pvy = _stage_lane(state.vel_y[perm], 0.0, salive, n_pad)
     prad = _stage_lane(radius[perm], 0.0, salive, n_pad)
     alive_pad = jnp.zeros((n_pad,), bool).at[:n].set(salive)
     bb = tile_bboxes(px, py, alive_pad, tc)
     lane = lambda a: a.reshape(1, n_pad)  # noqa: E731
 
     crossing = ((mode == modes.CROSSING_ROAD)
-                | (mode == modes.ROAD_TO_SIDEWALK))[:, None]
+                | (mode == modes.ROAD_TO_SIDEWALK))
 
     terms = {}
     for name, kind, sset, prm_vals, obs_vel, active, use_radius in jobs:
@@ -383,10 +380,13 @@ def fused_environment_terms(state, scene, params, veh_snap,
             bb, circ, gs=gs, kk=kk, tc=tc, n_pad=n_pad,
             use_radius=use_radius, interpret=interpret)
 
-        f = jnp.stack([fx[0, :n], fy[0, :n]], axis=-1)[inv].astype(pos.dtype)
+        dtype = state.pos_x.dtype
+        ux = fx[0, :n][inv].astype(dtype)
+        uy = fy[0, :n][inv].astype(dtype)
         if kind == "exp":
             # border/space forces are disabled for crossing pedestrians
             # (reference forces.py:176-177)
-            f = jnp.where(crossing, 0.0, f)
-        terms[name] = f
+            ux = jnp.where(crossing, 0.0, ux)
+            uy = jnp.where(crossing, 0.0, uy)
+        terms[name] = (ux, uy)
     return terms

@@ -209,7 +209,8 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             col_tile: int = 1024, interpret: bool = False,
                             axis_name: str | None = None,
                             cutoff: float | None = None,
-                            axis_comm: str = "gather"):
+                            axis_comm: str = "gather",
+                            planar_out: bool = False):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
@@ -239,12 +240,14 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     underflow to zero with no per-pair masking; positions must stay below
     ~1e6 m in magnitude.
     """
-    n = pos.shape[0]
+    from ..models.state import split_xy
+    px, py = split_xy(pos)
+    vx, vy = split_xy(vel)
+    n = px.shape[0]
     tr, tc = row_tile, col_tile
     n_rows = _round_up(max(n, tr), tr)
 
-    row_1d = _stage(pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
-                    alive, n_rows)
+    row_1d = _stage(px, py, vx, vy, radius, alive, n_rows)
     row_bb = _bboxes(row_1d, alive, n, tr)
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
 
@@ -256,8 +259,7 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         n_dev = jax.lax.psum(1, axis_name)
         perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
         n_cols = _round_up(max(n, tc), tc)
-        col_1d = _stage(pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], radius,
-                        alive, n_cols)
+        col_1d = _stage(px, py, vx, vy, radius, alive, n_cols)
         blk = (jnp.stack(col_1d), _bboxes(col_1d, alive, n, tc))
 
         def step(carry, _):
@@ -276,21 +278,22 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                                       jnp.arange(n_dev))
     else:
         if axis_name is not None:
-            pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
-            vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
-            rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
-            alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+            g = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)  # noqa: E731
+            px_c, py_c, vx_c, vy_c, rad_c, alive_c = (
+                g(px), g(py), g(vx), g(vy), g(radius), g(alive))
         else:
-            pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
-        n_c = pos_c.shape[0]
+            px_c, py_c, vx_c, vy_c, rad_c, alive_c = (
+                px, py, vx, vy, radius, alive)
+        n_c = px_c.shape[0]
         n_cols = _round_up(max(n_c, tc), tc)
-        col_1d = _stage(pos_c[:, 0], pos_c[:, 1], vel_c[:, 0], vel_c[:, 1],
-                        rad_c, alive_c, n_cols)
+        col_1d = _stage(px_c, py_c, vx_c, vy_c, rad_c, alive_c, n_cols)
         col_bb = _bboxes(col_1d, alive_c, n_c, tc)
         fx, fy = call(row_args, row_bb,
                       [c.reshape(1, n_cols) for c in col_1d], col_bb)
 
-    return jnp.concatenate([fx[:n], fy[:n]], axis=-1).astype(pos.dtype)
+    if planar_out:
+        return fx[:n, 0].astype(px.dtype), fy[:n, 0].astype(py.dtype)
+    return jnp.concatenate([fx[:n], fy[:n]], axis=-1).astype(px.dtype)
 
 
 def _stage(px, py, vx, vy, rad, ok, width):
@@ -364,7 +367,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    row_tile: int = 512, col_tile: int = 1024,
                                    interpret: bool = False,
                                    axis_name: str | None = None,
-                                   axis_comm: str = "ring"):
+                                   axis_comm: str = "ring",
+                                   planar_out: bool = False):
     """Morton-sorted cutoff kernel: sort agents along a Z-order curve so
     kernel tiles are spatially tight, run the cutoff kernel, scatter the
     forces back to the original slot order.  The result equals the unsorted
@@ -375,10 +379,17 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
     global layout, and the rotated per-tile bounding boxes let spatially
     distant shard pairs skip all their tiles."""
     from .spatial import morton_order
-    perm, inv = morton_order(pos, alive)
+    from ..models.state import split_xy
+    px, py = split_xy(pos)
+    vx, vy = split_xy(vel)
+    perm, inv = morton_order((px, py), alive)
     force = pedestrian_force_pallas(
-        pos[perm], vel[perm], radius[perm], alive[perm], p,
+        (px[perm], py[perm]), (vx[perm], vy[perm]), radius[perm],
+        alive[perm], p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
-        axis_comm=axis_comm)
+        axis_comm=axis_comm, planar_out=planar_out)
+    if planar_out:
+        fx, fy = force
+        return fx[inv], fy[inv]
     return force[inv]

@@ -26,12 +26,19 @@ def _part1by1(x):
 
 def morton_order(pos, alive):
     """Permutation sorting alive pedestrians along a Z-order curve (dead
-    slots go last).  Returns ``(perm, inv_perm)`` int32 arrays."""
-    lo = jnp.min(jnp.where(alive[:, None], pos, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(alive[:, None], pos, -jnp.inf), axis=0)
-    span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip((pos - lo) / span * 65535.0, 0.0, 65535.0).astype(jnp.uint32)
-    key = (_part1by1(q[:, 0]) << 1) | _part1by1(q[:, 1])
+    slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.  Returns
+    ``(perm, inv_perm)`` int32 arrays."""
+    from ..models.state import split_xy
+    x, y = split_xy(pos)
+
+    def quant(c):
+        lo = jnp.min(jnp.where(alive, c, jnp.inf))
+        hi = jnp.max(jnp.where(alive, c, -jnp.inf))
+        span = jnp.maximum(hi - lo, 1e-6)
+        return jnp.clip((c - lo) / span * 65535.0,
+                        0.0, 65535.0).astype(jnp.uint32)
+
+    key = (_part1by1(quant(x)) << 1) | _part1by1(quant(y))
     key = jnp.where(alive, key, _MAX_KEY)
     perm = jnp.argsort(key).astype(jnp.int32)
     inv = jnp.argsort(perm).astype(jnp.int32)

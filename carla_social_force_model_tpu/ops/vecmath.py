@@ -44,6 +44,27 @@ def cap_velocity(v, max_speed):
     return v * jnp.expand_dims(factor, -1)
 
 
+def norm_xy(x, y):
+    """Euclidean norm of planar components (no zero guard)."""
+    return jnp.sqrt(x * x + y * y)
+
+
+def normalize_xy(x, y):
+    """Zero-safe planar normalize: ``(ux, uy, norm)`` with zero vectors
+    mapping to zero directions (same guard as :func:`normalize`)."""
+    n = norm_xy(x, y)
+    inv = jnp.where(n == 0.0, 1.0, n)
+    return x / inv, y / inv, n
+
+
+def cap_velocity_xy(vx, vy, max_speed):
+    """Planar :func:`cap_velocity` (same math on x/y planes)."""
+    speed = norm_xy(vx, vy)
+    safe = jnp.where(speed == 0.0, 1.0, speed)
+    factor = jnp.minimum(1.0, max_speed / safe)
+    return vx * factor, vy * factor
+
+
 def left_normal(t):
     """Normal of 2-D vectors ``t`` rotated to the left: (x, y) -> (-y, x).
 

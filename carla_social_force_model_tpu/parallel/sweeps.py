@@ -81,7 +81,7 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_batch.spawn)
     scene_axes = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: None, scene_batch), spawn=spawn_axes)
-    capacity = scene_batch.spawn.pos.shape[1]
+    capacity = scene_batch.spawn.pos_x.shape[1]
 
     def one(scene_row: Scene):
         state = PedState.empty(capacity)

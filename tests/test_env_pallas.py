@@ -59,8 +59,8 @@ def _state(n=97, dead_frac=0.15, crossing_frac=0.2):
     mode = jnp.where(jnp.asarray(RNG.uniform(size=n) < crossing_frac),
                      modes.CROSSING_ROAD, modes.WALKING_SIDEWALK)
     st = PedState.empty(n)
-    return dataclasses.replace(st, pos=pos, vel=vel, radius=radius,
-                               alive=alive, mode=mode)
+    return st.replace_coords(pos=pos, vel=vel, radius=radius,
+                             alive=alive, mode=mode)
 
 
 def _scene(with_vehicles=True):
@@ -119,11 +119,12 @@ def test_fused_terms_match_jnp(use_radius):
         obstacle_active=vact)
 
     for name in want:
+        got_f = np.stack([np.asarray(a) for a in got[name]], axis=-1)
         np.testing.assert_allclose(
-            np.asarray(got[name]), np.asarray(want[name]),
+            got_f, np.asarray(want[name]),
             rtol=3e-5, atol=3e-5, err_msg=name)
         # dead pedestrians feel nothing (staged at the far sentinel)
-        assert np.all(np.asarray(got[name])[~np.asarray(state.alive)] == 0.0)
+        assert np.all(got_f[~np.asarray(state.alive)] == 0.0)
 
 
 def test_fused_terms_via_stepper_dispatch():
@@ -162,16 +163,16 @@ def test_far_pedestrians_feel_nothing():
     n = 32
     st = PedState.empty(n)
     pos = jnp.asarray(RNG.uniform(4000.0, 4100.0, (n, 2)), jnp.float32)
-    st = dataclasses.replace(
-        st, pos=pos, vel=jnp.zeros((n, 2), jnp.float32),
+    st = st.replace_coords(
+        pos=pos, vel=jnp.zeros((n, 2), jnp.float32),
         radius=jnp.full((n,), 0.3, jnp.float32),
         alive=jnp.ones((n,), bool),
         mode=jnp.full((n,), modes.WALKING_SIDEWALK, jnp.int32))
     params = SfmParams(enable_border=True, enable_static_obstacle=True)
     got = fused_environment_terms(st, scene, params, None,
                                   ped_tile=128, interpret=True)
-    assert np.all(np.asarray(got["border_force"]) == 0.0)
-    assert np.all(np.asarray(got["static_obstacle_force"]) == 0.0)
+    assert np.all(np.stack(got["border_force"]) == 0.0)
+    assert np.all(np.stack(got["static_obstacle_force"]) == 0.0)
 
 
 def test_segment_major_roundtrip():
