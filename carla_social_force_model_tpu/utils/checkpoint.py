@@ -15,6 +15,10 @@ Two interchangeable backends:
   ``ckpt_<step>`` naming with an ``.orbax`` suffix; ``latest_checkpoint``
   and ``load_state`` dispatch on the suffix, so the two formats can be
   mixed in one directory and a run can resume from either.
+
+Snapshot keys mirror PedState's fields verbatim (``state__pos_x`` etc.);
+snapshots written before the planar-state layout (``state__pos`` (N, 2))
+are not loadable -- re-run the segment from its scenario instead.
 """
 from __future__ import annotations
 
