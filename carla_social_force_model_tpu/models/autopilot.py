@@ -219,14 +219,20 @@ def build_autopilot_fleet(
 
 
 def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
-                   ped_pos: jnp.ndarray, ped_vel: jnp.ndarray,
+                   ped_pos, ped_vel,
                    ped_alive: jnp.ndarray, t_idx, dt) -> AutopilotState:
     """Advance the fleet one tick (branchless, (V,) and (V,N) vector math).
+
+    ``ped_pos``/``ped_vel``: (N, 2) arrays or (x, y) plane tuples -- the
+    (V, N)-shaped hazard work is planar (TPU size-2-minor layout rule).
 
     Runs *before* the pedestrian core each tick, matching the reference's
     order (vehicles move inside ``world.tick()`` and are then read back as
     dynamic obstacles, run_simulation.py:70-95).
     """
+    from ..ops.vecmath import split_xy
+    ppx, ppy = split_xy(ped_pos)
+    pvx, pvy = split_xy(ped_vel)
     dt = jnp.asarray(dt, st.pos.dtype)
     active = st.active | (fleet.spawn_step == t_idx)
 
@@ -247,11 +253,12 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
     # margin, laterally within half-width + margin either now or at the
     # vehicle's arrival time (a walker stepping toward the lane is a hazard
     # before it enters it; CARLA's TM predicts the same way, coarsely)
-    rel = ped_pos[None, :, :] - st.pos[:, None, :]           # (V, N, 2)
-    fwd = rel[..., 0] * dirx[:, None] + rel[..., 1] * diry[:, None]
-    lat = -rel[..., 0] * diry[:, None] + rel[..., 1] * dirx[:, None]
-    lat_vel = (-ped_vel[None, :, 0] * diry[:, None]
-               + ped_vel[None, :, 1] * dirx[:, None])
+    rel_x = ppx[None, :] - st.pos[:, 0][:, None]             # (V, N) planes
+    rel_y = ppy[None, :] - st.pos[:, 1][:, None]
+    fwd = rel_x * dirx[:, None] + rel_y * diry[:, None]
+    lat = -rel_x * diry[:, None] + rel_y * dirx[:, None]
+    lat_vel = (-pvx[None, :] * diry[:, None]
+               + pvy[None, :] * dirx[:, None])
     t_arrive = jnp.clip(fwd / jnp.maximum(st.speed, 0.5)[:, None], 0.0, 3.0)
     lat_pred = lat + lat_vel * t_arrive
     stop_dist = (st.speed ** 2) / (2.0 * fleet.decel) + fleet.brake_margin

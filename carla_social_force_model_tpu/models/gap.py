@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.geometry import segment_intersection
+from ..ops.geometry import segment_intersection_xy
 from ..ops import vecmath
 
 
@@ -25,7 +25,9 @@ def gap_ready(pos, goal, crossing_speed, margin,
     """Per-pedestrian readiness to cross.
 
     Args:
-      pos, goal: (N, 2) crossing segment endpoints (current loc -> waypoint).
+      pos, goal: crossing segment endpoints (current loc -> waypoint) as
+        (N, 2) arrays or (x, y) plane tuples -- all (N, V)-shaped work is
+        planar (TPU size-2-minor layout rule, models/state.py).
       crossing_speed, margin: (N,).
       veh_center, veh_vel: (V, 2); veh_extent: (V, 2) bbox half extents;
       veh_active: (V,) bool.
@@ -33,9 +35,10 @@ def gap_ready(pos, goal, crossing_speed, margin,
     Returns (N,) bool; peds with negative margin always cross
     (check_traffic.py:23-24).
     """
+    px, py = vecmath.split_xy(pos)
+    gx, gy = vecmath.split_xy(goal)
     speed_safe = jnp.where(crossing_speed == 0.0, 1.0, crossing_speed)
-    seg = goal - pos
-    t_ped = vecmath.norm(seg) / speed_safe                       # (N,)
+    t_ped = vecmath.norm_xy(gx - px, gy - py) / speed_safe       # (N,)
 
     veh_dir, veh_speed = vecmath.normalize(veh_vel)              # (V,2),(V,)
     if strict_parity:
@@ -45,17 +48,22 @@ def gap_ready(pos, goal, crossing_speed, margin,
     front = veh_center + offset                                  # (V, 2)
     back = veh_center - offset
 
-    # vehicle goal depends on the pedestrian's crossing time -> (N, V, 2)
-    horizon = (t_ped + margin)[:, None, None]
-    veh_goal = front[None] + veh_vel[None] * horizon
+    # vehicle goal depends on the pedestrian's crossing time -> (N, V) planes
+    horizon = (t_ped + margin)[:, None]
+    veh_goal_x = front[None, :, 0] + veh_vel[None, :, 0] * horizon
+    veh_goal_y = front[None, :, 1] + veh_vel[None, :, 1] * horizon
 
-    hit, ip = segment_intersection(
-        pos[:, None, :], goal[:, None, :], back[None, :, :], veh_goal)
+    hit, ipx, ipy = segment_intersection_xy(
+        px[:, None], py[:, None], gx[:, None], gy[:, None],
+        back[None, :, 0], back[None, :, 1], veh_goal_x, veh_goal_y)
 
-    tti_ped = vecmath.norm(ip - pos[:, None, :]) / speed_safe[:, None]
+    tti_ped = (vecmath.norm_xy(ipx - px[:, None], ipy - py[:, None])
+               / speed_safe[:, None])
     vs_safe = jnp.where(veh_speed == 0.0, 1.0, veh_speed)[None, :]
-    tti_front = vecmath.norm(ip - front[None]) / vs_safe
-    tti_back = vecmath.norm(ip - back[None]) / vs_safe
+    tti_front = vecmath.norm_xy(ipx - front[None, :, 0],
+                                ipy - front[None, :, 1]) / vs_safe
+    tti_back = vecmath.norm_xy(ipx - back[None, :, 0],
+                               ipy - back[None, :, 1]) / vs_safe
 
     blocked = (hit & veh_active[None, :] & (veh_speed[None, :] != 0.0)
                & (tti_front - margin[:, None] < tti_ped)

@@ -31,7 +31,8 @@ class RouteBuffer:
     @property
     def waypoints(self) -> jnp.ndarray:
         """(N, W, 2) assembly view (host-side consumers)."""
-        return jnp.stack([self.wp_x, self.wp_y], axis=-1)
+        from ..ops.vecmath import stack_xy
+        return stack_xy(self.wp_x, self.wp_y)
 
 
 def build_route_buffer(routes: Sequence[np.ndarray],

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass
 from . import modes
 from .routes import RouteBuffer, build_route_buffer
+from ..ops.vecmath import stack_xy
 from .state import PedState
 
 # Size of CARLA 0.9.13's walker blueprint library (walker.pedestrian.0001 ..
@@ -82,15 +83,15 @@ class SpawnSchedule:
 
     @property
     def pos(self) -> jnp.ndarray:
-        return jnp.stack([self.pos_x, self.pos_y], axis=-1)
+        return stack_xy(self.pos_x, self.pos_y)
 
     @property
     def vel(self) -> jnp.ndarray:
-        return jnp.stack([self.vel_x, self.vel_y], axis=-1)
+        return stack_xy(self.vel_x, self.vel_y)
 
     @property
     def first_waypoint(self) -> jnp.ndarray:
-        return jnp.stack([self.fwp_x, self.fwp_y], axis=-1)
+        return stack_xy(self.fwp_x, self.fwp_y)
 
 
 def realized_spawn_steps(spawn_time: float, spawn_interval: float,

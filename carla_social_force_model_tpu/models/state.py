@@ -21,16 +21,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
+from ..ops.vecmath import split_xy, stack_xy  # noqa: F401  (re-export)
 from . import modes
-
-
-def split_xy(v):
-    """``(x, y)`` planes of ``v``: a pass-through for an (x, y) tuple, the
-    column split of an ``(..., 2)`` array."""
-    if isinstance(v, (tuple, list)):
-        x, y = v
-        return x, y
-    return v[..., 0], v[..., 1]
 
 
 @pytree_dataclass
@@ -62,15 +54,15 @@ class PedState:
     # (N, 2) assembly views for host-side consumers; device math uses planes
     @property
     def pos(self) -> jnp.ndarray:
-        return jnp.stack([self.pos_x, self.pos_y], axis=-1)
+        return stack_xy(self.pos_x, self.pos_y)
 
     @property
     def vel(self) -> jnp.ndarray:
-        return jnp.stack([self.vel_x, self.vel_y], axis=-1)
+        return stack_xy(self.vel_x, self.vel_y)
 
     @property
     def waypoint(self) -> jnp.ndarray:
-        return jnp.stack([self.wp_x, self.wp_y], axis=-1)
+        return stack_xy(self.wp_x, self.wp_y)
 
     def replace_coords(self, pos=None, vel=None, waypoint=None, **kw):
         """``dataclasses.replace`` accepting ``(N, 2)`` arrays (or (x, y)

@@ -141,8 +141,8 @@ class RecordXY(NamedTuple):
 
     def assemble(self) -> StepRecord:
         return StepRecord(
-            pos=jnp.stack([self.pos_x, self.pos_y], axis=-1),
-            vel=jnp.stack([self.vel_x, self.vel_y], axis=-1),
+            pos=vecmath.stack_xy(self.pos_x, self.pos_y),
+            vel=vecmath.stack_xy(self.vel_x, self.vel_y),
             mode=self.mode, alive=self.alive)
 
 
@@ -159,7 +159,7 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
     (shard_map agent-sharding), the N x N force gathers its column state over
     that axis; all other forces are row-local.
     """
-    from .state import split_xy
+    from ..ops.vecmath import split_xy
 
     fused_env: dict = {}
     if cfg.use_pallas and cfg.use_pallas_env:
@@ -307,7 +307,8 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
     checking = alive & (mode == modes.CHECKING_TRAFFIC)
     if veh_snap is not None:
         ready = gap_ready(
-            state.pos, state.waypoint, state.crossing_speed,
+            (state.pos_x, state.pos_y), (state.wp_x, state.wp_y),
+            state.crossing_speed,
             state.safety_margin, veh_snap.center, veh_snap.vel,
             veh_snap.extent, veh_snap.active,
             strict_parity=params.strict_parity)
@@ -460,11 +461,13 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             # update on every device).  Planes gather separately (no (N, 2)
             # lane padding on the wire).
             g = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)  # noqa: E731
-            w_pos = jnp.stack([g(st.pos_x), g(st.pos_y)], axis=-1)
-            w_vel = jnp.stack([g(st.vel_x), g(st.vel_y)], axis=-1)
+            w_pos = (g(st.pos_x), g(st.pos_y))
+            w_vel = (g(st.vel_x), g(st.vel_y))
             w_alive = g(st.alive)
         else:
-            w_pos, w_vel, w_alive = st.pos, st.vel, st.alive
+            w_pos = (st.pos_x, st.pos_y)
+            w_vel = (st.vel_x, st.vel_y)
+            w_alive = st.alive
         ap = autopilot_step(fleet, ap, w_pos, w_vel, w_alive, t_idx,
                             cfg.dt)
         snap = autopilot_snapshot(fleet, ap)

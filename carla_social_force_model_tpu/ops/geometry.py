@@ -223,6 +223,30 @@ def segment_filter_mask(pos, pset: ChunkedPointSet):
     return d2 < (r * r)[:, None]
 
 
+def segment_intersection_xy(p0x, p0y, p1x, p1y, q0x, q0y, q1x, q1y,
+                            eps: float = 0.0):
+    """Planar :func:`segment_intersection` (same math on x/y planes --
+    the hot-path form: no size-2-minor intermediates).
+
+    Returns ``(hit, ipx, ipy)`` with intersection coordinates zeroed when
+    there is no hit."""
+    rx, ry = p1x - p0x, p1y - p0y
+    sx, sy = q1x - q0x, q1y - q0y
+    denom = rx * sy - ry * sx
+    qpx, qpy = q0x - p0x, q0y - p0y
+    t_num = qpx * sy - qpy * sx
+    u_num = qpx * ry - qpy * rx
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    t = t_num / safe
+    u = u_num / safe
+    hit = ((denom != 0.0) & (t >= -eps) & (t <= 1.0 + eps)
+           & (u >= -eps) & (u <= 1.0 + eps))
+    zero = jnp.zeros((), t.dtype)
+    ipx = jnp.where(hit, p0x + t * rx, zero)
+    ipy = jnp.where(hit, p0y + t * ry, zero)
+    return hit, ipx, ipy
+
+
 def segment_intersection(p0, p1, q0, q1, eps: float = 0.0):
     """Intersection of 2-D segments ``[p0, p1]`` and ``[q0, q1]`` (batched).
 

@@ -240,7 +240,7 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     underflow to zero with no per-pair masking; positions must stay below
     ~1e6 m in magnitude.
     """
-    from ..models.state import split_xy
+    from .vecmath import split_xy
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
     n = px.shape[0]
@@ -379,7 +379,7 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
     global layout, and the rotated per-tile bounding boxes let spatially
     distant shard pairs skip all their tiles."""
     from .spatial import morton_order
-    from ..models.state import split_xy
+    from .vecmath import split_xy
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
     perm, inv = morton_order((px, py), alive)

@@ -28,7 +28,7 @@ def morton_order(pos, alive):
     """Permutation sorting alive pedestrians along a Z-order curve (dead
     slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.  Returns
     ``(perm, inv_perm)`` int32 arrays."""
-    from ..models.state import split_xy
+    from .vecmath import split_xy
     x, y = split_xy(pos)
 
     def quant(c):

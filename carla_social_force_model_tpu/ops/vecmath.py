@@ -15,6 +15,23 @@ import jax.numpy as jnp
 TWO_PI = 2.0 * jnp.pi
 
 
+def split_xy(v):
+    """``(x, y)`` planes of ``v``: a pass-through for an (x, y) tuple, the
+    column split of an ``(..., 2)`` array.  The planar-interface convention:
+    functions on the hot path accept either form and compute on planes
+    (a size-2 minor dimension pads 2 -> 128 lanes on TPU)."""
+    if isinstance(v, (tuple, list)):
+        x, y = v
+        return x, y
+    return v[..., 0], v[..., 1]
+
+
+def stack_xy(x, y):
+    """Assemble an ``(..., 2)`` array from x/y planes (host-side views,
+    record assembly -- never inside the per-step hot path)."""
+    return jnp.stack([x, y], axis=-1)
+
+
 def norm(v, axis=-1):
     """Euclidean norm along ``axis`` (no zero guard)."""
     return jnp.sqrt(jnp.sum(v * v, axis=axis))

@@ -17,8 +17,8 @@ Two interchangeable backends:
   mixed in one directory and a run can resume from either.
 
 Snapshot keys mirror PedState's fields verbatim (``state__pos_x`` etc.);
-snapshots written before the planar-state layout (``state__pos`` (N, 2))
-are not loadable -- re-run the segment from its scenario instead.
+``load_state`` transparently migrates snapshots written before the
+planar-state layout (``state__pos`` (N, 2) -> x/y planes).
 """
 from __future__ import annotations
 
@@ -78,8 +78,23 @@ def load_state(path: str, with_autopilot: bool = False):
         data = np.load(path)
         files = data.files
     try:
-        kwargs = {f.name: jax.numpy.asarray(data[f"state__{f.name}"])
-                  for f in dataclasses.fields(PedState)}
+        if "state__pos" in files:
+            # pre-planar snapshot (state__pos (N, 2) etc.): migrate the
+            # coordinate arrays into the planar fields on load
+            def field_arr(name):
+                for c in ("pos", "vel"):
+                    if name in (f"{c}_x", f"{c}_y"):
+                        return data[f"state__{c}"][:, 0 if name.endswith("x")
+                                                   else 1]
+                if name in ("wp_x", "wp_y"):
+                    return data["state__waypoint"][:, 0 if name == "wp_x"
+                                                   else 1]
+                return data[f"state__{name}"]
+            kwargs = {f.name: jax.numpy.asarray(field_arr(f.name))
+                      for f in dataclasses.fields(PedState)}
+        else:
+            kwargs = {f.name: jax.numpy.asarray(data[f"state__{f.name}"])
+                      for f in dataclasses.fields(PedState)}
         step = int(data["step"])
         ap = None
         if with_autopilot and any(k.startswith("ap__") for k in files):

@@ -202,3 +202,37 @@ def test_viz_cli_graph_from_npz(tmp_path):
     out = tmp_path / "g.png"
     assert main(["graph", "--npz", str(npz), "--out", str(out)]) == 0
     assert os.path.getsize(out) > 1000
+
+
+def test_load_pre_planar_checkpoint(tmp_path):
+    """Snapshots written before the planar-state layout (state__pos (N,2)
+    etc.) load transparently: coordinates migrate into the x/y planes."""
+    rng = np.random.default_rng(3)
+    n = 9
+    payload = {
+        "state__pos": rng.uniform(-5, 5, (n, 2)).astype(np.float32),
+        "state__vel": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+        "state__waypoint": rng.uniform(-5, 5, (n, 2)).astype(np.float32),
+        "state__radius": np.full((n,), 0.3, np.float32),
+        "state__base_speed": np.full((n,), 1.2, np.float32),
+        "state__crossing_speed": np.full((n,), 1.8, np.float32),
+        "state__safety_margin": np.full((n,), 1.5, np.float32),
+        "state__fsm_target": np.full((n,), 1.2, np.float32),
+        "state__applied_target": np.full((n,), 1.2, np.float32),
+        "state__mode": np.ones((n,), np.int32),
+        "state__next_mode_time": np.full((n,), -1.0, np.float32),
+        "state__waypoint_idx": np.zeros((n,), np.int32),
+        "state__alive": np.ones((n,), bool),
+        "state__spawned": np.ones((n,), bool),
+        "step": np.asarray(77, np.int64),
+    }
+    p = str(tmp_path / "old.npz")
+    np.savez_compressed(p, **payload)
+    state, step = load_state(p)
+    assert step == 77
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  payload["state__pos"])
+    np.testing.assert_array_equal(np.asarray(state.waypoint),
+                                  payload["state__waypoint"])
+    np.testing.assert_array_equal(np.asarray(state.vel_y),
+                                  payload["state__vel"][:, 1])

@@ -55,9 +55,17 @@ def main():
         return
     for variant in ("full", "pipeline", "jnp"):
         env = dict(os.environ, ENSEMBLE_VARIANT=variant)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            shape, str(steps)], env=env,
-                           capture_output=True, text=True, timeout=1200)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                shape, str(steps)], env=env,
+                               capture_output=True, text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            # the SIGKILLed child may wedge the TPU tunnel for a while
+            # (CLAUDE.md); report and keep going -- later variants will
+            # retry against whatever state the tunnel is in
+            print(json.dumps({"what": f"ensemble_{variant}", "ok": False,
+                              "err": "timeout (1200s)"}), flush=True)
+            continue
         lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         print(lines[-1] if lines else json.dumps(
             {"what": f"ensemble_{variant}", "ok": False,
