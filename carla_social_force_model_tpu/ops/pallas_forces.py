@@ -105,10 +105,12 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
         # skip tile pairs whose bounding boxes are farther than the cutoff
         # (agents are Morton-sorted so boxes are tight; empty tiles carry
         # inverted infinite boxes and always skip)
-        gx = jnp.maximum(jnp.maximum(cbb_ref[j, 0] - rbb_ref[i, 1],
-                                     rbb_ref[i, 0] - cbb_ref[j, 1]), 0.0)
-        gy = jnp.maximum(jnp.maximum(cbb_ref[j, 2] - rbb_ref[i, 3],
-                                     rbb_ref[i, 2] - cbb_ref[j, 3]), 0.0)
+        # bboxes ride transposed, (4, n_tiles): the lane dim should be the
+        # large one in SMEM just like VMEM ((n_tiles, 4) pads 4 -> 128)
+        gx = jnp.maximum(jnp.maximum(cbb_ref[0, j] - rbb_ref[1, i],
+                                     rbb_ref[0, i] - cbb_ref[1, j]), 0.0)
+        gy = jnp.maximum(jnp.maximum(cbb_ref[2, j] - rbb_ref[3, i],
+                                     rbb_ref[2, i] - cbb_ref[3, j]), 0.0)
         run_tile = gx * gx + gy * gy <= cutoff * cutoff
     else:
         run_tile = True
@@ -245,15 +247,15 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     vx, vy = split_xy(vel)
     n = px.shape[0]
     tr, tc = row_tile, col_tile
-    n_rows = _round_up(max(n, tr), tr)
 
+    n_rows = _round_up(max(n, tr), tr)
     row_1d = _stage(px, py, vx, vy, radius, alive, n_rows)
     row_bb = _bboxes(row_1d, alive, n, tr)
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
 
     call = functools.partial(
-        _slab_call, p=p, use_radius=use_ped_radius, tr=tr, tc=tc,
-        cutoff=cutoff, interpret=interpret)
+        _slab_call, prm=_params_vec(p), use_radius=use_ped_radius, tr=tr,
+        tc=tc, cutoff=cutoff, interpret=interpret)
 
     if axis_name is not None and axis_comm == "ring":
         n_dev = jax.lax.psum(1, axis_name)
@@ -308,14 +310,24 @@ def _stage(px, py, vx, vy, rad, ok, width):
 
 
 def _bboxes(staged_1d, alive, count, tile):
+    """(4, n_tiles) transposed tile bounding boxes (SMEM layout; see
+    _pair_kernel)."""
     from .spatial import tile_bboxes
     width = staged_1d[0].shape[0]
     mask = jnp.zeros((width,), bool).at[:count].set(alive)
-    return tile_bboxes(staged_1d[0], staged_1d[1], mask, tile)
+    return tile_bboxes(staged_1d[0], staged_1d[1], mask, tile).T
+
+
+def _params_vec(p) -> jnp.ndarray:
+    """(6,) force-parameter vector (scalar-prefetch payload); leaves may be
+    traced (parameter sweeps vmap over them)."""
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in
+                      (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)],
+                     axis=-1)
 
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
-               p, use_radius, tr, tc, cutoff, interpret):
+               prm, use_radius, tr, tc, cutoff, interpret):
     """One kernel launch over a (n_rows x n_cols) slab of staged state."""
     n_rows = row_args[0].shape[0]
     n_cols = col_args[0].shape[1]
@@ -333,8 +345,6 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
     kernel = functools.partial(
         _pair_kernel, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None)
-    prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in
-                     (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
