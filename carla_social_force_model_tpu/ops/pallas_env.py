@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_forces import _atan2, _SENTINEL, _TINY
-from .spatial import morton_order, tile_bboxes
+from .spatial import morton_sort, tile_bboxes
 from ..env.pointsets import PAD_COORD
 
 #: squared-distance threshold separating real closest points from padding
@@ -325,13 +325,14 @@ def fused_environment_terms(state, scene, params, veh_snap,
     tc = ped_tile
     n_pad = _round_up(max(n, tc), tc)
 
-    perm, inv = morton_order((state.pos_x, state.pos_y), alive)
-    salive = alive[perm]
-    px = _stage_lane(state.pos_x[perm], _SENTINEL, salive, n_pad)
-    py = _stage_lane(state.pos_y[perm], _SENTINEL, salive, n_pad)
-    pvx = _stage_lane(state.vel_x[perm], 0.0, salive, n_pad)
-    pvy = _stage_lane(state.vel_y[perm], 0.0, salive, n_pad)
-    prad = _stage_lane(radius[perm], 0.0, salive, n_pad)
+    (spx, spy, svx, svy, srad, salive), inv = morton_sort(
+        (state.pos_x, state.pos_y), alive,
+        (state.pos_x, state.pos_y, state.vel_x, state.vel_y, radius, alive))
+    px = _stage_lane(spx, _SENTINEL, salive, n_pad)
+    py = _stage_lane(spy, _SENTINEL, salive, n_pad)
+    pvx = _stage_lane(svx, 0.0, salive, n_pad)
+    pvy = _stage_lane(svy, 0.0, salive, n_pad)
+    prad = _stage_lane(srad, 0.0, salive, n_pad)
     alive_pad = jnp.zeros((n_pad,), bool).at[:n].set(salive)
     bb = tile_bboxes(px, py, alive_pad, tc)
     lane = lambda a: a.reshape(1, n_pad)  # noqa: E731

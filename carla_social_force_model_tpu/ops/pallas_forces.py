@@ -388,14 +388,14 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
     shard -- the per-pair cutoff keeps the result exact regardless of the
     global layout, and the rotated per-tile bounding boxes let spatially
     distant shard pairs skip all their tiles."""
-    from .spatial import morton_order
+    from .spatial import morton_sort
     from .vecmath import split_xy
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
-    perm, inv = morton_order((px, py), alive)
+    (spx, spy, svx, svy, srad, salive), inv = morton_sort(
+        (px, py), alive, (px, py, vx, vy, radius, alive))
     force = pedestrian_force_pallas(
-        (px[perm], py[perm]), (vx[perm], vy[perm]), radius[perm],
-        alive[perm], p,
+        (spx, spy), (svx, svy), srad, salive, p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
         axis_comm=axis_comm, planar_out=planar_out)

@@ -45,6 +45,38 @@ def morton_order(pos, alive):
     return perm, inv
 
 
+def morton_sort(pos, alive, arrays):
+    """Morton-sort ``arrays`` (a tuple of (N,) planes) in ONE multi-operand
+    ``lax.sort`` pass.
+
+    Separate per-plane gathers ``a[perm]`` compile to ~10 ns/row loops
+    (~0.45 ms/step at N=10k across the 5-6 staged planes); the co-sorted
+    operands ride the sort's own permutation network instead.  Returns
+    ``(sorted_arrays, inv_perm)`` with ``inv_perm`` (int32) scattering
+    sorted-order results back to slot order (``out[inv]``).  Stable, so the
+    order matches :func:`morton_order` exactly.
+    """
+    from .vecmath import split_xy
+    x, y = split_xy(pos)
+
+    def quant(c):
+        lo = jnp.min(jnp.where(alive, c, jnp.inf))
+        hi = jnp.max(jnp.where(alive, c, -jnp.inf))
+        span = jnp.maximum(hi - lo, 1e-6)
+        return jnp.clip((c - lo) / span * 65535.0,
+                        0.0, 65535.0).astype(jnp.uint32)
+
+    key = (_part1by1(quant(x)) << 1) | _part1by1(quant(y))
+    key = jnp.where(alive, key, _MAX_KEY)
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + tuple(arrays), num_keys=1,
+                       is_stable=True)
+    perm = out[1]
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(iota)
+    return out[2:], inv
+
+
 def tile_bboxes(x, y, alive, tile: int):
     """Per-tile bounding boxes of alive agents.
 
