@@ -88,17 +88,21 @@ def _closest_sel(bx, by, px, py, *, gs, kk):
 def _tile_hit(bb_ref, circ_ref, j, i, gs):
     """Does any segment's filter circle in point tile ``i`` touch ped tile
     ``j``'s bounding box?  Padded segments carry radius^2 = -1 (never hit);
-    empty ped tiles carry inverted infinite boxes (gaps are +inf)."""
-    minx = bb_ref[j, 0]
-    maxx = bb_ref[j, 1]
-    miny = bb_ref[j, 2]
-    maxy = bb_ref[j, 3]
+    empty ped tiles carry inverted infinite boxes (gaps are +inf).
+
+    ``bb_ref``/``circ_ref`` ride transposed -- (4, n_tiles) / (3, s_pad) --
+    so the large dimension is minor (SMEM pads small minor dims to 128
+    lanes just like VMEM; see ops/pallas_forces._pair_kernel)."""
+    minx = bb_ref[0, j]
+    maxx = bb_ref[1, j]
+    miny = bb_ref[2, j]
+    maxy = bb_ref[3, j]
     hit = None
     for gi in range(gs):
         s = i * gs + gi
-        scx = circ_ref[s, 0]
-        scy = circ_ref[s, 1]
-        sr2 = circ_ref[s, 2]
+        scx = circ_ref[0, s]
+        scy = circ_ref[1, s]
+        sr2 = circ_ref[2, s]
         gx = jnp.maximum(jnp.maximum(scx - maxx, minx - scx), 0.0)
         gy = jnp.maximum(jnp.maximum(scy - maxy, miny - scy), 0.0)
         h = gx * gx + gy * gy <= sr2
@@ -334,7 +338,7 @@ def fused_environment_terms(state, scene, params, veh_snap,
     pvy = _stage_lane(svy, 0.0, salive, n_pad)
     prad = _stage_lane(srad, 0.0, salive, n_pad)
     alive_pad = jnp.zeros((n_pad,), bool).at[:n].set(salive)
-    bb = tile_bboxes(px, py, alive_pad, tc)
+    bb = tile_bboxes(px, py, alive_pad, tc).T   # (4, n_tiles) SMEM
     lane = lambda a: a.reshape(1, n_pad)  # noqa: E731
 
     crossing = ((mode == modes.CROSSING_ROAD)
@@ -361,7 +365,7 @@ def fused_environment_terms(state, scene, params, veh_snap,
         cxp = _stage_seg_plane(sset.centers[:, 0], _PAD32, s_pad)
         cyp = _stage_seg_plane(sset.centers[:, 1], _PAD32, s_pad)
         r2p = _stage_seg_plane(r2, -1.0, s_pad)
-        circ = jnp.concatenate([cxp, cyp, r2p], axis=1)  # (s_pad, 3) SMEM
+        circ = jnp.concatenate([cxp, cyp, r2p], axis=1).T  # (3, s_pad) SMEM
 
         if kind == "moussaid":
             ov = (obs_vel if obs_vel is not None

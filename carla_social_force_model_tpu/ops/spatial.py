@@ -24,10 +24,9 @@ def _part1by1(x):
     return x
 
 
-def morton_order(pos, alive):
-    """Permutation sorting alive pedestrians along a Z-order curve (dead
-    slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.  Returns
-    ``(perm, inv_perm)`` int32 arrays."""
+def _morton_key(pos, alive):
+    """(N,) uint32 Z-order keys; dead slots key to the maximum (sort
+    last).  ``pos``: (N, 2) array or (x, y) plane tuple."""
     from .vecmath import split_xy
     x, y = split_xy(pos)
 
@@ -39,8 +38,14 @@ def morton_order(pos, alive):
                         0.0, 65535.0).astype(jnp.uint32)
 
     key = (_part1by1(quant(x)) << 1) | _part1by1(quant(y))
-    key = jnp.where(alive, key, _MAX_KEY)
-    perm = jnp.argsort(key).astype(jnp.int32)
+    return jnp.where(alive, key, _MAX_KEY)
+
+
+def morton_order(pos, alive):
+    """Permutation sorting alive pedestrians along a Z-order curve (dead
+    slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.  Returns
+    ``(perm, inv_perm)`` int32 arrays."""
+    perm = jnp.argsort(_morton_key(pos, alive)).astype(jnp.int32)
     inv = jnp.argsort(perm).astype(jnp.int32)
     return perm, inv
 
@@ -54,20 +59,9 @@ def morton_sort(pos, alive, arrays):
     operands ride the sort's own permutation network instead.  Returns
     ``(sorted_arrays, inv_perm)`` with ``inv_perm`` (int32) scattering
     sorted-order results back to slot order (``out[inv]``).  Stable, so the
-    order matches :func:`morton_order` exactly.
+    order matches :func:`morton_order` exactly (tested).
     """
-    from .vecmath import split_xy
-    x, y = split_xy(pos)
-
-    def quant(c):
-        lo = jnp.min(jnp.where(alive, c, jnp.inf))
-        hi = jnp.max(jnp.where(alive, c, -jnp.inf))
-        span = jnp.maximum(hi - lo, 1e-6)
-        return jnp.clip((c - lo) / span * 65535.0,
-                        0.0, 65535.0).astype(jnp.uint32)
-
-    key = (_part1by1(quant(x)) << 1) | _part1by1(quant(y))
-    key = jnp.where(alive, key, _MAX_KEY)
+    key = _morton_key(pos, alive)
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     out = jax.lax.sort((key, iota) + tuple(arrays), num_keys=1,

@@ -234,3 +234,28 @@ def test_pallas_overlapping_radii_zero_interaction_vector():
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_morton_sort_matches_morton_order():
+    """morton_sort's co-sorted order is bit-identical to morton_order's
+    permutation (stable sort), including tied keys (coincident agents,
+    dead slots) and the inverse-permutation contract."""
+    from carla_social_force_model_tpu.ops.spatial import (morton_order,
+                                                          morton_sort)
+    n = 200
+    pos = RNG.uniform(-30, 30, (n, 2)).astype(np.float32)
+    pos[40:60] = pos[20:40]            # tied keys: coincident agents
+    pos = jnp.asarray(pos)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.8)   # dead slots tie too
+    vals = jnp.arange(n, dtype=jnp.float32) * 1.5
+
+    perm, inv = morton_order(pos, alive)
+    (sorted_vals, sorted_alive), inv2 = morton_sort(
+        (pos[:, 0], pos[:, 1]), alive, (vals, alive))
+    np.testing.assert_array_equal(np.asarray(sorted_vals),
+                                  np.asarray(vals[perm]))
+    np.testing.assert_array_equal(np.asarray(sorted_alive),
+                                  np.asarray(alive[perm]))
+    np.testing.assert_array_equal(np.asarray(inv2), np.asarray(inv))
+    np.testing.assert_array_equal(np.asarray(sorted_vals[inv2]),
+                                  np.asarray(vals))
