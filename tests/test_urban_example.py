@@ -52,3 +52,14 @@ def test_urban_navigation_stack():
     assert {1, 2, 3} <= seen, seen
     assert int(np.asarray(final.spawned).sum()) == 3
     assert int(np.asarray(final.alive).sum()) == 0  # everyone arrived
+
+
+def test_ensemble_example_runs(monkeypatch, capsys):
+    """The ensemble-rollouts example runs end-to-end at a tiny scale."""
+    import runpy
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(sys, "argv", ["ensemble_rollouts.py", "4", "64"])
+    runpy.run_path(os.path.join(repo, "examples", "ensemble_rollouts.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "4 crowds x 64 peds" in out and "mean displacement" in out
