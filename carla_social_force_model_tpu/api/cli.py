@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Morton-sorted interaction cutoff (see BENCH.md)")
     p.add_argument("--comm", choices=("gather", "ring"), default=None,
                    help="column-state communication under agent-sharding")
+    p.add_argument("--exact-div", action="store_true", default=None,
+                   help="exact division in the Pallas in-kernel atan2 "
+                        "(default: Newton-refined approximate reciprocal)")
+    p.add_argument("--vmem-mb", type=int, default=None,
+                   help="Mosaic scoped-VMEM limit for the Pallas kernels")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the rollout to DIR")
     p.add_argument("--checkpoint-dir", type=str, default=None,
@@ -82,7 +87,9 @@ def main(argv=None) -> int:
         strict_parity=args.strict_parity,
         engine={"use_pallas": args.pallas,
                 "interaction_cutoff": args.cutoff,
-                "axis_comm": args.comm})
+                "axis_comm": args.comm,
+                "pallas_exact_div": args.exact_div,
+                "pallas_vmem_mb": args.vmem_mb})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -124,6 +124,8 @@ def extract_autopilot_specs(scenario: dict) -> list:
                 sp.get("speed_reduction_factor", 30)),
             ignore_walkers_percentage=float(
                 sp.get("ignore_walkers_percentage", 0)),
+            ignore_lights_percentage=float(
+                sp.get("ignore_lights_percentage", 0)),
             extent=tuple(sp.get("extent", (2.4, 1.1))),
             spawn_time=float(sp.get("spawn_time", 0.0)),
             spawn_interval=float(sp.get("spawn_interval", 5.0)),
@@ -303,9 +305,29 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         # "lengths" is the ragged point-count index; section lengths in
         # meters (the reference's coarse-filter radius, forces.py:149-151)
         # ride in "section_lengths".  Older captures without it fall back
-        # to point-count * resolution (the sampling step is 0.1 m).
-        sec_len = (hit["section_lengths"] if "section_lengths" in hit
-                   else np.asarray(hit["lengths"], np.float64) * 0.1)
+        # to point-count * sampling resolution ("resolution" in the capture
+        # when the writer recorded it; 0.1 m -- extract_sidewalk's default
+        # -- otherwise, with a warning: a capture sampled at another step
+        # would get coarse-filter radii off by the resolution ratio).
+        if "section_lengths" in hit:
+            sec_len = hit["section_lengths"]
+        else:
+            counts = np.asarray(hit["lengths"], np.float64)
+            if not np.all(counts == np.round(counts)):
+                raise ValueError(
+                    f"{path}: 'lengths' holds non-integer values, so it "
+                    "cannot be the ragged point-count index (pre-fix "
+                    "captures stored section meters there, corrupting the "
+                    "point splits) -- re-export the capture")
+            if "resolution" in hit:
+                res = float(hit["resolution"])
+            else:
+                res = 0.1
+                log.warning(
+                    "%s: capture has neither 'section_lengths' nor "
+                    "'resolution'; approximating section lengths as "
+                    "point-count * 0.1 m (the default sampling step)", path)
+            sec_len = counts * res
         extra_border_sections = (list(extra_border_sections or [])
                                  + list(zip(hit["centers"], sec_len)))
 
@@ -327,6 +349,8 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         use_pallas=bool(eng.get("use_pallas", False)),
         interaction_cutoff=float(cutoff) if cutoff is not None else None,
         axis_comm=str(eng.get("axis_comm", "gather")),
+        pallas_exact_div=bool(eng.get("pallas_exact_div", False)),
+        pallas_vmem_mb=int(eng.get("pallas_vmem_mb", 32)),
     )
 
     obstacles_cfg = scenario.get("obstacles")
@@ -354,18 +378,37 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     ap_specs = extract_autopilot_specs(scenario)
     autopilot = None
     if ap_specs:
-        from ..models.autopilot import build_autopilot_fleet
+        from ..models.autopilot import (VEHICLE_BLUEPRINT_COUNT,
+                                        VEHICLE_BLUEPRINT_COUNT_NO_BIKES,
+                                        build_autopilot_fleet)
         if vehicles is not None:
             raise ValueError(
                 "mixing scripted-trajectory and reactive-autopilot vehicles "
                 "in one headless scenario is not supported yet")
+        # default library size matches CARLA 0.9.13 under the scenario's
+        # no_bikes filter, so seeded speed jitter matches the reference
+        # out of the box (vehicle_spawner.py:27-31, :100-118)
+        default_bc = (VEHICLE_BLUEPRINT_COUNT_NO_BIKES
+                      if vehicle_cfg.get("no_bikes", False)
+                      else VEHICLE_BLUEPRINT_COUNT)
+        # headless traffic lights (timed red/green stop-points; PARITY.md)
+        from ..models.autopilot import TrafficLightSpec
+        tl_specs = [
+            TrafficLightSpec(
+                position=np.asarray(tl["position"], np.float64)[:2],
+                red=float(tl.get("red", 5.0)),
+                green=float(tl.get("green", 5.0)),
+                offset=float(tl.get("offset", 0.0)))
+            for tl in vehicle_cfg.get("traffic_lights", []) or []]
         autopilot = build_autopilot_fleet(
             ap_specs, dt, num_steps,
             vehicle_seed=int(vehicle_cfg.get("vehicle_seed", 2000)),
             variate_speed_factor=float(
                 vehicle_cfg.get("variate_speed_factor", 0.0)),
-            blueprint_count=int(vehicle_cfg.get("blueprint_count", 0)),
-            resolution=resolution)
+            blueprint_count=int(vehicle_cfg.get("blueprint_count",
+                                                default_bc)),
+            resolution=resolution,
+            traffic_lights=tl_specs or None)
 
     ped_specs = extract_ped_spawners(scenario, route_provider=route_provider)
     n_random = int(walker.get("random_pedestrians", 0))

@@ -48,6 +48,7 @@ def extract_sidewalk(carla_map, resolution: float = 0.1,
     payload = cache.ragged_to_arrays(lines)
     payload["centers"] = np.asarray(centers, np.float64).reshape(-1, 2)
     payload["section_lengths"] = np.asarray(lengths, np.float64)
+    payload["resolution"] = np.float64(resolution)
     cache.store(name, key, payload, cdir)
     log.info("Finished extracting sidewalks. Time: %s", time.time() - t0)
     return lines, centers, lengths

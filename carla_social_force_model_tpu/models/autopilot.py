@@ -14,6 +14,11 @@ jitted ``lax.scan`` as part of the rollout carry --
 * brakes for alive pedestrians inside its braking corridor unless the
   vehicle's seeded ``ignore_walkers_percentage`` draw says to ignore them
   (mirroring ``traffic_manager.ignore_walkers_percentage``),
+* brakes for red scenario-declared traffic lights ahead on its lane unless
+  its seeded ``ignore_lights_percentage`` draw says to ignore them
+  (mirroring ``traffic_manager.ignore_lights_percentage``,
+  vehicle_spawner.py:125-130; headless lights are timed red/green
+  stop-points -- see TrafficLightSpec and PARITY.md),
 * optionally loops its route (TrafficManager vehicles drive indefinitely).
 
 Unlike the scripted teleport timelines (models/vehicles.py, the reference's
@@ -41,6 +46,21 @@ from ..utils.pytree import pytree_dataclass, static_field
 from .spawn import realized_spawn_steps
 from .vehicles import VehicleSnapshot, VehicleStates, ellipse_template
 
+# Size of CARLA 0.9.13's vehicle blueprint library (the reference pins
+# carla==0.9.13, requirements.txt:1; counts from that release's blueprint
+# catalogue).  ``filter('vehicle')`` yields 38 blueprints; the reference's
+# ``no_bikes`` filter (vehicle_spawner.py:27-31, number_of_wheels == 4)
+# drops the 7 two-wheelers (bh.crossbike, diamondback.century,
+# gazelle.omafiets, harley-davidson.low_rider, kawasaki.ninja,
+# vespa.zx125, yamaha.yzf), leaving 31.  Like the walker count
+# (spawn.WALKER_BLUEPRINT_COUNT), the seeded per-vehicle
+# ``random.choice`` consumes RNG entropy that depends only on the library
+# size, so emulating the draw with the right count makes the subsequent
+# speed-jitter draw match the reference bit-for-bit.  Override with the
+# ``vehicle.blueprint_count`` scenario key for other CARLA versions.
+VEHICLE_BLUEPRINT_COUNT = 38
+VEHICLE_BLUEPRINT_COUNT_NO_BIKES = 31
+
 
 @dataclass
 class AutopilotSpec:
@@ -51,6 +71,7 @@ class AutopilotSpec:
     speed_limit: float = 8.33           # m/s (30 km/h urban default)
     speed_reduction_factor: float = 30.0  # TM percentage below the limit
     ignore_walkers_percentage: float = 0.0
+    ignore_lights_percentage: float = 0.0
     extent: tuple[float, float] = (2.4, 1.1)
     spawn_time: float = 0.0
     spawn_interval: float = 5.0
@@ -61,6 +82,19 @@ class AutopilotSpec:
     deceleration: float = 4.5           # m/s^2 braking
     brake_margin: float = 4.0           # m kept clear ahead of the bumper
     lateral_margin: float = 1.0         # m beyond the half-width
+
+
+@dataclass
+class TrafficLightSpec:
+    """A headless traffic light: a timed red/green stop-point on the road
+    (``[[vehicle.traffic_lights]]`` scenario table).  The reference's lights
+    are CARLA world actors the TM obeys (vehicle_spawner.py:125-130);
+    headless, a light exists only where the scenario declares one."""
+
+    position: np.ndarray        # (2,) stop-point on the lane
+    red: float = 5.0            # seconds of red per cycle
+    green: float = 5.0          # seconds of green per cycle
+    offset: float = 0.0         # phase offset [s]; t=offset starts a red
 
 
 @pytree_dataclass
@@ -91,6 +125,16 @@ class AutopilotFleet:
     extent: jnp.ndarray         # (V, 2)
     template: jnp.ndarray       # (V, P, 2) local ellipse outline
     template_valid: jnp.ndarray  # (V, P)
+    # scenario-declared traffic lights (None = no lights; pytree-safe
+    # default since None is an empty subtree): stop-point planes + red
+    # duration / full cycle / phase offset, plus the per-vehicle seeded
+    # ignore-lights draw (the TM ignore_lights_percentage equivalent)
+    light_x: jnp.ndarray | None = None        # (L,)
+    light_y: jnp.ndarray | None = None        # (L,)
+    light_red: jnp.ndarray | None = None      # (L,) red duration [s]
+    light_cycle: jnp.ndarray | None = None    # (L,) red+green [s]
+    light_offset: jnp.ndarray | None = None   # (L,)
+    ignore_lights: jnp.ndarray | None = None  # (V,) bool
     points_per_chunk: int = static_field(default=64)
 
     @property
@@ -126,6 +170,7 @@ def build_autopilot_fleet(
     blueprint_count: int = 0,
     resolution: float = 0.1,
     points_per_chunk: int = 64,
+    traffic_lights: Sequence[TrafficLightSpec] | None = None,
     dtype=np.float32,
 ) -> AutopilotFleet | None:
     """Expand specs into a device fleet, replicating the reference's seeded
@@ -154,6 +199,7 @@ def build_autopilot_fleet(
     spawn_step = np.zeros((v,), np.int32)
     target_speed = np.zeros((v,), dtype)
     ignore_walkers = np.zeros((v,), bool)
+    ignore_lights = np.zeros((v,), bool)
     loop = np.zeros((v,), bool)
     accel = np.zeros((v,), dtype)
     decel = np.zeros((v,), dtype)
@@ -173,10 +219,11 @@ def build_autopilot_fleet(
         if variate_speed_factor != 0.0:
             reduction[si] += rng.uniform(-variate_speed_factor,
                                          variate_speed_factor)
-        # ignore-walkers: TM re-rolls internally; headless uses one seeded
-        # per-vehicle draw from a derived stream (does not perturb the
-        # reference-parity stream above)
+        # ignore-walkers / ignore-lights: TM re-rolls internally; headless
+        # uses one seeded per-vehicle draw each from derived streams (does
+        # not perturb the reference-parity stream above)
         ign = random.Random(seed * 7919 + 13).uniform(0.0, 100.0)
+        ign_l = random.Random(seed * 6047 + 29).uniform(0.0, 100.0)
         seed += 1
 
         wps = np.atleast_2d(np.asarray(s.waypoints, dtype))[:, :2]
@@ -187,6 +234,7 @@ def build_autopilot_fleet(
         spawn_step[vi] = step
         target_speed[vi] = s.speed_limit * (1.0 - reduction[si] / 100.0)
         ignore_walkers[vi] = ign < s.ignore_walkers_percentage
+        ignore_lights[vi] = ign_l < s.ignore_lights_percentage
         loop[vi] = s.loop
         accel[vi] = s.acceleration
         decel[vi] = s.deceleration
@@ -204,6 +252,21 @@ def build_autopilot_fleet(
         template[vi, : len(t)] = t
         template_valid[vi, : len(t)] = True
 
+    lights = {}
+    if traffic_lights:
+        lights = dict(
+            light_x=jnp.asarray([float(np.asarray(tl.position)[0])
+                                 for tl in traffic_lights], dtype),
+            light_y=jnp.asarray([float(np.asarray(tl.position)[1])
+                                 for tl in traffic_lights], dtype),
+            light_red=jnp.asarray([tl.red for tl in traffic_lights], dtype),
+            light_cycle=jnp.asarray([tl.red + tl.green
+                                     for tl in traffic_lights], dtype),
+            light_offset=jnp.asarray([tl.offset for tl in traffic_lights],
+                                     dtype),
+            ignore_lights=jnp.asarray(ignore_lights),
+        )
+
     return AutopilotFleet(
         route=jnp.asarray(route), route_count=jnp.asarray(route_count),
         spawn_step=jnp.asarray(spawn_step),
@@ -215,6 +278,7 @@ def build_autopilot_fleet(
         extent=jnp.asarray(extent), template=jnp.asarray(template),
         template_valid=jnp.asarray(template_valid),
         points_per_chunk=points_per_chunk,
+        **lights,
     )
 
 
@@ -267,6 +331,26 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
             & (fwd < stop_dist[:, None] + fleet.extent[:, 0, None])
             & ((jnp.abs(lat) < band) | (jnp.abs(lat_pred) < band)))
     hazard = jnp.any(near & ped_alive[None, :], axis=1) & ~fleet.ignore_walkers
+
+    if fleet.light_x is not None and fleet.light_x.shape[0] > 0:
+        # red-light hazard: a currently-red stop-point ahead on the lane
+        # within braking range (same stopping-corridor geometry as walkers;
+        # the light is a point so only the lateral band gates lane
+        # membership).  Phase: t in [offset, offset+red) mod cycle is red.
+        sim_t = t_idx * dt
+        phase = jnp.mod(sim_t - fleet.light_offset[None, :],
+                        fleet.light_cycle[None, :])
+        is_red = phase < fleet.light_red[None, :]              # (1, L)
+        lrel_x = fleet.light_x[None, :] - st.pos[:, 0][:, None]  # (V, L)
+        lrel_y = fleet.light_y[None, :] - st.pos[:, 1][:, None]
+        lfwd = lrel_x * dirx[:, None] + lrel_y * diry[:, None]
+        llat = -lrel_x * diry[:, None] + lrel_y * dirx[:, None]
+        at_light = ((lfwd > 0.0)
+                    & (lfwd < stop_dist[:, None] + fleet.extent[:, 0, None])
+                    & (jnp.abs(llat) < band))
+        red_hazard = (jnp.any(at_light & is_red, axis=1)
+                      & ~fleet.ignore_lights)
+        hazard = hazard | red_hazard
 
     speed = jnp.where(
         hazard,

@@ -92,6 +92,14 @@ class StepConfig:
     pallas_row_tile: int = static_field(default=192)
     pallas_col_tile: int = static_field(default=512)
     pallas_interpret: bool = static_field(default=False)  # CPU testing
+    # pairwise-kernel numerics/VMEM knobs (formerly PF_DIV / PF_VMEM_MB env
+    # vars -- trace-time globals that silently changed compiled numerics):
+    # exact division in the in-kernel atan2 instead of the Newton-refined
+    # approximate reciprocal (~1e-7 relative either way; div is a hair
+    # slower), and the Mosaic scoped-VMEM limit in MB (32 beats the 16 MB
+    # default for the production tiles)
+    pallas_exact_div: bool = static_field(default=False)
+    pallas_vmem_mb: int = static_field(default=32)
     # column-state communication under agent-sharding: "gather" or "ring"
     axis_comm: str = static_field(default="gather")
     # fused environment-force kernels (ops/pallas_env.py) for border/
@@ -196,7 +204,9 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                                              pedestrian_force_pallas_sorted)
             tiles = dict(row_tile=cfg.pallas_row_tile,
                          col_tile=cfg.pallas_col_tile,
-                         interpret=cfg.pallas_interpret, planar_out=True)
+                         interpret=cfg.pallas_interpret, planar_out=True,
+                         exact_div=cfg.pallas_exact_div,
+                         vmem_mb=cfg.pallas_vmem_mb)
             if cfg.interaction_cutoff is not None:
                 # composes with agent-sharding: per-device Morton sort +
                 # ring/gather column comm with rotated tile bboxes

@@ -57,18 +57,20 @@ _ATAN_C = (9.9999989775e-01, -3.3331959724e-01, 1.9969235395e-01,
            2.4166189522e-02, -4.6687733076e-03)
 
 
-def _atan2(y, x):
+def _atan2(y, x, exact_div=False):
     """Branchless division-free atan2 (Mosaic has no atan2 lowering):
     t = min/max via hardware approximate reciprocal + one Newton step
     (~1e-7 relative), atan(t) by the direct minimax polynomial, then the
     three quadrant fixups.  Matches numpy conventions incl.
-    atan2(0, 0) = 0 and atan2(0, -x) = pi."""
+    atan2(0, 0) = 0 and atan2(0, -x) = pi.
+
+    ``exact_div`` (StepConfig.pallas_exact_div): use a true division for the
+    ratio instead of the Newton-refined approximate reciprocal."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay) + _TINY    # hi==0 -> t=0 -> atan 0
     lo = jnp.minimum(ax, ay)
-    import os as _os
-    if _os.environ.get("PF_DIV") == "1":        # exact-division fallback
+    if exact_div:
         t = lo / hi
     else:
         r0 = pl.reciprocal(hi, approx=True)
@@ -87,7 +89,8 @@ def _atan2(y, x):
 def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                  px_r, py_r, vx_r, vy_r, rad_r,
                  px_c, py_c, vx_c, vy_c, rad_c,
-                 fx_ref, fy_ref, *, use_radius, tr, tc, cutoff):
+                 fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
+                 exact_div):
     # prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM); force
     # parameters ride in prm so they may be traced (vmap sweeps).
     # Liveness is pre-staged: dead/padded agents sit at a far sentinel, so
@@ -124,13 +127,13 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                    px_c, py_c, vx_c, vy_c, rad_c, fx_ref, fy_ref,
                    lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
                    epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff)
+                   cutoff=cutoff, exact_div=exact_div)
 
 
 def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
                px_c, py_c, vx_c, vy_c, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
-               use_radius, tr, tc, cutoff):
+               use_radius, tr, tc, cutoff, exact_div):
     # row vectors are (TR, 1) blocks, column vectors (1, TC) blocks: the
     # broadcast to (TR, TC) needs no sublane<->lane relayout in the kernel
     xi = px_r[...]
@@ -167,7 +170,8 @@ def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
     # applied to u^2 = (t_len*theta)^2.
     cross = tx * ey - ty * ex
     dot = ex * tx + ey * ty
-    theta = _atan2(cross, dot) + (-epsilon * gamma) * t_len
+    theta = (_atan2(cross, dot, exact_div=exact_div)
+             + (-epsilon * gamma) * t_len)
 
     # mask: coincident pairs (self pair, dead-dead sentinel pairs, and
     # exactly-coincident live pairs -- all NaN in the reference, documented
@@ -212,7 +216,9 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             axis_name: str | None = None,
                             cutoff: float | None = None,
                             axis_comm: str = "gather",
-                            planar_out: bool = False):
+                            planar_out: bool = False,
+                            exact_div: bool = False,
+                            vmem_mb: int = 32):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
@@ -255,7 +261,8 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
 
     call = functools.partial(
         _slab_call, prm=_params_vec(p), use_radius=use_ped_radius, tr=tr,
-        tc=tc, cutoff=cutoff, interpret=interpret)
+        tc=tc, cutoff=cutoff, interpret=interpret, exact_div=exact_div,
+        vmem_mb=vmem_mb)
 
     if axis_name is not None and axis_comm == "ring":
         n_dev = jax.lax.psum(1, axis_name)
@@ -327,7 +334,8 @@ def _params_vec(p) -> jnp.ndarray:
 
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
-               prm, use_radius, tr, tc, cutoff, interpret):
+               prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
+               vmem_mb=32):
     """One kernel launch over a (n_rows x n_cols) slab of staged state."""
     n_rows = row_args[0].shape[0]
     n_cols = col_args[0].shape[1]
@@ -344,7 +352,8 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
 
     kernel = functools.partial(
         _pair_kernel, use_radius=use_radius, tr=tr, tc=tc,
-        cutoff=float(cutoff) if cutoff is not None else None)
+        cutoff=float(cutoff) if cutoff is not None else None,
+        exact_div=exact_div)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -362,8 +371,7 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
             bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
             transcendentals=int(5 * n_rows * n_cols)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(__import__("os").environ.get(
-                "PF_VMEM_MB", "32")) * 1024 * 1024,
+            vmem_limit_bytes=int(vmem_mb) * 1024 * 1024,
             # row tiles are independent; only the column dimension revisits
             # the output block (accumulation), so it must stay "arbitrary"
             dimension_semantics=("parallel", "arbitrary")),
@@ -378,7 +386,9 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    interpret: bool = False,
                                    axis_name: str | None = None,
                                    axis_comm: str = "ring",
-                                   planar_out: bool = False):
+                                   planar_out: bool = False,
+                                   exact_div: bool = False,
+                                   vmem_mb: int = 32):
     """Morton-sorted cutoff kernel: sort agents along a Z-order curve so
     kernel tiles are spatially tight, run the cutoff kernel, scatter the
     forces back to the original slot order.  The result equals the unsorted
@@ -398,7 +408,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         (spx, spy), (svx, svy), srad, salive, p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
-        axis_comm=axis_comm, planar_out=planar_out)
+        axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
+        vmem_mb=vmem_mb)
     if planar_out:
         fx, fy = force
         return fx[inv], fy[inv]

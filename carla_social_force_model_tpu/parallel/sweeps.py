@@ -75,13 +75,20 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     ``scene_batch.spawn`` leaves carry a leading batch dim; geometry
     (borders/obstacles/vehicles) is unbatched and broadcast.  Params stay
     concrete, so the fused Pallas kernel is eligible under the vmap.
+
+    The returned function accepts either a Scene (only its ``spawn`` batch is
+    read -- the *prepared* geometry closed over here is what runs, so the
+    caller's pytree never has to match the prepared layout) or a bare
+    SpawnSchedule batch.
     """
+    from ..models.spawn import SpawnSchedule
     from ..models.stepper import prepare_scene
-    scene_batch = prepare_scene(scene_batch)
-    spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_batch.spawn)
+    scene_prepared = prepare_scene(scene_batch)
+    spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_prepared.spawn)
     scene_axes = dataclasses.replace(
-        jax.tree_util.tree_map(lambda _: None, scene_batch), spawn=spawn_axes)
-    capacity = scene_batch.spawn.pos_x.shape[1]
+        jax.tree_util.tree_map(lambda _: None, scene_prepared),
+        spawn=spawn_axes)
+    capacity = scene_prepared.spawn.pos_x.shape[1]
 
     def one(scene_row: Scene):
         state = PedState.empty(capacity)
@@ -89,16 +96,15 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
 
     batched = jax.vmap(one, in_axes=(scene_axes,))
 
-    if mesh is None:
-        return jax.jit(batched)
-
     @jax.jit
-    def run(scenes: Scene):
-        spawn = jax.lax.with_sharding_constraint(
-            scenes.spawn,
-            jax.tree_util.tree_map(
-                lambda _: NamedSharding(mesh, P(BATCH_AXIS)), scenes.spawn))
-        return batched(dataclasses.replace(scenes, spawn=spawn))
+    def run(scenes):
+        spawn = scenes if isinstance(scenes, SpawnSchedule) else scenes.spawn
+        if mesh is not None:
+            spawn = jax.lax.with_sharding_constraint(
+                spawn,
+                jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P(BATCH_AXIS)), spawn))
+        return batched(dataclasses.replace(scene_prepared, spawn=spawn))
 
     return run
 

@@ -99,6 +99,75 @@ def test_fleet_seeded_jitter_matches_reference_oracle():
                                rtol=0, atol=1e-6)
 
 
+def test_scenario_default_blueprint_count_matches_reference():
+    """Headless scenarios default the vehicle library size to CARLA
+    0.9.13's (38, or 31 under no_bikes), so seeded speed jitter matches the
+    reference without setting vehicle.blueprint_count (round-3 parity fix;
+    vehicle_spawner.py:27-31, :100-118)."""
+    from carla_social_force_model_tpu.api.scenario import build_scenario
+    from carla_social_force_model_tpu.utils.config import load_config
+
+    scen = load_config(SCEN)
+    scen["vehicle"]["variate_speed_factor"] = 5.0
+    scen["vehicle"].pop("blueprint_count", None)
+    sp = scen["vehicle"]["vehicle_spawner"][0]
+    seed = int(scen["vehicle"].get("vehicle_seed", 2000))
+    limit = float(sp["speed_limit"])
+    base_reduction = float(sp.get("speed_reduction_factor", 30.0))
+
+    for no_bikes, count in ((False, 38), (True, 31)):
+        scen["vehicle"]["no_bikes"] = no_bikes
+        fleet = build_scenario(scen, load_config(SFM),
+                               num_steps=200).scene.autopilot
+        # transliterated reference oracle at the documented library size
+        random.seed(seed)
+        random.choice(list(range(count)))
+        expect = limit * (1.0 - (base_reduction
+                                 + random.uniform(-5.0, 5.0)) / 100.0)
+        np.testing.assert_allclose(float(np.asarray(fleet.target_speed)[0]),
+                                   expect, rtol=0, atol=1e-6)
+
+
+def test_traffic_light_stop_and_go_and_ignore():
+    """Headless traffic lights (PARITY.md round-3 entry): a red light ahead
+    on the lane stops the vehicle short of the stop-point until it turns
+    green; ignore_lights_percentage = 100 reproduces the TM knob and drives
+    straight through the red."""
+    from carla_social_force_model_tpu.models.autopilot import TrafficLightSpec
+    dt, steps = 0.05, 500
+    light = TrafficLightSpec(position=np.array([50.0, 0.0]),
+                             red=12.0, green=30.0, offset=0.0)
+
+    def drive(ignore_pct):
+        spec = AutopilotSpec(waypoints=np.array([[0.0, 0.0], [100.0, 0.0]]),
+                             speed_limit=10.0, speed_reduction_factor=0.0,
+                             ignore_lights_percentage=ignore_pct)
+        fleet = build_autopilot_fleet([spec], dt, steps,
+                                      traffic_lights=[light])
+        st = fleet.initial_state()
+        ped = jnp.zeros((1,), jnp.float32)
+        dead = jnp.zeros((1,), bool)
+        xs, speeds = [], []
+        for t in range(steps):
+            st = autopilot_step(fleet, st, (ped, ped), (ped, ped), dead,
+                                jnp.asarray(t), dt)
+            xs.append(float(st.pos[0, 0]))
+            speeds.append(float(st.speed[0]))
+        return np.asarray(xs), np.asarray(speeds)
+
+    red_steps = int(12.0 / dt)
+    xs, speeds = drive(0.0)
+    assert xs[:red_steps].max() < 50.0          # held short of the light
+    assert speeds[:red_steps].min() == 0.0      # actually came to rest
+    assert speeds[: red_steps // 2].max() > 5.0  # after having driven
+    assert xs.max() > 99.0                      # proceeded on green
+
+    xs_i, speeds_i = drive(100.0)
+    crossed = np.nonzero(xs_i > 50.0)[0]
+    assert crossed.size and crossed[0] < red_steps  # ran the red
+    assert speeds_i.min() >= 0.0 and speeds_i.max() > 9.0
+
+
 def test_waypoint_following_and_loop():
     """Kinematics: accelerate to target, turn at corners, loop the route."""
     spec = AutopilotSpec(waypoints=np.array([[0.0, 0.0], [20.0, 0.0],

@@ -129,6 +129,30 @@ def test_ensemble_rollout_matches_unbatched():
                                       np.asarray(f_row.pos))
 
 
+def test_ensemble_rollout_with_borders():
+    """Ensemble over a scene WITH geometry (round-2 advisor find): the
+    returned runner used to vmap the *caller's* unprepared scene against
+    in_axes computed from the prepared one (borders_seg mismatch).  Each
+    batched row must equal an independent unbatched rollout."""
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import (
+        batched_crowds, synthetic_crowd)
+    from carla_social_force_model_tpu.parallel.sweeps import make_ensemble_rollout
+
+    b, n, steps = 2, 10, 10
+    scene1, params, cfg, _ = benchmark_bundle(n, with_borders=True)
+    extent = 25.0  # benchmark_bundle's floor for small n
+    scene = dataclasses.replace(scene1, spawn=batched_crowds(b, n, extent=extent))
+    finals, _ = make_ensemble_rollout(scene, params, cfg, steps)(scene)
+
+    for row in range(b):
+        s_row = dataclasses.replace(
+            scene1, spawn=synthetic_crowd(n, extent=extent, seed=row))
+        f_row, _ = make_rollout_fn(s_row, params, cfg, steps)(PedState.empty(n))
+        np.testing.assert_allclose(np.asarray(finals.pos)[row],
+                                   np.asarray(f_row.pos), atol=1e-6)
+
+
 def test_sweep_sharded_over_batch_axis():
     n, steps, b = 12, 10, 8
     scene, params, cfg, _ = benchmark_bundle(n, extent=10.0)

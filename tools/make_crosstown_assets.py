@@ -45,6 +45,7 @@ def main():
     arrays = _cache.ragged_to_arrays(lines)
     arrays["centers"] = np.asarray(centers, np.float64)
     arrays["section_lengths"] = np.asarray(lengths, np.float64)
+    arrays["resolution"] = np.float64(0.1)
     sw_path = os.path.join(out_dir, "crosstown_sidewalks.npz")
     np.savez_compressed(sw_path, **arrays)
     print(f"{sw_path}: {len(lines)} border lines, "

@@ -51,6 +51,7 @@ def main():
     arrays = _cache.ragged_to_arrays(lines)
     arrays["centers"] = np.asarray(centers, np.float64)
     arrays["section_lengths"] = np.asarray(lengths, np.float64)
+    arrays["resolution"] = np.float64(0.1)
     sw_path = os.path.join(out_dir, "town2_sidewalks_full.npz")
     np.savez_compressed(sw_path, **arrays)
     print(f"{sw_path}: {len(lines)} border lines, "
@@ -72,6 +73,7 @@ def main():
     arrays = _cache.ragged_to_arrays(keep)
     arrays["centers"] = np.asarray(kcent, np.float64)
     arrays["section_lengths"] = np.asarray(klen, np.float64)
+    arrays["resolution"] = np.float64(0.1)
     r1_path = os.path.join(out_dir, "town2_sidewalks.npz")
     np.savez_compressed(r1_path, **arrays)
     print(f"{r1_path}: {len(keep)} border lines, "
