@@ -1,12 +1,28 @@
 #!/usr/bin/env python
-"""Headline benchmark: agent-steps/sec at N=10k headless (BASELINE.json).
+"""Headline benchmark: agent-steps/sec headless (BASELINE.json).
 
-Workload: acceleration + Moussaid pedestrian forces, full mode/waypoint
-pipeline, jitted ``lax.scan`` rollout on one chip.  Baseline is the
-driver-set north star of 1M agent-steps/sec/chip (the reference itself is
-real-time paced at N*20 agent-steps/sec, BASELINE.md).
+Workloads (``BENCH_MODE``, all driver-capturable):
+
+* ``ped`` (default) -- config #1: acceleration + Moussaid pedestrian forces,
+  full mode/waypoint pipeline, N=10k.
+* ``borders`` -- config #2: + border force over a street-grid wall point
+  cloud at the reference's 0.1 m sampling.
+* ``obstacles`` -- config #3: + static (parked-car grid) and dynamic
+  (moving vehicles) obstacle forces.
+* ``urban`` -- config #4: nav-graph-routed pedestrians on a synthetic
+  street grid with curb borders, crosswalk mode transitions, gap-acceptance
+  road crossing, and a reactive autopilot fleet (the full tick pipeline,
+  run_simulation.py:47-132).
+* ``ensemble`` -- config #5 shape: BENCH_BATCH (default 256) independent
+  rollouts x N (default 1k) pedestrians vmapped in one launch; the value is
+  the aggregate agent-steps/s.
+
+Baseline is the driver-set north star of 1M agent-steps/sec/chip (the
+reference itself is real-time paced at N*20 agent-steps/sec, BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; Morton-sorted cutoff on
+the Pallas path), BENCH_BATCH (ensemble only).
 """
 import json
 import os
@@ -15,53 +31,86 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N = int(os.environ.get("BENCH_N", 10_000))
-STEPS = int(os.environ.get("BENCH_STEPS", 100))
-#: optional interaction cutoff in meters (approximate mode, see BENCH.md);
-#: unset/empty = exact all-pairs reference semantics
-CUTOFF = os.environ.get("BENCH_CUTOFF", "")
-#: BASELINE.json workload: "ped" (config #1, default), "borders" (#2,
-#: + street-grid border force), "obstacles" (#3, + static/dynamic obstacles)
+MODES = ("ped", "borders", "obstacles", "urban", "ensemble")
 MODE = os.environ.get("BENCH_MODE", "ped")
-if MODE not in ("ped", "borders", "obstacles"):
-    raise SystemExit(f"BENCH_MODE must be ped|borders|obstacles, got {MODE!r}")
+if MODE not in MODES:
+    raise SystemExit(f"BENCH_MODE must be one of {'|'.join(MODES)}, got {MODE!r}")
+N = int(os.environ.get("BENCH_N", 1_000 if MODE == "ensemble" else 10_000))
+STEPS = int(os.environ.get("BENCH_STEPS", 100))
+#: optional interaction cutoff in meters (see BENCH.md; >= the f32-exact
+#: threshold it is NOT an approximation); unset/empty = exact all-pairs
+CUTOFF = os.environ.get("BENCH_CUTOFF", "")
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
 
-def main():
+def _sync(x):
+    # force a device->host transfer: under the axon remote runtime,
+    # block_until_ready alone has been observed not to block reliably
+    import numpy as np
+    return float(np.asarray(x).sum())
+
+
+def run_rollout_mode():
     import dataclasses
-    import jax
-    from carla_social_force_model_tpu.api.synthetic import benchmark_bundle
+    from carla_social_force_model_tpu.api.synthetic import (benchmark_bundle,
+                                                            urban_bundle)
     from carla_social_force_model_tpu.models.stepper import make_rollout_fn
 
-    import numpy as np
-
-    scene, params, cfg, state = benchmark_bundle(
-        N, with_borders=MODE in ("borders", "obstacles"),
-        with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
+    if MODE == "urban":
+        scene, params, cfg, state = urban_bundle(N, num_steps_hint=STEPS)
+    else:
+        scene, params, cfg, state = benchmark_bundle(
+            N, with_borders=MODE in ("borders", "obstacles"),
+            with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
-    def run_to_completion(s):
+    def once(s):
         final, _ = run(s)
-        # force a device->host transfer: under the axon remote runtime,
-        # block_until_ready alone has been observed not to block reliably
-        return float(np.asarray(final.pos).sum())
+        final = final[0] if isinstance(final, tuple) else final
+        return _sync(final.pos)
 
-    run_to_completion(state)  # warmup / compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_to_completion(state)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    once(state)  # warmup / compile
+    best = min(_timed(once, state) for _ in range(3))
+    return N * STEPS / best, ""
 
-    agent_steps = N * STEPS
-    value = agent_steps / best
+
+def run_ensemble_mode():
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import (batched_crowds,
+                                                            benchmark_bundle)
+    from carla_social_force_model_tpu.parallel.sweeps import (
+        make_ensemble_rollout)
+
+    scene, params, cfg, _ = benchmark_bundle(N)
+    if CUTOFF:
+        cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
+    scene = dataclasses.replace(scene, spawn=batched_crowds(BATCH, N))
+    run = make_ensemble_rollout(scene, params, cfg, STEPS)
+
+    def once(s):
+        finals, _ = run(s)
+        return _sync(finals.pos)
+
+    once(scene)
+    best = min(_timed(once, scene) for _ in range(3))
+    return BATCH * N * STEPS / best, f"_b{BATCH}"
+
+
+def _timed(fn, arg):
+    t0 = time.perf_counter()
+    fn(arg)
+    return time.perf_counter() - t0
+
+
+def main():
+    value, extra = (run_ensemble_mode() if MODE == "ensemble"
+                    else run_rollout_mode())
     tag = "" if MODE == "ped" else f"_{MODE}"
     print(json.dumps({
-        "metric": f"agent_steps_per_sec_n{N}{tag}",
+        "metric": f"agent_steps_per_sec_n{N}{tag}{extra}",
         "value": round(value, 1),
         "unit": "agent-steps/s",
         "vs_baseline": round(value / BASELINE_AGENT_STEPS_PER_SEC, 3),
