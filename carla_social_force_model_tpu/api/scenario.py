@@ -105,17 +105,39 @@ def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpe
     return specs
 
 
-def extract_autopilot_specs(scenario: dict) -> list:
+def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
     """Reactive ``[[vehicle.vehicle_spawner]]`` entries: ``auto_pilot = true``
-    plus a headless ``waypoints`` route -> kinematic waypoint-follower specs
-    (the TPU-native stand-in for TrafficManager autopilot,
-    vehicle_spawner.py:125-130; models/autopilot.py)."""
+    plus a headless route -> kinematic waypoint-follower specs (the
+    TPU-native stand-in for TrafficManager autopilot,
+    vehicle_spawner.py:125-130; models/autopilot.py).
+
+    The route comes from an explicit ``waypoints`` polyline, or -- like the
+    reference's BehaviorAgent mode (vehicle_spawner.py:131-138) -- from a
+    ``destination`` planned over the town's driving lanes when a
+    ``driving_router`` (routing.driving.DrivingGraph, usually loaded from
+    the ``[map] driving_graph_npz`` capture) is available.  ``spawn_point``
+    and integer ``destination`` values index the map's spawn-point list
+    exactly as the reference does (vehicle_spawner.py:96-98, :131-132);
+    coordinate pairs are accepted headless as well.
+    """
     from ..models.autopilot import AutopilotSpec
     vehicle_cfg = scenario.get("vehicle", {})
     specs = []
     for sp in vehicle_cfg.get("vehicle_spawner", []) or []:
+        if not sp.get("auto_pilot", True):
+            continue
         waypoints = sp.get("waypoints", [])
-        if not (sp.get("auto_pilot", True) and waypoints):
+        if len(waypoints) == 0 and sp.get("destination") is not None:
+            if driving_router is None:
+                log.warning(
+                    "Skipping destination-routed vehicle spawner headless: "
+                    "no driving graph (set [map] driving_graph_npz or "
+                    "attach the CARLA bridge): %s", sp)
+                continue
+            waypoints = _plan_destination_route(sp, driving_router)
+            if waypoints is None:
+                continue
+        if len(waypoints) == 0:
             continue
         specs.append(AutopilotSpec(
             waypoints=np.asarray(waypoints, np.float64)[:, :2],
@@ -136,6 +158,30 @@ def extract_autopilot_specs(scenario: dict) -> list:
     return specs
 
 
+def _plan_destination_route(sp: dict, router):
+    """Plan ``spawn_point``/``spawn_location`` -> ``destination`` over the
+    driving-lane graph; None (with a warning) when unresolvable."""
+    def resolve(value):
+        if isinstance(value, int) and not isinstance(value, bool):
+            xyz, _ = router.spawn_transform(value)
+            return xyz[:2]
+        return np.asarray(value, np.float64).reshape(-1)[:2]
+
+    if sp.get("spawn_point") is not None:
+        origin = resolve(sp["spawn_point"])
+    elif sp.get("spawn_location") is not None:
+        origin = resolve(sp["spawn_location"])
+    else:
+        log.warning("Skipping destination-routed vehicle spawner without "
+                    "spawn_point/spawn_location: %s", sp)
+        return None
+    try:
+        return router.route(origin, resolve(sp["destination"]))
+    except ValueError as exc:
+        log.warning("Skipping destination-routed vehicle spawner: %s", exc)
+        return None
+
+
 def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
     """Scripted ``[[vehicle.vehicle_spawner]]`` entries (trajectory mode,
     vehicle_spawner.py:139-144).  Autopilot vehicles with a ``waypoints``
@@ -147,10 +193,10 @@ def extract_vehicle_specs(scenario: dict) -> list[VehicleSpec]:
         trajectory = sp.get("trajectory", [])
         waypoints = sp.get("waypoints", [])
         if sp.get("auto_pilot", True):
-            if not waypoints:
+            if not waypoints and sp.get("destination") is None:
                 log.warning("Skipping TM/agent vehicle spawner headless "
-                            "(requires the CARLA bridge or a waypoints "
-                            "route): %s", sp)
+                            "(requires the CARLA bridge, a waypoints route, "
+                            "or a destination + driving graph): %s", sp)
             continue
         if not (trajectory or waypoints):
             log.warning("Skipping vehicle spawner without trajectory or "
@@ -375,7 +421,15 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     vehicles = build_vehicle_states(vehicle_specs, dt, num_steps,
                                     resolution=resolution)
     vehicle_cfg = scenario.get("vehicle", {})
-    ap_specs = extract_autopilot_specs(scenario)
+    # driving-lane route graph capture: destination-routed vehicles (the
+    # reference's BehaviorAgent mode, vehicle_spawner.py:131-138) become
+    # runnable headless (routing/driving.py)
+    dg_npz = scenario.get("map", {}).get("driving_graph_npz")
+    driving_router = None
+    if dg_npz:
+        from ..routing.driving import DrivingGraph
+        driving_router = DrivingGraph.load_npz(resolve_path(dg_npz))
+    ap_specs = extract_autopilot_specs(scenario, driving_router)
     autopilot = None
     if ap_specs:
         from ..models.autopilot import (VEHICLE_BLUEPRINT_COUNT,

@@ -662,6 +662,19 @@ class WalkerControl:
         self.jump = jump
 
 
+class VehicleControl:
+    """Throttle/steer/brake control (the BehaviorAgent return type).  The
+    fake server integrates it kinematically in ``ServerWorld.tick``."""
+
+    def __init__(self, throttle=0.0, steer=0.0, brake=0.0,
+                 hand_brake=False, reverse=False):
+        self.throttle = float(throttle)
+        self.steer = float(steer)
+        self.brake = float(brake)
+        self.hand_brake = hand_brake
+        self.reverse = reverse
+
+
 class MapLayer:
     Props = "Props"
     StreetLights = "StreetLights"
@@ -908,6 +921,20 @@ class ServerWorld:
                 a._velocity = fwd * a.tm_speed
                 a._transform.location = (a._transform.location
                                          + a._velocity * dt)
+            elif a.kind == "vehicle" and isinstance(a._control,
+                                                    VehicleControl):
+                # agent-driven vehicle: integrate throttle/steer/brake
+                # kinematically (enough dynamics to exercise the
+                # BehaviorAgent bridge branch)
+                c = a._control
+                a._speed = getattr(a, "_speed", 0.0)
+                a._speed = max(0.0, a._speed + (c.throttle * 3.0
+                                                - c.brake * 8.0) * dt)
+                a._transform.rotation.yaw += c.steer * 60.0 * dt
+                fwd = a.get_transform().get_forward_vector()
+                a._velocity = fwd * a._speed
+                a._transform.location = (a._transform.location
+                                         + a._velocity * dt)
             elif a.kind == "vehicle":
                 # scripted vehicles are teleported by the bridge; integrate
                 # target velocity holders not at all
@@ -1013,6 +1040,58 @@ def install_server(fmap=None):
     Client.fail_walker_spawns = set()
     Client._walker_spawn_count = 0
     return m, world
+
+
+class BehaviorAgent:
+    """Fake ``agents.navigation.behavior_agent.BehaviorAgent``: steers the
+    vehicle toward the destination with throttle/steer VehicleControls (the
+    subset the bridge's agent branch consumes,
+    bridge/vehicle_spawner.py:127-135)."""
+
+    def __init__(self, vehicle, behavior="normal"):
+        self.vehicle = vehicle
+        self.behavior = behavior
+        self._dest = None
+        self._ignore_lights = False
+        self.run_steps = 0
+
+    def set_destination(self, end_location, start_location=None):
+        self._dest = end_location
+
+    def ignore_traffic_lights(self, active=True):
+        self._ignore_lights = bool(active)
+
+    def done(self):
+        if self._dest is None:
+            return True
+        return self.vehicle.get_location().distance(self._dest) < 3.0
+
+    def run_step(self, debug=False):
+        self.run_steps += 1
+        if self.done():
+            return VehicleControl(brake=1.0)
+        tf = self.vehicle.get_transform()
+        dx = self._dest.x - tf.location.x
+        dy = self._dest.y - tf.location.y
+        want = math.degrees(math.atan2(dy, dx))
+        err = (want - tf.rotation.yaw + 180.0) % 360.0 - 180.0
+        return VehicleControl(throttle=0.75,
+                              steer=max(-1.0, min(1.0, err / 45.0)))
+
+
+def install_agents():
+    """Register fake ``agents.navigation.behavior_agent`` modules so the
+    bridge's BehaviorAgent branch imports headless."""
+    pkg = types.ModuleType("agents")
+    nav = types.ModuleType("agents.navigation")
+    ba = types.ModuleType("agents.navigation.behavior_agent")
+    ba.BehaviorAgent = BehaviorAgent
+    pkg.navigation = nav
+    nav.behavior_agent = ba
+    sys.modules["agents"] = pkg
+    sys.modules["agents.navigation"] = nav
+    sys.modules["agents.navigation.behavior_agent"] = ba
+    return ba
 
 
 def install():

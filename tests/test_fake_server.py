@@ -289,3 +289,45 @@ def test_random_pedestrians_from_live_nav_mesh(tmp_path, monkeypatch):
     for s in specs2:
         assert any(np.allclose(s.spawn_location[:2], p[:2], atol=20.0)
                    for p in pts)
+
+
+def test_vehicle_manager_behavior_agent_mode(server):
+    """BehaviorAgent branch (bridge/vehicle_spawner.py:125-135): with
+    auto_pilot and use_traffic_manager=false the manager constructs a
+    (fake) agents.navigation BehaviorAgent, sets its destination from the
+    spawn-point index (reference vehicle_spawner.py:131-138), honors the
+    ignore-lights knob, and drives the vehicle with per-tick run_step
+    controls until arrival."""
+    from carla_social_force_model_tpu.bridge.vehicle_spawner import (
+        BridgeVehicleManager)
+    _, world = server
+    fake_carla.install_agents()
+    scenario = dict(SCENARIO)
+    scenario["vehicle"] = {
+        "vehicle_seed": 2000,
+        "vehicle_spawner": [{
+            "spawn_point": 0, "auto_pilot": True,
+            "use_traffic_manager": False, "destination": 1,
+            "ignore_lights_percentage": 100,
+            "quantity": 1, "spawn_time": 0.0}],
+    }
+    cw = _carla_world(scenario)
+    mgr = BridgeVehicleManager(cw, scenario)
+    mgr.tick(0.0)
+    assert len(mgr.agents) == 1
+    vid, agent = next(iter(mgr.agents.items()))
+    assert agent._ignore_lights          # ignore_lights_percentage > 0
+    assert not world.get_actor(vid).autopilot   # not a TM vehicle
+
+    dest = cw.carla_map.get_spawn_points()[1].location
+    d0 = world.get_actor(vid).get_location().distance(dest)
+    for i in range(400):
+        mgr.tick(0.05 * (i + 1))   # agent.run_step -> apply_control
+        cw.tick()
+        if agent.done():
+            break
+    assert agent.run_steps > 0
+    d1 = world.get_actor(vid).get_location().distance(dest)
+    assert agent.done() and d1 < d0 and d1 < 3.0
+    mgr.close()
+    cw.close()

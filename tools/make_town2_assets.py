@@ -79,6 +79,33 @@ def main():
     print(f"{r1_path}: {len(keep)} border lines, "
           f"{sum(len(l) for l in keep)} points")
 
+    # driving-lane route graph for destination-routed vehicles (the
+    # reference's BehaviorAgent mode headless; routing/driving.py).  Spawn
+    # points are lane-center locations on the through roads (the fake
+    # server's get_spawn_points stub only covers road 1; destination
+    # scenarios want the whole town addressable).
+    from carla_social_force_model_tpu.routing.driving import (
+        build_carla_driving_graph)
+    dgraph = build_carla_driving_graph(fmap, waypoint_distance=4.0)
+    # map-edge entries as origins, far road ends / the bend as destinations
+    # (the fixture's road 5 is not split at its T-junction, so its
+    # northbound lane is only enterable at the southern map edge -- same
+    # fixture artifact as the overlapping borders noted below)
+    sp = []
+    for rid, s_frac, lane in [(1, 0.1, -1), (2, 0.9, -1), (3, 0.1, -1),
+                              (4, 0.9, -1), (5, 0.1, -1), (6, 0.9, -1)]:
+        road = fmap.roads[rid]
+        wp = fake_carla.RoadWaypoint(road, lane, s_frac * road.length)
+        tf = wp.transform
+        sp.append(([tf.location.x, tf.location.y, tf.location.z],
+                   np.radians(tf.rotation.yaw)))
+    dgraph.spawn_xyz = np.asarray([p for p, _ in sp], np.float64)
+    dgraph.spawn_yaw = np.asarray([y for _, y in sp], np.float64)
+    dg_path = os.path.join(out_dir, "town2_driving.npz")
+    dgraph.save_npz(dg_path)
+    print(f"{dg_path}: {dgraph.num_nodes} nodes, {dgraph.num_edges} directed "
+          f"edges, {len(sp)} spawn points")
+
     # NOTE: routed_town deliberately ships without these borders.  The
     # fixture's road footprints overlap at junctions (roads run up to the
     # junction edge while crossing roads' sidewalks pass through it), so the
