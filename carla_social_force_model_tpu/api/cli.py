@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: Newton-refined approximate reciprocal)")
     p.add_argument("--vmem-mb", type=int, default=None,
                    help="Mosaic scoped-VMEM limit for the Pallas kernels")
+    p.add_argument("--stream", action="store_true",
+                   help="stream records to CSV in chunks (bounded memory "
+                        "for long rollouts; implies --csv)")
+    p.add_argument("--chunk-steps", type=int, default=2400,
+                   help="segment length for --stream")
+    p.add_argument("--record-stride", type=int, default=1,
+                   help="record every k-th tick (--stream)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the rollout to DIR")
     p.add_argument("--checkpoint-dir", type=str, default=None,
@@ -106,6 +113,13 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir, start_step=start,
             autopilot_state=ap, backend=args.checkpoint_backend)
         sim.set_results(final, recs)
+    elif args.stream:
+        out = sim.run_streamed(args.output, chunk_steps=args.chunk_steps,
+                               record_stride=args.record_stride)
+        log.info("final population: %d alive of %d slots",
+                 int(sim.final_state.alive.sum()), sim.bundle.capacity)
+        log.info("CSV output written to %s", out)
+        return 0
     elif args.profile:
         from ..utils.profiling import trace
         with trace(args.profile):

@@ -101,6 +101,104 @@ class Simulation:
         return {k: np.stack([np.asarray(fx), np.asarray(fy)], axis=-1)
                 for k, (fx, fy) in terms.items()}
 
+    def run_streamed(self, output_path: str = "output",
+                     chunk_steps: int = 2400, mode_text: bool | None = None,
+                     record_stride: int = 1) -> str:
+        """Segmented rollout streaming records straight to CSV.
+
+        The in-memory path's recorded history is the memory ceiling for
+        long rollouts ((T, N) x ~20 bytes); this runs the scan in
+        ``chunk_steps`` segments and drains each chunk's record to the
+        pedestrian/vehicle CSVs while the next segment computes on device
+        (the drain's host transfer blocks on segment k while segment k+1,
+        already dispatched, overlaps it).  Memory high-water: two chunks'
+        records instead of the whole horizon.  Output is byte-identical to
+        ``run()`` + ``write_csv()`` (tested).
+
+        ``record_stride`` composes: every k-th tick is recorded and frames
+        are numbered in recorded units with ``time = frame * dt * k`` (the
+        same contract as the in-memory strided record).  ``chunk_steps``
+        must then be a multiple of the stride.  Returns the output dir.
+        """
+        import os
+        import jax.numpy as jnp
+        from ..models.stepper import prepare_scene, rollout
+        from ..utils.csvout import _output_dir
+
+        b = self.bundle
+        if mode_text is None:
+            mode_text = bool(b.params.strict_parity)
+        total = b.num_steps
+        fleet = b.scene.autopilot
+        scene = prepare_scene(b.scene)
+        eff_dt = b.dt * record_stride
+        if chunk_steps % record_stride != 0:
+            raise ValueError("chunk_steps must be a multiple of record_stride")
+
+        def make_seg(steps):
+            @jax.jit
+            def seg(state, ap, start):
+                return rollout(
+                    state, scene, b.params, b.cfg, steps, record=True,
+                    start_step=start, record_stride=record_stride,
+                    autopilot_state=ap,
+                    return_autopilot_state=fleet is not None)
+            return seg
+
+        seg_fn = make_seg(chunk_steps)
+        out = _output_dir(output_path, b.scenario_name)
+        ped_path = os.path.join(out, "pedestrian.csv")
+        veh_path = os.path.join(out, "vehicle.csv")
+
+        def drain(start, recs):
+            vrec = None
+            if fleet is not None:
+                recs, vrec = recs
+            offset = start // record_stride
+            csvout.write_pedestrian_csv(ped_path, recs, eff_dt,
+                                        mode_text=mode_text,
+                                        frame_offset=offset,
+                                        append=start > 0)
+            if vrec is not None:
+                from ..models.autopilot import records_to_vehicle_states
+                vstates = records_to_vehicle_states(fleet, vrec)
+                csvout.write_vehicle_csv(veh_path, vstates, eff_dt,
+                                         vstates.pos.shape[0],
+                                         frame_offset=offset,
+                                         append=start > 0)
+
+        start_t = time.perf_counter()
+        state = b.initial_state
+        ap = fleet.initial_state() if fleet is not None else None
+        start = 0
+        pending = None
+        while start < total:
+            steps = min(chunk_steps, total - start)
+            fn = seg_fn if steps == chunk_steps else make_seg(steps)
+            final, recs = fn(state, ap, jnp.asarray(start))
+            if fleet is not None:
+                state, ap = final
+            else:
+                state = final
+            if pending is not None:
+                drain(*pending)     # blocks on segment k; k+1 already runs
+            pending = (start, recs)
+            start += steps
+        drain(*pending)
+        jax.block_until_ready(state)
+        self.elapsed = time.perf_counter() - start_t
+        self.final_state = state
+
+        if fleet is None:
+            csvout.write_vehicle_csv(veh_path, b.scene.vehicles, b.dt, total)
+        csvout.write_borders_csv(os.path.join(out, "borders.csv"),
+                                 b.border_lines)
+        csvout.write_obstacles_csv(os.path.join(out, "obstacles.csv"),
+                                   b.obstacle_outlines, b.obstacle_centers)
+        log.info("streamed rollout: %d steps x %d slots in %.3fs -> %s",
+                 total, self.bundle.capacity, self.elapsed, out)
+        return out
+
     def write_csv(self, output_path: str = "output",
                   mode_text: bool | None = None) -> str:
         """Dump the four reference-schema CSVs; returns the output dir.

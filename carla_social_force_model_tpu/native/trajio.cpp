@@ -43,28 +43,34 @@ struct Buffer {
 
 extern "C" {
 
-// Writes the reference-schema pedestrian.csv. Returns rows written, -1 on
-// I/O error.  pos/vel: (T, N, 2) float32; mode: (T, N) int32;
-// alive: (T, N) uint8.
-int64_t write_pedestrian_csv(const char* path, int64_t t_steps, int64_t n,
-                             const float* pos, const float* vel,
-                             const int32_t* mode, const uint8_t* alive,
-                             double dt) {
-  FILE* f = fopen(path, "wb");
+// Appends a chunk of the reference-schema pedestrian.csv. Returns rows
+// written, -1 on I/O error.  pos/vel: (T, N, 2) float32; mode: (T, N)
+// int32; alive: (T, N) uint8.  frame_offset shifts the frame/time columns
+// (streamed multi-chunk rollouts); append != 0 opens in append mode and
+// skips the header.
+int64_t write_pedestrian_csv_chunk(const char* path, int64_t t_steps,
+                                   int64_t n, const float* pos,
+                                   const float* vel, const int32_t* mode,
+                                   const uint8_t* alive, double dt,
+                                   int64_t frame_offset, int32_t append) {
+  FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   int64_t rows = 0;
   {
     Buffer buf(f);
-    const char header[] = "ped_id,frame,time,x,y,v_x,v_y,mode\r\n";
-    buf.put(header, sizeof(header) - 1);
+    if (!append) {
+      const char header[] = "ped_id,frame,time,x,y,v_x,v_y,mode\r\n";
+      buf.put(header, sizeof(header) - 1);
+    }
     for (int64_t t = 0; t < t_steps; ++t) {
-      const double time = static_cast<double>(t) * dt;
+      const int64_t frame = frame_offset + t;
+      const double time = static_cast<double>(frame) * dt;
       for (int64_t i = 0; i < n; ++i) {
         if (!alive[t * n + i]) continue;
         const int64_t base = (t * n + i) * 2;
         buf.put_num(i);
         buf.put_char(',');
-        buf.put_num(t);
+        buf.put_num(frame);
         buf.put_char(',');
         buf.put_num(time);
         buf.put_char(',');
@@ -85,6 +91,15 @@ int64_t write_pedestrian_csv(const char* path, int64_t t_steps, int64_t n,
   }
   fclose(f);
   return rows;
+}
+
+// Whole-rollout form (kept for ABI compatibility with cached builds).
+int64_t write_pedestrian_csv(const char* path, int64_t t_steps, int64_t n,
+                             const float* pos, const float* vel,
+                             const int32_t* mode, const uint8_t* alive,
+                             double dt) {
+  return write_pedestrian_csv_chunk(path, t_steps, n, pos, vel, mode, alive,
+                                    dt, 0, 0);
 }
 
 }  // extern "C"

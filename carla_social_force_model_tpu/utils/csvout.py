@@ -33,14 +33,20 @@ def _output_dir(output_path: str, scenario_name: str | None) -> str:
 
 
 def write_pedestrian_csv(path, records, dt, use_native: bool = True,
-                         mode_text: bool = False):
+                         mode_text: bool = False, frame_offset: int = 0,
+                         append: bool = False):
     """records: StepRecord pytree of (T, N, ...) arrays (models/stepper.py).
 
     Serialization goes through the native writer (native/trajio.cpp) when a
     toolchain is available -- recorded rollouts at large N reach gigabytes of
     CSV; values are identical to the Python path (shortest round-trip float
     formatting both ways, covered by tests).  ``mode_text`` writes the
-    reference's ``PedMode.<NAME>`` strings (Python path only)."""
+    reference's ``PedMode.<NAME>`` strings (Python path only).
+
+    ``frame_offset``/``append`` support the streaming writer
+    (api/simulation.Simulation.run_streamed): each chunk appends its rows
+    with shifted frame/time columns, and only the first writes the header.
+    """
     pos = np.ascontiguousarray(np.asarray(records.pos), np.float32)
     vel = np.ascontiguousarray(np.asarray(records.vel), np.float32)
     mode = np.ascontiguousarray(np.asarray(records.mode), np.int32)
@@ -53,19 +59,20 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True,
         from .nativelib import load
         lib = load("trajio")
         if lib is not None:
-            fn = lib.write_pedestrian_csv
+            fn = lib.write_pedestrian_csv_chunk
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                            ctypes.POINTER(ctypes.c_float),
                            ctypes.POINTER(ctypes.c_float),
                            ctypes.POINTER(ctypes.c_int32),
-                           ctypes.POINTER(ctypes.c_uint8), ctypes.c_double]
+                           ctypes.POINTER(ctypes.c_uint8), ctypes.c_double,
+                           ctypes.c_int64, ctypes.c_int32]
             rows = fn(path.encode(), pos.shape[0], pos.shape[1],
                       pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                       vel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                       mode.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                       alive.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                      float(dt))
+                      float(dt), int(frame_offset), int(bool(append)))
             if rows >= 0:
                 return
 
@@ -75,24 +82,29 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True,
         mode_of = lambda m: fmt[int(m)]
     else:
         mode_of = int
-    with open(path, "w", encoding="UTF8", newline="") as f:
+    with open(path, "a" if append else "w", encoding="UTF8", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["ped_id", "frame", "time", "x", "y", "v_x", "v_y", "mode"])
-        for frame in range(pos.shape[0]):
-            t = frame * dt
-            for slot in np.nonzero(alive[frame])[0]:
-                w.writerow([int(slot), frame, t,
-                            pos[frame, slot, 0], pos[frame, slot, 1],
-                            vel[frame, slot, 0], vel[frame, slot, 1],
-                            mode_of(mode[frame, slot])])
+        if not append:
+            w.writerow(["ped_id", "frame", "time", "x", "y", "v_x", "v_y",
+                        "mode"])
+        for t in range(pos.shape[0]):
+            frame = frame_offset + t
+            time = frame * dt
+            for slot in np.nonzero(alive[t])[0]:
+                w.writerow([int(slot), frame, time,
+                            pos[t, slot, 0], pos[t, slot, 1],
+                            vel[t, slot, 0], vel[t, slot, 1],
+                            mode_of(mode[t, slot])])
 
 
-def write_vehicle_csv(path, vehicles, dt, num_steps):
+def write_vehicle_csv(path, vehicles, dt, num_steps, frame_offset: int = 0,
+                      append: bool = False):
     """vehicles: models.vehicles.VehicleStates (or None)."""
-    with open(path, "w", encoding="UTF8", newline="") as f:
+    with open(path, "a" if append else "w", encoding="UTF8", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["veh_id", "frame", "time", "x", "y", "heading", "vel",
-                    "ext_x", "ext_y"])
+        if not append:
+            w.writerow(["veh_id", "frame", "time", "x", "y", "heading", "vel",
+                        "ext_x", "ext_y"])
         if vehicles is None:
             return
         pos = np.asarray(vehicles.pos)
@@ -100,13 +112,14 @@ def write_vehicle_csv(path, vehicles, dt, num_steps):
         vel = np.asarray(vehicles.vel)
         active = np.asarray(vehicles.active)
         extent = np.asarray(vehicles.extent)
-        for frame in range(min(num_steps, pos.shape[0])):
-            t = frame * dt
-            for v in np.nonzero(active[frame])[0]:
-                w.writerow([int(v), frame, t,
-                            pos[frame, v, 0], pos[frame, v, 1],
-                            heading[frame, v],
-                            float(np.linalg.norm(vel[frame, v])),
+        for t in range(min(num_steps, pos.shape[0])):
+            frame = frame_offset + t
+            time = frame * dt
+            for v in np.nonzero(active[t])[0]:
+                w.writerow([int(v), frame, time,
+                            pos[t, v, 0], pos[t, v, 1],
+                            heading[t, v],
+                            float(np.linalg.norm(vel[t, v])),
                             extent[v, 0], extent[v, 1]])
 
 

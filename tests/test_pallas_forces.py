@@ -259,3 +259,28 @@ def test_morton_sort_matches_morton_order():
     np.testing.assert_array_equal(np.asarray(inv2), np.asarray(inv))
     np.testing.assert_array_equal(np.asarray(sorted_vals[inv2]),
                                   np.asarray(vals))
+
+
+def test_cutoff_f32_exact_threshold():
+    """A cutoff >= 110*gamma*(2*lambda*v_max+1) is BIT-exact: every skipped
+    pair's exponential underflows to +0 in f32 (d/B > 110 since each pair's
+    B = gamma*|t| <= gamma*(2*lambda*v_max+1)), so skipping it changes
+    nothing (ops/pallas_forces.pedestrian_force_pallas docstring claim)."""
+    n, v_max = 96, 2.0
+    p = MoussaidParams()
+    thresh = 110.0 * p.gamma * (2.0 * p.lambda_ * v_max + 1.0)
+    # spread agents so many pairs sit far beyond the threshold (arena much
+    # wider than ~346 m) and some inside it
+    pos = jnp.asarray(RNG.uniform(-600, 600, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-v_max, v_max, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+    kw = dict(row_tile=8, col_tile=128, interpret=True)
+    exact = pedestrian_force_pallas(pos, vel, radius, alive, p, **kw)
+    at_thresh = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                        cutoff=float(np.ceil(thresh)), **kw)
+    np.testing.assert_array_equal(np.asarray(at_thresh), np.asarray(exact))
+    # negative control: a clearly-truncating cutoff does differ
+    low = pedestrian_force_pallas(pos, vel, radius, alive, p, cutoff=30.0,
+                                  **kw)
+    assert not np.array_equal(np.asarray(low), np.asarray(exact))
