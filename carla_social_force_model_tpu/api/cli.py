@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the fused Pallas N x N force kernel (TPU)")
     p.add_argument("--cutoff", type=float, default=None, metavar="METERS",
                    help="Morton-sorted interaction cutoff (see BENCH.md)")
+    p.add_argument("--spatial-order", choices=("morton", "hilbert"),
+                   default=None,
+                   help="space-filling curve for the cutoff sort")
     p.add_argument("--comm", choices=("gather", "ring"), default=None,
                    help="column-state communication under agent-sharding")
     p.add_argument("--exact-div", action="store_true", default=None,
@@ -96,7 +99,8 @@ def main(argv=None) -> int:
                 "interaction_cutoff": args.cutoff,
                 "axis_comm": args.comm,
                 "pallas_exact_div": args.exact_div,
-                "pallas_vmem_mb": args.vmem_mb})
+                "pallas_vmem_mb": args.vmem_mb,
+                "spatial_order": args.spatial_order})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -120,6 +120,10 @@ class StepConfig:
     # device sorts its local shard and the per-pair cutoff keeps the sum
     # exact; pair it with axis_comm="ring" for O(N/devices) peak memory.
     interaction_cutoff: float | None = static_field(default=None)
+    # space-filling curve for the cutoff sort: "morton" (Z-order) or
+    # "hilbert" (tighter tile boxes -> more skipped tile pairs; same sort
+    # cost, identical semantics up to f32 summation order)
+    spatial_order: str = static_field(default="morton")
 
 
 class StepRecord(NamedTuple):
@@ -174,7 +178,8 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
         from ..ops.pallas_env import fused_environment_terms
         fused_env = fused_environment_terms(
             state, scene, params, veh_snap, ped_tile=cfg.env_ped_tile,
-            point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret)
+            point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret,
+            spatial_order=cfg.spatial_order)
 
     # (N, 2) assembly for the jnp force paths (parity oracle / CPU); the
     # production Pallas paths consume the planes directly
@@ -217,7 +222,7 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                     use_ped_radius=params.use_ped_radius,
                     axis_name=axis_name,
                     axis_comm=cfg.axis_comm if axis_name else "gather",
-                    **tiles)
+                    spatial_order=cfg.spatial_order, **tiles)
             else:
                 terms["pedestrian_force"] = pedestrian_force_pallas(
                     (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),

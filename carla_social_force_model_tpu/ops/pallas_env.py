@@ -286,7 +286,8 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
 
 def fused_environment_terms(state, scene, params, veh_snap,
                             ped_tile: int = 512, point_tile: int = 1024,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            spatial_order: str = "morton"):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back
@@ -331,7 +332,8 @@ def fused_environment_terms(state, scene, params, veh_snap,
 
     (spx, spy, svx, svy, srad, salive), inv = morton_sort(
         (state.pos_x, state.pos_y), alive,
-        (state.pos_x, state.pos_y, state.vel_x, state.vel_y, radius, alive))
+        (state.pos_x, state.pos_y, state.vel_x, state.vel_y, radius, alive),
+        order=spatial_order)
     px = _stage_lane(spx, _SENTINEL, salive, n_pad)
     py = _stage_lane(spy, _SENTINEL, salive, n_pad)
     pvx = _stage_lane(svx, 0.0, salive, n_pad)

@@ -388,11 +388,15 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    axis_comm: str = "ring",
                                    planar_out: bool = False,
                                    exact_div: bool = False,
-                                   vmem_mb: int = 32):
-    """Morton-sorted cutoff kernel: sort agents along a Z-order curve so
-    kernel tiles are spatially tight, run the cutoff kernel, scatter the
-    forces back to the original slot order.  The result equals the unsorted
-    cutoff kernel up to f32 summation order.
+                                   vmem_mb: int = 32,
+                                   spatial_order: str = "morton"):
+    """Locality-sorted cutoff kernel: sort agents along a space-filling
+    curve so kernel tiles are spatially tight, run the cutoff kernel,
+    scatter the forces back to the original slot order.  The result equals
+    the unsorted cutoff kernel up to f32 summation order.
+
+    ``spatial_order``: ``"morton"`` (Z-order) or ``"hilbert"`` (no
+    Z-jumps -> tighter tile boxes -> more skipped tile pairs; same cost).
 
     Under agent-sharding (``axis_name``), each device sorts its *local*
     shard -- the per-pair cutoff keeps the result exact regardless of the
@@ -403,7 +407,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
     (spx, spy, svx, svy, srad, salive), inv = morton_sort(
-        (px, py), alive, (px, py, vx, vy, radius, alive))
+        (px, py), alive, (px, py, vx, vy, radius, alive),
+        order=spatial_order)
     force = pedestrian_force_pallas(
         (spx, spy), (svx, svy), srad, salive, p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,

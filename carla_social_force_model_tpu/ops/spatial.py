@@ -24,34 +24,68 @@ def _part1by1(x):
     return x
 
 
-def _morton_key(pos, alive):
-    """(N,) uint32 Z-order keys; dead slots key to the maximum (sort
-    last).  ``pos``: (N, 2) array or (x, y) plane tuple."""
+def _quantize(c, alive, levels):
+    lo = jnp.min(jnp.where(alive, c, jnp.inf))
+    hi = jnp.max(jnp.where(alive, c, -jnp.inf))
+    span = jnp.maximum(hi - lo, 1e-6)
+    top = float(levels - 1)
+    return jnp.clip((c - lo) / span * top, 0.0, top).astype(jnp.uint32)
+
+
+_HILBERT_BITS = 15
+
+
+def _hilbert_d(x, y, bits=_HILBERT_BITS):
+    """Vectorized 2-D Hilbert index (the classic xy2d rotation walk,
+    unrolled over ``bits`` levels; branchless)."""
+    d = jnp.zeros_like(x)
+    for level in range(bits - 1, -1, -1):
+        s = jnp.uint32(1 << level)
+        rx = ((x & s) > 0).astype(jnp.uint32)
+        ry = ((y & s) > 0).astype(jnp.uint32)
+        d = d + s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant: ry==0 -> (optionally flip) then swap axes
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = jnp.where(flip, s - 1 - x, x)
+        yf = jnp.where(flip, s - 1 - y, y)
+        x = jnp.where(swap, yf, xf)
+        y = jnp.where(swap, xf, yf)
+    return d
+
+
+def _morton_key(pos, alive, order: str = "morton"):
+    """(N,) uint32 space-filling-curve keys; dead slots key to the maximum
+    (sort last).  ``pos``: (N, 2) array or (x, y) plane tuple.
+
+    ``order``: ``"morton"`` (Z-order, 16 bits/axis) or ``"hilbert"``
+    (15 bits/axis -- strictly better worst-case locality: no Z-jumps, so
+    per-tile bounding boxes of the sorted order are tighter and the cutoff
+    kernel skips more tile pairs)."""
     from .vecmath import split_xy
     x, y = split_xy(pos)
-
-    def quant(c):
-        lo = jnp.min(jnp.where(alive, c, jnp.inf))
-        hi = jnp.max(jnp.where(alive, c, -jnp.inf))
-        span = jnp.maximum(hi - lo, 1e-6)
-        return jnp.clip((c - lo) / span * 65535.0,
-                        0.0, 65535.0).astype(jnp.uint32)
-
-    key = (_part1by1(quant(x)) << 1) | _part1by1(quant(y))
+    if order == "hilbert":
+        key = _hilbert_d(_quantize(x, alive, 1 << _HILBERT_BITS),
+                         _quantize(y, alive, 1 << _HILBERT_BITS))
+    elif order == "morton":
+        key = (_part1by1(_quantize(x, alive, 65536)) << 1) \
+            | _part1by1(_quantize(y, alive, 65536))
+    else:
+        raise ValueError(f"unknown spatial order {order!r}")
     return jnp.where(alive, key, _MAX_KEY)
 
 
-def morton_order(pos, alive):
-    """Permutation sorting alive pedestrians along a Z-order curve (dead
-    slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.  Returns
-    ``(perm, inv_perm)`` int32 arrays."""
-    perm = jnp.argsort(_morton_key(pos, alive)).astype(jnp.int32)
+def morton_order(pos, alive, order: str = "morton"):
+    """Permutation sorting alive pedestrians along a space-filling curve
+    (dead slots go last).  ``pos``: (N, 2) array or (x, y) plane tuple.
+    Returns ``(perm, inv_perm)`` int32 arrays."""
+    perm = jnp.argsort(_morton_key(pos, alive, order)).astype(jnp.int32)
     inv = jnp.argsort(perm).astype(jnp.int32)
     return perm, inv
 
 
-def morton_sort(pos, alive, arrays):
-    """Morton-sort ``arrays`` (a tuple of (N,) planes) in ONE multi-operand
+def morton_sort(pos, alive, arrays, order: str = "morton"):
+    """Curve-sort ``arrays`` (a tuple of (N,) planes) in ONE multi-operand
     ``lax.sort`` pass.
 
     Separate per-plane gathers ``a[perm]`` compile to ~10 ns/row loops
@@ -61,7 +95,7 @@ def morton_sort(pos, alive, arrays):
     sorted-order results back to slot order (``out[inv]``).  Stable, so the
     order matches :func:`morton_order` exactly (tested).
     """
-    key = _morton_key(pos, alive)
+    key = _morton_key(pos, alive, order)
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     out = jax.lax.sort((key, iota) + tuple(arrays), num_keys=1,

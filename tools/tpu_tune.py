@@ -19,7 +19,7 @@ def _sync(x):
     return np.asarray(x)  # force transfer (block_until_ready unreliable here)
 
 
-def time_kernel(n, tr, tc, steps=30, cutoff=None):
+def time_kernel(n, tr, tc, steps=30, cutoff=None, order="morton"):
     import jax
     import jax.numpy as jnp
     from carla_social_force_model_tpu.models.params import MoussaidParams
@@ -40,7 +40,8 @@ def time_kernel(n, tr, tc, steps=30, cutoff=None):
             a, b, rad, alive, p, row_tile=tr, col_tile=tc))
     else:
         fn = jax.jit(lambda a, b: pedestrian_force_pallas_sorted(
-            a, b, rad, alive, p, cutoff=cutoff, row_tile=tr, col_tile=tc))
+            a, b, rad, alive, p, cutoff=cutoff, row_tile=tr, col_tile=tc,
+            spatial_order=order))
     out = fn(pos, vel)
     _sync(out)
     t0 = time.perf_counter()
@@ -96,8 +97,46 @@ def time_env_rollout(n, ped_tile, point_tile, steps=100, forces="borders"):
     return steps / dt, n * steps / dt
 
 
+def time_sort(n, steps=50):
+    """Morton-sort share: the fused 8-operand lax.sort + inverse-permutation
+    build that the cutoff path pays every step (ops/spatial.morton_sort)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from carla_social_force_model_tpu.ops.spatial import morton_sort
+
+    rng = np.random.default_rng(0)
+    side = max(10.0, (n / 0.4) ** 0.5)
+    px = jnp.asarray(rng.uniform(0, side, n), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, side, n), jnp.float32)
+    vx = jnp.asarray(rng.uniform(-2, 2, n), jnp.float32)
+    vy = jnp.asarray(rng.uniform(-2, 2, n), jnp.float32)
+    rad = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    @jax.jit
+    def run(px, py):
+        def body(c, _):
+            arrs, inv = morton_sort((px + c, py), alive,
+                                    (px, py, vx, vy, rad, alive))
+            return c + arrs[0][0] * 0 + inv[0] * 0, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return c
+
+    _sync(run(px, py))
+    t0 = time.perf_counter()
+    _sync(run(px, py))
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    if what == "sort":
+        for n in (10_000, 50_000, 100_000):
+            ms = time_sort(n)
+            print(json.dumps({"what": "sort", "n": n, "ms": round(ms, 3)}),
+                  flush=True)
+        return
     if what == "env":
         # one SUBPROCESS per config: several large Pallas programs in one
         # process produce spurious INVALID_ARGUMENT TPU backend errors on
@@ -133,22 +172,45 @@ def main():
     if what in ("kernel", "all"):
         # TUNE_N sizes the sweep (tile optima shift with N: defaults were
         # tuned at 10k, VERDICT r2 asked for a 50k-specific sweep);
-        # TUNE_CUTOFF sweeps the Morton-sorted cutoff kernel instead
+        # TUNE_CUTOFF sweeps the Morton-sorted cutoff kernel instead.
+        # One SUBPROCESS per config (see the env mode note): at large N a
+        # second Pallas program in the same process reliably dies with
+        # INVALID_ARGUMENT on this runtime.
+        import subprocess
         tune_cutoff = (float(os.environ["TUNE_CUTOFF"])
                        if os.environ.get("TUNE_CUTOFF") else None)
-        for n in (int(os.environ.get("TUNE_N", 10_000)),):
-            for tr, tc in ((192, 512), (256, 512), (512, 512), (256, 1024),
-                           (512, 1024), (1024, 512), (512, 2048),
-                           (1024, 1024)):
-                try:
-                    ms = time_kernel(n, tr, tc, cutoff=tune_cutoff)
-                    print(json.dumps({"what": "kernel", "n": n, "tr": tr,
-                                      "tc": tc, "ms": round(ms, 3),
-                                      "ok": True}), flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(json.dumps({"what": "kernel", "n": n, "tr": tr,
-                                      "tc": tc, "ok": False,
-                                      "err": str(e)[:160]}), flush=True)
+        n = int(os.environ.get("TUNE_N", 10_000))
+        if os.environ.get("KERNEL_ONE_CONFIG"):
+            tr, tc = (int(v) for v in
+                      os.environ["KERNEL_ONE_CONFIG"].split("x"))
+            order = os.environ.get("TUNE_ORDER", "morton")
+            ms = time_kernel(n, tr, tc, cutoff=tune_cutoff, order=order)
+            print(json.dumps({"what": "kernel", "n": n, "tr": tr, "tc": tc,
+                              "cutoff": tune_cutoff, "order": order,
+                              "ms": round(ms, 3), "ok": True}), flush=True)
+            return
+        if tune_cutoff is not None:
+            # cutoff path: smaller tiles skip at finer granularity (the
+            # per-pair cutoff keeps any tiling exact); sweep down to the
+            # (8-sublane, 128-lane) floor
+            configs = ((64, 128), (64, 256), (128, 128), (128, 256),
+                       (128, 512), (192, 256), (192, 512), (256, 256),
+                       (256, 512), (512, 512))
+        else:
+            configs = ((192, 512), (256, 512), (512, 512), (256, 1024),
+                       (512, 1024), (1024, 512), (512, 2048), (1024, 1024))
+        for tr, tc in configs:
+            env = dict(os.environ, KERNEL_ONE_CONFIG=f"{tr}x{tc}")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "kernel"],
+                env=env, capture_output=True, text=True, timeout=1800)
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            if line:
+                print(line[-1], flush=True)
+            else:
+                print(json.dumps({"what": "kernel", "n": n, "tr": tr,
+                                  "tc": tc, "ok": False,
+                                  "err": r.stderr[-160:]}), flush=True)
     if what in ("rollout", "all"):
         best = os.environ.get("TILES", "512x1024")
         tr, tc = (int(v) for v in best.split("x"))
