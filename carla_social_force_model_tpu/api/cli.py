@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial-order", choices=("morton", "hilbert"),
                    default=None,
                    help="space-filling curve for the cutoff sort")
-    p.add_argument("--comm", choices=("gather", "ring"), default=None,
+    p.add_argument("--comm", choices=("gather", "ring", "ring_kernel"),
+                   default=None,
                    help="column-state communication under agent-sharding")
     p.add_argument("--exact-div", action="store_true", default=None,
                    help="exact division in the Pallas in-kernel atan2 "

@@ -234,7 +234,8 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 _pos2(), _vel2(), state.radius, state.alive,
                 params.pedestrian, use_ped_radius=params.use_ped_radius,
                 row_block=cfg.row_block, axis_name=axis_name,
-                axis_comm=cfg.axis_comm))
+                axis_comm=("ring" if cfg.axis_comm == "ring_kernel"
+                           else cfg.axis_comm)))
     if params.enable_border and scene.borders is not None:
         if "border_force" in fused_env:
             terms["border_force"] = fused_env["border_force"]

@@ -123,28 +123,20 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
 
     @pl.when(run_tile)
     def _compute():
-        _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
-                   px_c, py_c, vx_c, vy_c, rad_c, fx_ref, fy_ref,
+        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+                   fx_ref, fy_ref,
                    lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
                    epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
                    cutoff=cutoff, exact_div=exact_div)
 
 
-def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
-               px_c, py_c, vx_c, vy_c, rad_c,
+def _pair_tile(xi, yi, vxi, vyi, rad_r,
+               xj, yj, vxj, vyj, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
                use_radius, tr, tc, cutoff, exact_div):
-    # row vectors are (TR, 1) blocks, column vectors (1, TC) blocks: the
+    # row vectors are (TR, 1) arrays, column vectors (1, TC) arrays: the
     # broadcast to (TR, TC) needs no sublane<->lane relayout in the kernel
-    xi = px_r[...]
-    yi = py_r[...]
-    vxi = vx_r[...]
-    vyi = vy_r[...]
-    xj = px_c[...]
-    yj = py_c[...]
-    vxj = vx_c[...]
-    vyj = vy_c[...]
-
     dx = xj - xi                       # (TR, TC), x_j - x_i
     dy = yj - yi
     d2 = dx * dx + dy * dy
@@ -153,7 +145,7 @@ def _pair_tile(px_r, py_r, vx_r, vy_r, rad_r,
     ey = dy * r
     d = d2 * r
     if use_radius:
-        d = d - (rad_r[...] + rad_c[...])
+        d = d - (rad_r + rad_c)
 
     dvx = vxi - vxj                    # v_i - v_j
     dvy = vyi - vyj
@@ -264,6 +256,15 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         tc=tc, cutoff=cutoff, interpret=interpret, exact_div=exact_div,
         vmem_mb=vmem_mb)
 
+    if axis_name is not None and axis_comm == "ring_kernel":
+        # fused in-kernel RDMA ring (ops/pallas_ring.py): one pallas_call
+        # rotates the column block over ICI inside the kernel
+        from .pallas_ring import pedestrian_force_pallas_ring
+        return pedestrian_force_pallas_ring(
+            pos, vel, radius, alive, p, axis_name=axis_name,
+            use_ped_radius=use_ped_radius, row_tile=tr, col_tile=tc,
+            interpret=interpret, cutoff=cutoff, planar_out=planar_out,
+            exact_div=exact_div, vmem_mb=max(vmem_mb, 64))
     if axis_name is not None and axis_comm == "ring":
         n_dev = jax.lax.psum(1, axis_name)
         perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]

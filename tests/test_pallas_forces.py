@@ -340,3 +340,69 @@ def test_hilbert_tiles_tighter_than_morton():
         return float(((bb[:, 1] - bb[:, 0]) + (bb[:, 3] - bb[:, 2])).mean())
 
     assert mean_semiperimeter("hilbert") < mean_semiperimeter("morton")
+
+
+@pytest.mark.parametrize("cutoff", [None, 25.0])
+def test_in_kernel_ring_matches_single_device(cutoff):
+    """axis_comm='ring_kernel' (fused in-kernel RDMA ring,
+    ops/pallas_ring.py) == single-device kernel on the 8-device CPU mesh,
+    with and without the per-pair cutoff (multiple row AND column tiles
+    per shard; uneven alive counts)."""
+    import jax
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    n = 8 * 48   # 6 row tiles of 8 per shard
+    pos = jnp.asarray(RNG.uniform(-60, 60, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.8)
+    p = MoussaidParams()
+    kw = dict(row_tile=8, col_tile=128, interpret=True, cutoff=cutoff)
+
+    want = pedestrian_force_pallas(pos, vel, radius, alive, p, **kw)
+
+    # interpret-mode remote DMA supports single-axis meshes only (the
+    # compiled Mosaic path takes multi-axis MESH device ids)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("agents",))
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas(
+            *a, p, axis_name="agents", axis_comm="ring_kernel", **kw),
+        mesh=mesh,
+        in_specs=(P("agents"), P("agents"), P("agents"), P("agents")),
+        out_specs=P("agents"), check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
+
+
+def test_in_kernel_ring_matches_jnp_ring_sorted():
+    """Morton-sorted cutoff path with the in-kernel ring == the jnp
+    ppermute ring (both under shard_map)."""
+    import jax
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+
+    n = 8 * 40
+    pos = jnp.asarray(RNG.uniform(-80, 80, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("agents",))
+
+    def run(comm):
+        fn = jax.shard_map(
+            lambda *a: pedestrian_force_pallas_sorted(
+                *a, p, cutoff=30.0, row_tile=8, col_tile=128,
+                interpret=True, axis_name="agents", axis_comm=comm),
+            mesh=mesh,
+            in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+            check_vma=False)
+        return np.asarray(jax.jit(fn)(pos, vel, radius, alive))
+
+    np.testing.assert_allclose(run("ring_kernel"), run("ring"),
+                               rtol=2e-5, atol=2e-5)
