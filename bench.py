@@ -21,7 +21,7 @@ Baseline is the driver-set north star of 1M agent-steps/sec/chip (the
 reference itself is real-time paced at N*20 agent-steps/sec, BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; Morton-sorted cutoff on
+Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; locality-sorted cutoff on
 the Pallas path), BENCH_BATCH (ensemble only).
 """
 import json

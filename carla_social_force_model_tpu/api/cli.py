@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=None,
                    help="use the fused Pallas N x N force kernel (TPU)")
     p.add_argument("--cutoff", type=float, default=None, metavar="METERS",
-                   help="Morton-sorted interaction cutoff (see BENCH.md)")
+                   help="locality-sorted interaction cutoff (see BENCH.md)")
     p.add_argument("--spatial-order", choices=("morton", "hilbert"),
                    default=None,
                    help="space-filling curve for the cutoff sort")

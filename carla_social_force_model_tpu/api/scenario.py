@@ -397,7 +397,7 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         axis_comm=str(eng.get("axis_comm", "gather")),
         pallas_exact_div=bool(eng.get("pallas_exact_div", False)),
         pallas_vmem_mb=int(eng.get("pallas_vmem_mb", 32)),
-        spatial_order=str(eng.get("spatial_order", "morton")),
+        spatial_order=str(eng.get("spatial_order", "hilbert")),
     )
 
     obstacles_cfg = scenario.get("obstacles")

@@ -120,10 +120,12 @@ class StepConfig:
     # device sorts its local shard and the per-pair cutoff keeps the sum
     # exact; pair it with axis_comm="ring" for O(N/devices) peak memory.
     interaction_cutoff: float | None = static_field(default=None)
-    # space-filling curve for the cutoff sort: "morton" (Z-order) or
-    # "hilbert" (tighter tile boxes -> more skipped tile pairs; same sort
-    # cost, identical semantics up to f32 summation order)
-    spatial_order: str = static_field(default="morton")
+    # space-filling curve for the cutoff sort: "hilbert" (default; no
+    # Z-jumps, so tile bounding boxes are tighter -> more skipped tile
+    # pairs: -13%/-18%/-18% kernel time at N=10k/50k/100k with the 30 m
+    # cutoff, BENCH.md) or "morton" (Z-order).  Same sort cost, identical
+    # semantics up to f32 summation order.
+    spatial_order: str = static_field(default="hilbert")
 
 
 class StepRecord(NamedTuple):

@@ -287,7 +287,7 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
 def fused_environment_terms(state, scene, params, veh_snap,
                             ped_tile: int = 512, point_tile: int = 1024,
                             interpret: bool = False,
-                            spatial_order: str = "morton"):
+                            spatial_order: str = "hilbert"):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back

@@ -390,14 +390,14 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    planar_out: bool = False,
                                    exact_div: bool = False,
                                    vmem_mb: int = 32,
-                                   spatial_order: str = "morton"):
+                                   spatial_order: str = "hilbert"):
     """Locality-sorted cutoff kernel: sort agents along a space-filling
     curve so kernel tiles are spatially tight, run the cutoff kernel,
     scatter the forces back to the original slot order.  The result equals
     the unsorted cutoff kernel up to f32 summation order.
 
-    ``spatial_order``: ``"morton"`` (Z-order) or ``"hilbert"`` (no
-    Z-jumps -> tighter tile boxes -> more skipped tile pairs; same cost).
+    ``spatial_order``: ``"hilbert"`` (default; no Z-jumps -> tighter tile
+    boxes -> more skipped tile pairs, same cost) or ``"morton"`` (Z-order).
 
     Under agent-sharding (``axis_name``), each device sorts its *local*
     shard -- the per-pair cutoff keeps the result exact regardless of the

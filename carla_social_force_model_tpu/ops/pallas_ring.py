@@ -66,8 +66,8 @@ def _ring_kernel(prm_ref, rbb_ref,
                  px_r, py_r, vx_r, vy_r, rad_r,
                  cols_ref, cbb_ref,
                  fx_ref, fy_ref,
-                 comm_ref, commbb_ref,
-                 send_c, recv_c, send_b, recv_b, credit,
+                 comm_ref, commbb_ref, bbs_ref,
+                 send_c, recv_c, send_b, recv_b, credit, mirror_sem,
                  *, n_dev, n_tr, n_tc, tr, tc, use_radius, cutoff,
                  exact_div, axis_name, flow_control, single_axis):
     k = pl.program_id(0)
@@ -116,6 +116,16 @@ def _ring_kernel(prm_ref, rbb_ref,
             dc.wait_recv()
             db.wait_recv()
 
+        if cutoff is not None:
+            # mirror this step's tile bboxes into SMEM: the per-(i, j)
+            # cutoff test reads them as scalars at a dynamic tile index,
+            # which VMEM vector loads cannot do (lane alignment) but SMEM
+            # scalar loads can -- same layout as the rbb scalar-prefetch
+            mirror = pltpu.make_async_copy(
+                commbb_ref.at[s], bbs_ref.at[s], mirror_sem)
+            mirror.start()
+            mirror.wait()
+
         @pl.when(k < n_dev - 1)
         def _send():
             # forward block k to the right for its step k+1; slot 1-s over
@@ -132,11 +142,11 @@ def _ring_kernel(prm_ref, rbb_ref,
         fy_ref[...] = jnp.zeros_like(fy_ref)
 
     if cutoff is not None:
-        gx = jnp.maximum(jnp.maximum(commbb_ref[s, 0, j] - rbb_ref[1, i],
-                                     rbb_ref[0, i] - commbb_ref[s, 1, j]),
+        gx = jnp.maximum(jnp.maximum(bbs_ref[s, 0, j] - rbb_ref[1, i],
+                                     rbb_ref[0, i] - bbs_ref[s, 1, j]),
                          0.0)
-        gy = jnp.maximum(jnp.maximum(commbb_ref[s, 2, j] - rbb_ref[3, i],
-                                     rbb_ref[2, i] - commbb_ref[s, 3, j]),
+        gy = jnp.maximum(jnp.maximum(bbs_ref[s, 2, j] - rbb_ref[3, i],
+                                     rbb_ref[2, i] - bbs_ref[s, 3, j]),
                          0.0)
         run_tile = gx * gx + gy * gy <= cutoff * cutoff
     else:
@@ -194,6 +204,11 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
     vx, vy = split_xy(vel)
     n = px.shape[0]
     tr, tc = row_tile, col_tile
+    if not interpret and tc % 128:
+        raise ValueError(
+            f"ring_kernel col_tile must be a multiple of 128 lanes on "
+            f"hardware (the in-kernel column-block slice is lane-offset "
+            f"by j*col_tile), got {tc}")
     n_dev = jax.lax.axis_size(axis_name)
 
     n_rows = _round_up(max(n, tr), tr)
@@ -205,8 +220,18 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
     row_bb = _bboxes(row_1d, alive, n, tr)          # (4, n_tr) SMEM
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
     col_1d = _stage(px, py, vx, vy, radius, alive, n_cols)
+    # the comm buffers rotate with sliced DMAs (comm_ref.at[slot]), and
+    # Mosaic requires DMA slice sublane extents to be multiples of the
+    # (8, 128) VMEM tile -- pad the plane axis 5 -> 8 (and 4 -> 8 for the
+    # bboxes) with zero planes; the kernel only reads planes it uses
     cols = jnp.stack(col_1d)                        # (5, n_cols) VMEM
+    cols = jnp.concatenate(
+        [cols, jnp.zeros((3, n_cols), cols.dtype)])  # (8, n_cols)
+    n_tc_pad = _round_up(n_tc, 128)                 # lane-dim DMA alignment
     col_bb = _bboxes(col_1d, alive, n, tc)          # (4, n_tc) VMEM
+    col_bb = jnp.concatenate(
+        [col_bb, jnp.zeros((4, n_tc), col_bb.dtype)])  # (8, n_tc)
+    col_bb = jnp.pad(col_bb, ((0, 0), (0, n_tc_pad - n_tc)))
 
     grid = (n_dev, n_tr, n_tc)
     row_spec = pl.BlockSpec((tr, 1), lambda k, i, j, *_: (i, 0),
@@ -217,13 +242,17 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
 
     # the pallas TPU interpreter implements remote DMA but not remote
     # semaphore signals; its cooperative per-device scheduling cannot
-    # overrun a slot, so the credit/barrier flow control is hardware-only
+    # overrun a slot, so the credit/barrier flow control is hardware-only.
+    # Mosaic rejects a collective_id unless the kernel actually takes the
+    # barrier semaphore, so both follow the same predicate (a 1-device
+    # ring has no neighbor to barrier with).
+    flow_control = not interpret and n_dev > 1
     kernel = functools.partial(
         _ring_kernel, n_dev=n_dev, n_tr=n_tr, n_tc=n_tc, tr=tr, tc=tc,
         use_radius=use_ped_radius,
         cutoff=float(cutoff) if cutoff is not None else None,
         exact_div=exact_div, axis_name=axis_name,
-        flow_control=not interpret, single_axis=_single_named_axis())
+        flow_control=flow_control, single_axis=_single_named_axis())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -231,11 +260,13 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
         in_specs=[row_spec] * 5 + [full, full],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((2, 5, n_cols), jnp.float32),
-            pltpu.VMEM((2, 4, n_tc), jnp.float32),
+            pltpu.VMEM((2, 8, n_cols), jnp.float32),
+            pltpu.VMEM((2, 8, n_tc_pad), jnp.float32),
+            pltpu.SMEM((2, 8, n_tc_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.REGULAR((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     fx, fy = pl.pallas_call(
@@ -249,7 +280,7 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
             transcendentals=int(5 * n_rows * n_cols * n_dev)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) * 1024 * 1024,
-            collective_id=_COLLECTIVE_ID,
+            collective_id=_COLLECTIVE_ID if flow_control else None,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(_params_vec(p), row_bb, *row_args, cols, col_bb)

@@ -183,7 +183,7 @@ def main():
         if os.environ.get("KERNEL_ONE_CONFIG"):
             tr, tc = (int(v) for v in
                       os.environ["KERNEL_ONE_CONFIG"].split("x"))
-            order = os.environ.get("TUNE_ORDER", "morton")
+            order = os.environ.get("TUNE_ORDER", "hilbert")
             ms = time_kernel(n, tr, tc, cutoff=tune_cutoff, order=order)
             print(json.dumps({"what": "kernel", "n": n, "tr": tr, "tc": tc,
                               "cutoff": tune_cutoff, "order": order,
