@@ -72,7 +72,11 @@ def _morton_key(pos, alive, order: str = "morton"):
             | _part1by1(_quantize(y, alive, 65536))
     else:
         raise ValueError(f"unknown spatial order {order!r}")
-    return jnp.where(alive, key, _MAX_KEY)
+    # an alive agent at the quantization corner would otherwise reach
+    # _MAX_KEY (Morton of (65535, 65535)) and sort into the dead block --
+    # clamp so "dead slots sort last" is a real invariant
+    return jnp.where(alive, jnp.minimum(key, _MAX_KEY - jnp.uint32(1)),
+                     _MAX_KEY)
 
 
 def morton_order(pos, alive, order: str = "morton"):
