@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: Newton-refined approximate reciprocal)")
     p.add_argument("--vmem-mb", type=int, default=None,
                    help="Mosaic scoped-VMEM limit for the Pallas kernels")
+    p.add_argument("--env-compact", action="store_true", default=None,
+                   help="compacted env-kernel grid (best for sparse street-"
+                        "network borders, see BENCH.md)")
     p.add_argument("--stream", action="store_true",
                    help="stream records to CSV in chunks (bounded memory "
                         "for long rollouts; implies --csv)")
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
                 "axis_comm": args.comm,
                 "pallas_exact_div": args.exact_div,
                 "pallas_vmem_mb": args.vmem_mb,
-                "spatial_order": args.spatial_order})
+                "spatial_order": args.spatial_order,
+                "env_compact": args.env_compact})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -398,6 +398,10 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         pallas_exact_div=bool(eng.get("pallas_exact_div", False)),
         pallas_vmem_mb=int(eng.get("pallas_vmem_mb", 32)),
         spatial_order=str(eng.get("spatial_order", "hilbert")),
+        env_compact=bool(eng.get("env_compact", False)),
+        env_max_surv=int(eng.get("env_max_surv", 0)),
+        env_ped_tile=int(eng.get("env_ped_tile", 512)),
+        env_point_tile=int(eng.get("env_point_tile", 512)),
     )
 
     obstacles_cfg = scenario.get("obstacles")

@@ -241,8 +241,12 @@ def urban_bundle(n: int, seed: int = 0, use_pallas: bool | None = None,
     scene = Scene(spawn=schedule, borders=borders, autopilot=fleet)
     params = SfmParams(enable_acceleration=True, enable_pedestrian=True,
                        enable_border=True, enable_dynamic_obstacle=True)
+    # env_compact: the street-network border cloud is sparse relative to
+    # the routed crowds' tile footprints -- the compacted env-kernel grid
+    # is +53% end-to-end here (BENCH.md config #4)
     cfg = StepConfig(dt=0.05, waypoint_threshold=2.0,
-                     despawn_on_arrival=True, use_pallas=use_pallas)
+                     despawn_on_arrival=True, use_pallas=use_pallas,
+                     env_compact=True)
     return scene, params, cfg, PedState.empty(n)
 
 

@@ -112,6 +112,18 @@ class StepConfig:
     # ~12% (same smallish-tile pattern as the pairwise kernel)
     env_ped_tile: int = static_field(default=512)
     env_point_tile: int = static_field(default=512)
+    # compacted env-kernel grid: build the (ped-tile, point-tile) hit
+    # matrix in jnp each step and launch only surviving pairs through
+    # scalar-prefetch surv-indexed block maps (ops/pallas_env.py).  Exact:
+    # a lax.cond falls back to the dense grid when any ped tile exceeds
+    # env_max_surv survivors (0 = auto: ~n_point_tiles/3, min 8).
+    # OPT-IN: +53% on sparse street-network geometry (config #4 urban,
+    # BENCH.md) where each ped tile touches few point tiles, but the
+    # 8-segment tile granularity it needs WASTES compute on uniform-arena
+    # crowds whose surviving tiles are mostly-active anyway (-15% on
+    # configs #2/#3), so the default stays dense
+    env_compact: bool = static_field(default=False)
+    env_max_surv: int = static_field(default=0)
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
@@ -181,7 +193,8 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
         fused_env = fused_environment_terms(
             state, scene, params, veh_snap, ped_tile=cfg.env_ped_tile,
             point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret,
-            spatial_order=cfg.spatial_order)
+            spatial_order=cfg.spatial_order, compact=cfg.env_compact,
+            max_surv=cfg.env_max_surv)
 
     # (N, 2) assembly for the jnp force paths (parity oracle / CPU); the
     # production Pallas paths consume the planes directly

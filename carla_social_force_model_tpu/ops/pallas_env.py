@@ -110,12 +110,88 @@ def _tile_hit(bb_ref, circ_ref, j, i, gs):
     return hit
 
 
+def _exp_tilework(prm_ref, bx, by, cxg, cyg, r2g, px, py, prad,
+                  fx_ref, fy_ref, *, gs, kk, use_radius):
+    """One (point-tile, ped-tile) accumulation of the exp-magnitude force:
+    f = a * exp(-d/b) away from the per-segment closest point, summed over
+    in-filter segments (reference forces.py:154-165; the space repulsive
+    variant maps a = u0/r, b = r).  ``cxg``/``cyg``/``r2g``: (gs, 1)
+    segment metadata for THIS point tile."""
+    a = prm_ref[0]
+    inv_b = prm_ref[1]
+    dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+    r = jax.lax.rsqrt(dmin + _TINY)
+    d = dmin * r
+    if use_radius:
+        d = d - prad[...]
+    fdx = cxg - px[...]                      # (gs, tc) filter distance
+    fdy = cyg - py[...]
+    ok = (fdx * fdx + fdy * fdy < r2g) & (dmin < _PAD_DIST2)
+    # e = (ped - point) * r; fold the unit vector's r into the magnitude
+    mag = jnp.where(ok, (a * jnp.exp(-d * inv_b)) * r, 0.0)
+    fx_ref[...] += jnp.sum(mag * (px[...] - bxm), axis=0, keepdims=True)
+    fy_ref[...] += jnp.sum(mag * (py[...] - bym), axis=0, keepdims=True)
+
+
+def _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
+                       px, py, pvx, pvy, prad,
+                       fx_ref, fy_ref, *, gs, kk, use_radius):
+    """One (point-tile, ped-tile) accumulation of the Moussaid interaction
+    against the per-segment closest point with relative velocity
+    v_ped - v_obstacle (reference forces.py:233-270), using the pairwise
+    kernel's parameter folding and atan2 polynomial."""
+    lam = prm_ref[0]
+    A = prm_ref[1]
+    gamma = prm_ref[2]
+    n = prm_ref[3]
+    n_prime = prm_ref[4]
+    epsilon = prm_ref[5]
+
+    dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+    dx = bxm - px[...]                     # ped -> obstacle point
+    dy = bym - py[...]
+    r = jax.lax.rsqrt(dmin + _TINY)
+    ex = dx * r
+    ey = dy * r
+    d = dmin * r
+    if use_radius:
+        d = d - prad[...]
+
+    dvx = pvx[...] - ovxg                  # v_ped - v_obstacle
+    dvy = pvy[...] - ovyg
+    tx = lam * dvx + ex
+    ty = lam * dvy + ey
+    t2 = tx * tx + ty * ty
+    rt = jax.lax.rsqrt(t2 + _TINY)
+    t_len = t2 * rt
+    cross = tx * ey - ty * ex
+    dot = ex * tx + ey * ty
+    theta = _atan2(cross, dot) + (-epsilon * gamma) * t_len
+
+    fdx = cxg - px[...]
+    fdy = cyg - py[...]
+    ok = ((fdx * fdx + fdy * fdy < r2g)
+          & (dmin < _PAD_DIST2) & (dmin > 0.0))
+    if use_radius:
+        # d can be negative with radii subtracted while t2 == 0; mask
+        # B > 0 explicitly (without radii the exp underflows on its own)
+        ok = ok & (t2 > 0.0)
+    common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
+    u2 = jnp.square(t_len * theta)
+    f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
+    f_t = (-A * jnp.sign(theta)) * jnp.exp(
+        common - jnp.square(n * gamma) * u2)
+    f_v = f_v * rt
+    f_t = f_t * rt
+    fx_ref[...] += jnp.sum(f_v * tx - f_t * ty, axis=0, keepdims=True)
+    fy_ref[...] += jnp.sum(f_v * ty + f_t * tx, axis=0, keepdims=True)
+
+
 def _exp_kernel(prm_ref, bb_ref, circ_ref,
                 bx, by, cx, cy, r2, px, py, prad,
                 fx_ref, fy_ref, *, gs, kk, use_radius):
-    """f = a * exp(-d/b) away from the per-segment closest point, summed
-    over in-filter segments (reference forces.py:154-165; the space
-    repulsive variant maps a = u0/r, b = r)."""
+    """Dense-grid exp kernel: every (ped-tile, point-tile) pair is a grid
+    step; the filter-circle/bbox test skips non-interacting pairs."""
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -126,35 +202,22 @@ def _exp_kernel(prm_ref, bb_ref, circ_ref,
 
     @pl.when(_tile_hit(bb_ref, circ_ref, j, i, gs))
     def _():
-        a = prm_ref[0]
-        inv_b = prm_ref[1]
-        dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
-        r = jax.lax.rsqrt(dmin + _TINY)
-        d = dmin * r
-        if use_radius:
-            d = d - prad[...]
         # segment metadata rides as full (S_pad, 1) arrays (tiny; loaded
         # once -- constant index map); slice this tile's gs rows here (a
-        # (gs, 1) block shape would violate the TPU (8, 128) block rule)
+        # (gs, 1) block shape would violate the TPU (8, 128) block rule
+        # for gs not divisible by 8)
         cxg = cx[pl.ds(i * gs, gs), :]           # (gs, 1)
         cyg = cy[pl.ds(i * gs, gs), :]
         r2g = r2[pl.ds(i * gs, gs), :]
-        fdx = cxg - px[...]                      # (gs, tc) filter distance
-        fdy = cyg - py[...]
-        ok = (fdx * fdx + fdy * fdy < r2g) & (dmin < _PAD_DIST2)
-        # e = (ped - point) * r; fold the unit vector's r into the magnitude
-        mag = jnp.where(ok, (a * jnp.exp(-d * inv_b)) * r, 0.0)
-        fx_ref[...] += jnp.sum(mag * (px[...] - bxm), axis=0, keepdims=True)
-        fy_ref[...] += jnp.sum(mag * (py[...] - bym), axis=0, keepdims=True)
+        _exp_tilework(prm_ref, bx, by, cxg, cyg, r2g, px, py, prad,
+                      fx_ref, fy_ref, gs=gs, kk=kk, use_radius=use_radius)
 
 
 def _moussaid_kernel(prm_ref, bb_ref, circ_ref,
                      bx, by, cx, cy, r2, ovx, ovy,
                      px, py, pvx, pvy, prad,
                      fx_ref, fy_ref, *, gs, kk, use_radius):
-    """Moussaid interaction against the per-segment closest point with
-    relative velocity v_ped - v_obstacle (reference forces.py:233-270),
-    using the pairwise kernel's parameter folding and atan2 polynomial."""
+    """Dense-grid Moussaid kernel (see _exp_kernel)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -165,55 +228,59 @@ def _moussaid_kernel(prm_ref, bb_ref, circ_ref,
 
     @pl.when(_tile_hit(bb_ref, circ_ref, j, i, gs))
     def _():
-        lam = prm_ref[0]
-        A = prm_ref[1]
-        gamma = prm_ref[2]
-        n = prm_ref[3]
-        n_prime = prm_ref[4]
-        epsilon = prm_ref[5]
-
-        dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
-        dx = bxm - px[...]                     # ped -> obstacle point
-        dy = bym - py[...]
-        r = jax.lax.rsqrt(dmin + _TINY)
-        ex = dx * r
-        ey = dy * r
-        d = dmin * r
-        if use_radius:
-            d = d - prad[...]
-
-        # full-array segment metadata, sliced per tile (see _exp_kernel)
         cxg = cx[pl.ds(i * gs, gs), :]
         cyg = cy[pl.ds(i * gs, gs), :]
         r2g = r2[pl.ds(i * gs, gs), :]
-        dvx = pvx[...] - ovx[pl.ds(i * gs, gs), :]   # v_ped - v_obstacle
-        dvy = pvy[...] - ovy[pl.ds(i * gs, gs), :]
-        tx = lam * dvx + ex
-        ty = lam * dvy + ey
-        t2 = tx * tx + ty * ty
-        rt = jax.lax.rsqrt(t2 + _TINY)
-        t_len = t2 * rt
-        cross = tx * ey - ty * ex
-        dot = ex * tx + ey * ty
-        theta = _atan2(cross, dot) + (-epsilon * gamma) * t_len
+        ovxg = ovx[pl.ds(i * gs, gs), :]
+        ovyg = ovy[pl.ds(i * gs, gs), :]
+        _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
+                           px, py, pvx, pvy, prad, fx_ref, fy_ref,
+                           gs=gs, kk=kk, use_radius=use_radius)
 
-        fdx = cxg - px[...]
-        fdy = cyg - py[...]
-        ok = ((fdx * fdx + fdy * fdy < r2g)
-              & (dmin < _PAD_DIST2) & (dmin > 0.0))
-        if use_radius:
-            # d can be negative with radii subtracted while t2 == 0; mask
-            # B > 0 explicitly (without radii the exp underflows on its own)
-            ok = ok & (t2 > 0.0)
-        common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
-        u2 = jnp.square(t_len * theta)
-        f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
-        f_t = (-A * jnp.sign(theta)) * jnp.exp(
-            common - jnp.square(n * gamma) * u2)
-        f_v = f_v * rt
-        f_t = f_t * rt
-        fx_ref[...] += jnp.sum(f_v * tx - f_t * ty, axis=0, keepdims=True)
-        fy_ref[...] += jnp.sum(f_v * ty + f_t * tx, axis=0, keepdims=True)
+
+def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
+                        bx, by, cxg, cyg, r2g, px, py, prad,
+                        fx_ref, fy_ref, *, gs, kk, use_radius):
+    """Compacted-grid exp kernel: grid slot (j, i) computes the i-th
+    SURVIVING point tile of ped tile j (``surv_ref[j, i]``, built per step
+    by :func:`_tile_hits`; -1 pads rows with fewer survivors).  Point and
+    segment-metadata blocks arrive via surv-indexed index maps, so the
+    kernel never touches skipped tiles -- the per-segment filter mask in
+    the tilework keeps the semantics exact."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when(surv_ref[j, i] >= 0)
+    def _():
+        _exp_tilework(prm_ref, bx, by, cxg[...], cyg[...], r2g[...],
+                      px, py, prad, fx_ref, fy_ref,
+                      gs=gs, kk=kk, use_radius=use_radius)
+
+
+def _moussaid_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
+                             bx, by, cxg, cyg, r2g, ovxg, ovyg,
+                             px, py, pvx, pvy, prad,
+                             fx_ref, fy_ref, *, gs, kk, use_radius):
+    """Compacted-grid Moussaid kernel (see _exp_kernel_compact)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when(surv_ref[j, i] >= 0)
+    def _():
+        _moussaid_tilework(prm_ref, bx, by, cxg[...], cyg[...], r2g[...],
+                           ovxg[...], ovyg[...], px, py, pvx, pvy, prad,
+                           fx_ref, fy_ref, gs=gs, kk=kk,
+                           use_radius=use_radius)
 
 
 def _stage_lane(a, fill, mask, n_pad):
@@ -229,41 +296,97 @@ def _stage_seg_plane(a, fill, s_pad):
         a.astype(jnp.float32))
 
 
+def _tile_hits(bb, circ, gs, n_seg_tiles):
+    """(n_ped_tiles, n_seg_tiles) bool: does any segment's filter circle in
+    point tile i touch ped tile j's bounding box?  The jnp twin of the
+    in-kernel :func:`_tile_hit` (same padded-segment / empty-tile
+    semantics), evaluated once per step to build the compacted grid."""
+    minx, maxx, miny, maxy = bb[0], bb[1], bb[2], bb[3]      # (J,)
+    scx, scy, sr2 = circ[0], circ[1], circ[2]                # (s_pad,)
+    gx = jnp.maximum(jnp.maximum(scx[None, :] - maxx[:, None],
+                                 minx[:, None] - scx[None, :]), 0.0)
+    gy = jnp.maximum(jnp.maximum(scy[None, :] - maxy[:, None],
+                                 miny[:, None] - scy[None, :]), 0.0)
+    hit_seg = gx * gx + gy * gy <= sr2[None, :]              # (J, s_pad)
+    j = hit_seg.shape[0]
+    return hit_seg.reshape(j, n_seg_tiles, gs).any(axis=2)
+
+
+def _surv_table(hits, max_surv):
+    """Compact each ped tile's surviving point-tile indices to the front.
+
+    Returns ``(surv, fits)``: surv (J, max_surv) int32 with -1 padding,
+    fits a scalar bool -- True iff no row overflows ``max_surv`` (callers
+    cond to the dense grid otherwise, so compaction is never lossy)."""
+    counts = hits.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~hits, axis=1, stable=True).astype(jnp.int32)
+    slot = jnp.arange(max_surv, dtype=jnp.int32)
+    surv = jnp.where(slot[None, :] < counts[:, None],
+                     order[:, :max_surv], jnp.int32(-1))
+    return surv, jnp.all(counts <= max_surv)
+
+
 def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
                     ped_planes, bb, circ, *, gs, kk, tc, n_pad,
-                    use_radius, interpret):
-    """One fused kernel launch; returns (fx, fy) of shape (1, n_pad)."""
+                    use_radius, interpret, surv=None):
+    """One fused kernel launch; returns (fx, fy) of shape (1, n_pad).
+
+    ``surv=None`` runs the dense grid (every (ped-tile, point-tile) pair a
+    grid step, skipped in-kernel by the bbox/circle test); a (J, max_surv)
+    int32 ``surv`` runs the compacted grid over surviving tiles only, with
+    point/segment blocks fetched through surv-indexed index maps."""
     s_pad_k = seg_points[0].shape[0]
-    grid = (n_pad // tc, s_pad_k // (gs * kk))
 
     s_pad = circ_planes[0].shape[0]
-    pt_spec = pl.BlockSpec((gs * kk, 1), lambda j, i, *_: (i, 0),
-                           memory_space=pltpu.VMEM)
-    # segment metadata as whole arrays (a (gs, 1) block violates the TPU
-    # (8, 128) block-shape rule for gs not divisible by 8); kernels slice
-    # their gs rows with pl.ds
-    seg_spec = pl.BlockSpec((s_pad, 1), lambda j, i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
     ped_spec = pl.BlockSpec((1, tc), lambda j, i, *_: (0, j),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tc), lambda j, i, *_: (0, j),
                             memory_space=pltpu.VMEM)
 
+    if surv is None:
+        grid = (n_pad // tc, s_pad_k // (gs * kk))
+        num_prefetch = 3
+        prefetch = (prm, bb, circ)
+        pt_spec = pl.BlockSpec((gs * kk, 1), lambda j, i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
+        # segment metadata as whole arrays (a (gs, 1) block violates the
+        # TPU (8, 128) block-shape rule for gs not divisible by 8);
+        # kernels slice their gs rows with pl.ds
+        seg_spec = pl.BlockSpec((s_pad, 1), lambda j, i, *_: (0, 0),
+                                memory_space=pltpu.VMEM)
+        kern_exp, kern_mou = _exp_kernel, _moussaid_kernel
+    else:
+        grid = (n_pad // tc, surv.shape[1])
+        num_prefetch = 4
+        prefetch = (prm, bb, circ, surv)
+
+        def _surv_map(j, i, prm_r, bb_r, circ_r, surv_r):
+            # padded slots (-1) fetch tile 0; the kernel skips their compute
+            return (jnp.maximum(surv_r[j, i], 0), 0)
+
+        pt_spec = pl.BlockSpec((gs * kk, 1), _surv_map,
+                               memory_space=pltpu.VMEM)
+        # gs is rounded to a multiple of 8 in compact mode, so blocked
+        # (gs, 1) segment metadata satisfies the sublane tiling rule
+        seg_spec = pl.BlockSpec((gs, 1), _surv_map,
+                                memory_space=pltpu.VMEM)
+        kern_exp, kern_mou = _exp_kernel_compact, _moussaid_kernel_compact
+
     if kind == "exp":
-        kernel = functools.partial(_exp_kernel, gs=gs, kk=kk,
+        kernel = functools.partial(kern_exp, gs=gs, kk=kk,
                                    use_radius=use_radius)
         inputs = [*seg_points, *circ_planes, *ped_planes]
         in_specs = ([pt_spec] * 2 + [seg_spec] * 3 + [ped_spec] * 3)
         transcendentals = 2 * s_pad_k // kk * n_pad
     else:
-        kernel = functools.partial(_moussaid_kernel, gs=gs, kk=kk,
+        kernel = functools.partial(kern_mou, gs=gs, kk=kk,
                                    use_radius=use_radius)
         inputs = [*seg_points, *circ_planes, *obs_vel_planes, *ped_planes]
         in_specs = ([pt_spec] * 2 + [seg_spec] * 5 + [ped_spec] * 5)
         transcendentals = 5 * s_pad_k // kk * n_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=num_prefetch,
         grid=grid,
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
@@ -281,13 +404,14 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(prm, bb, circ, *inputs)
+    )(*prefetch, *inputs)
 
 
 def fused_environment_terms(state, scene, params, veh_snap,
                             ped_tile: int = 512, point_tile: int = 1024,
                             interpret: bool = False,
-                            spatial_order: str = "hilbert"):
+                            spatial_order: str = "hilbert",
+                            compact: bool = True, max_surv: int = 0):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back
@@ -295,6 +419,14 @@ def fused_environment_terms(state, scene, params, veh_snap,
 
     One Morton sort + staging is shared by all terms; each term unsorts only
     its final (N, 2) force vector.
+
+    ``compact``: evaluate the tile-pair hit matrix in jnp each step and
+    launch the kernel grid over only the surviving point tiles per ped tile
+    (scalar-prefetch surv-indexed blocks) -- on sparse geometries (many
+    segments, local pedestrians) this removes most grid steps.  A
+    ``lax.cond`` falls back to the dense grid whenever any ped tile has
+    more than ``max_surv`` survivors (0 = auto: ~1/3 of the point tiles,
+    min 8), so semantics are always exact.
     """
     from ..models import modes
     from ..models.vehicles import snapshot_segment_pointset
@@ -350,42 +482,70 @@ def fused_environment_terms(state, scene, params, veh_snap,
     for name, kind, sset, prm_vals, obs_vel, active, use_radius in jobs:
         s = sset.num_segments
         kk = sset.points_per_segment
-        gs = max(1, point_tile // kk)
-        s_pad = _round_up(s, gs)
+        # compact mode needs gs % 8 == 0 (blocked (gs, 1) segment metadata
+        # must satisfy the sublane tiling rule) and only pays off when the
+        # surviving-tile bound is actually below the tile count
+        gs_d = max(1, point_tile // kk)
+        gs_c = _round_up(gs_d, 8)
+        n_tiles_c = _round_up(s, gs_c) // gs_c
+        ms = max_surv if max_surv > 0 else min(
+            n_tiles_c, max(8, -(-n_tiles_c // 3)))
+        use_compact = compact and n_tiles_c > ms
 
         ptsx = sset.points[..., 0].reshape(-1)
         ptsy = sset.points[..., 1].reshape(-1)
-        bxp = jnp.full((s_pad * kk, 1), _PAD32, jnp.float32)
-        bxp = bxp.at[: s * kk, 0].set(ptsx.astype(jnp.float32))
-        byp = jnp.full((s_pad * kk, 1), _PAD32, jnp.float32)
-        byp = byp.at[: s * kk, 0].set(ptsy.astype(jnp.float32))
-
         r = jnp.maximum(sset.filter_radius, 0.0)
         r2 = r * r
         if active is not None:
             r2 = jnp.where(active, r2, -1.0)
-        cxp = _stage_seg_plane(sset.centers[:, 0], _PAD32, s_pad)
-        cyp = _stage_seg_plane(sset.centers[:, 1], _PAD32, s_pad)
-        r2p = _stage_seg_plane(r2, -1.0, s_pad)
-        circ = jnp.concatenate([cxp, cyp, r2p], axis=1).T  # (3, s_pad) SMEM
-
+        ov = None
         if kind == "moussaid":
             ov = (obs_vel if obs_vel is not None
                   else jnp.zeros((s, 2), jnp.float32))
-            ovx = _stage_seg_plane(ov[:, 0], 0.0, s_pad)
-            ovy = _stage_seg_plane(ov[:, 1], 0.0, s_pad)
-            obs_planes = [ovx, ovy]
             ped_planes = [lane(px), lane(py), lane(pvx), lane(pvy),
                           lane(prad)]
         else:
-            obs_planes = []
             ped_planes = [lane(px), lane(py), lane(prad)]
 
+        def stage(gs_):
+            """Point/segment staging for one grid granularity."""
+            s_pad_ = _round_up(s, gs_)
+            bxp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
+            bxp = bxp.at[: s * kk, 0].set(ptsx.astype(jnp.float32))
+            byp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
+            byp = byp.at[: s * kk, 0].set(ptsy.astype(jnp.float32))
+            cxp = _stage_seg_plane(sset.centers[:, 0], _PAD32, s_pad_)
+            cyp = _stage_seg_plane(sset.centers[:, 1], _PAD32, s_pad_)
+            r2p = _stage_seg_plane(r2, -1.0, s_pad_)
+            circ_ = jnp.concatenate([cxp, cyp, r2p], axis=1).T  # (3, s_pad)
+            obs_ = []
+            if kind == "moussaid":
+                obs_ = [_stage_seg_plane(ov[:, 0], 0.0, s_pad_),
+                        _stage_seg_plane(ov[:, 1], 0.0, s_pad_)]
+            return [bxp, byp], [cxp, cyp, r2p], obs_, circ_, s_pad_
+
         prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in prm_vals])
-        fx, fy = _env_force_call(
-            kind, prm, [bxp, byp], [cxp, cyp, r2p], obs_planes, ped_planes,
-            bb, circ, gs=gs, kk=kk, tc=tc, n_pad=n_pad,
-            use_radius=use_radius, interpret=interpret)
+
+        def call(gs_, staged, surv=None):
+            pts_, cpl_, obs_, circ_, _ = staged
+            return _env_force_call(
+                kind, prm, pts_, cpl_, obs_, ped_planes, bb, circ_,
+                gs=gs_, kk=kk, tc=tc, n_pad=n_pad,
+                use_radius=use_radius, interpret=interpret, surv=surv)
+
+        if use_compact:
+            staged_c = stage(gs_c)
+            hits = _tile_hits(bb, staged_c[3], gs_c, staged_c[4] // gs_c)
+            surv, fits = _surv_table(hits, ms)
+            # the overflow fallback keeps the ORIGINAL dense granularity
+            # (gs_d) -- coarse gs_c tiles skip poorly on the dense grid
+            staged_d = staged_c if gs_d == gs_c else stage(gs_d)
+            fx, fy = jax.lax.cond(
+                fits,
+                lambda: call(gs_c, staged_c, surv=surv),
+                lambda: call(gs_d, staged_d))
+        else:
+            fx, fy = call(gs_d, stage(gs_d))
 
         dtype = state.pos_x.dtype
         ux = fx[0, :n][inv].astype(dtype)

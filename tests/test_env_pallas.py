@@ -225,3 +225,105 @@ def test_fused_rollout_matches_jnp_rollout():
                                np.asarray(f_ref.pos), rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(rec_fused.alive),
                                   np.asarray(rec_ref.alive))
+
+
+def _grid_borders(n_rows=3, n_sections=40, section_m=10.0):
+    """Many short wall sections (rows far apart) -- enough point tiles for
+    the compacted grid to engage."""
+    lines, centers, lengths = [], [], []
+    for y in np.linspace(-200.0, 200.0, n_rows):
+        for k in range(n_sections):
+            x0 = -200.0 + k * section_m
+            xs = np.arange(x0, x0 + section_m, 0.1)
+            lines.append(np.column_stack([xs, np.full(len(xs), y)]))
+            centers.append(lines[-1][len(xs) // 2])
+            lengths.append(12.0)
+    return build_border_set(lines, centers, lengths)
+
+
+def _clustered_state(n=97):
+    """Pedestrians clustered near the middle wall row, in small groups so
+    each 128-ped tile hits only a few point tiles."""
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(np.column_stack([rng.uniform(-30, 30, n),
+                                       rng.uniform(-6, 6, n)]), jnp.float32)
+    st = PedState.empty(n)
+    return st.replace_coords(
+        pos=pos, vel=jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32),
+        radius=jnp.full((n,), 0.3, jnp.float32),
+        alive=jnp.asarray(rng.uniform(size=n) > 0.1),
+        mode=jnp.full((n,), modes.WALKING_SIDEWALK, jnp.int32))
+
+
+def test_compact_grid_matches_dense():
+    """The compacted surv-indexed grid equals the dense grid bitwise (same
+    ascending accumulation order), and the auto gate actually engages the
+    compact branch on this geometry."""
+    from carla_social_force_model_tpu.ops.pallas_env import (_surv_table,
+                                                             _tile_hits)
+    borders = _grid_borders()
+    scene = prepare_scene(Scene(spawn=None, borders=borders))
+    assert scene.borders_seg is not None
+    seg = scene.borders_seg
+    # the auto gate engages: >8 point tiles at gs=8 (120 segments)
+    n_tiles = -(-seg.num_segments // 8)
+    assert n_tiles > 8
+    state = _clustered_state()
+    params = SfmParams(enable_border=True)
+
+    dense = fused_environment_terms(state, scene, params, None,
+                                    ped_tile=128, interpret=True,
+                                    compact=False)
+    comp = fused_environment_terms(state, scene, params, None,
+                                   ped_tile=128, interpret=True,
+                                   compact=True)
+    np.testing.assert_array_equal(np.asarray(comp["border_force"][0]),
+                                  np.asarray(dense["border_force"][0]))
+    np.testing.assert_array_equal(np.asarray(comp["border_force"][1]),
+                                  np.asarray(dense["border_force"][1]))
+    # and the force is actually nonzero (peds sit next to the middle row)
+    assert np.abs(np.asarray(dense["border_force"][1])).max() > 0.0
+
+    # sanity: on this layout no ped tile overflows the auto max_surv, so
+    # the compact branch (not the cond fallback) produced the result
+    from carla_social_force_model_tpu.ops.spatial import (morton_sort,
+                                                          tile_bboxes)
+    from carla_social_force_model_tpu.ops.pallas_env import (_stage_lane,
+                                                             _stage_seg_plane)
+    (spx, spy, salive), _ = morton_sort(
+        (state.pos_x, state.pos_y), state.alive,
+        (state.pos_x, state.pos_y, state.alive), order="hilbert")
+    n_pad = 128
+    px = _stage_lane(spx, 1e8, salive, n_pad)
+    py = _stage_lane(spy, 1e8, salive, n_pad)
+    alive_pad = jnp.zeros((n_pad,), bool).at[:97].set(salive)
+    bb = tile_bboxes(px, py, alive_pad, 128).T
+    s_pad = -(-seg.num_segments // 8) * 8
+    circ = jnp.concatenate(
+        [_stage_seg_plane(seg.centers[:, 0], 1e8, s_pad),
+         _stage_seg_plane(seg.centers[:, 1], 1e8, s_pad),
+         _stage_seg_plane(jnp.maximum(seg.filter_radius, 0.0) ** 2,
+                          -1.0, s_pad)], axis=1).T
+    hits = _tile_hits(bb, circ, 8, s_pad // 8)
+    ms = min(s_pad // 8, max(8, -(-(s_pad // 8) // 3)))
+    _, fits = _surv_table(hits, ms)
+    assert bool(fits), "expected the compact branch to run (no overflow)"
+
+
+def test_compact_overflow_falls_back_dense():
+    """max_surv too small for the geometry -> the lax.cond picks the dense
+    grid and the result is still exact."""
+    borders = _grid_borders()
+    scene = prepare_scene(Scene(spawn=None, borders=borders))
+    state = _clustered_state()
+    params = SfmParams(enable_border=True)
+    dense = fused_environment_terms(state, scene, params, None,
+                                    ped_tile=128, interpret=True,
+                                    compact=False)
+    comp = fused_environment_terms(state, scene, params, None,
+                                   ped_tile=128, interpret=True,
+                                   compact=True, max_surv=1)
+    np.testing.assert_array_equal(np.asarray(comp["border_force"][0]),
+                                  np.asarray(dense["border_force"][0]))
+    np.testing.assert_array_equal(np.asarray(comp["border_force"][1]),
+                                  np.asarray(dense["border_force"][1]))
