@@ -199,6 +199,47 @@ def test_sharded_pallas_cutoff_ring_rollout():
                                np.asarray(recs_p.pos)[:, :n], atol=5e-5)
 
 
+def test_sharded_env_compact_rollout_matches_single_device():
+    """The compacted env-kernel grid composes with agent-sharding: each
+    shard builds its local hit matrix / surv table (row-local force, no
+    collectives), and the overflow cond stays shard-local."""
+    import dataclasses
+    from carla_social_force_model_tpu.env.borders import build_border_set
+    n, steps = 48, 12
+    scene, params, cfg, state = benchmark_bundle(n, extent=15.0,
+                                                 with_borders=True)
+    # many short wall sections (90 -> 12 point tiles at gs=8) so the
+    # compaction auto-gate engages; rows at y=+-12 sit inside the crowd
+    lines, centers, lengths = [], [], []
+    for y in (-12.0, 12.0, 40.0):
+        for k in range(30):
+            x0 = -150.0 + k * 10.0
+            xs = np.arange(x0, x0 + 10.0, 0.5)
+            lines.append(np.column_stack([xs, np.full(len(xs), y)]))
+            centers.append(lines[-1][len(xs) // 2])
+            lengths.append(12.0)
+    scene = dataclasses.replace(scene,
+                                borders=build_border_set(lines, centers,
+                                                         lengths))
+    cfg_p = dataclasses.replace(
+        cfg, use_pallas=True, pallas_row_tile=8, pallas_col_tile=128,
+        pallas_interpret=True, env_ped_tile=128, env_compact=True)
+
+    run_single = make_rollout_fn(scene, params, cfg_p, steps, record=True)
+    _, recs_s = run_single(state)
+
+    mesh = make_mesh(n_agent_shards=8)
+    scene_p, cap = prepare_sharded_scene(scene, 8)
+    run_sharded = make_sharded_rollout(mesh, scene_p, params, cfg_p,
+                                       steps, record=True)
+    _, recs_p = run_sharded(PedState.empty(cap))
+
+    np.testing.assert_array_equal(np.asarray(recs_s.alive),
+                                  np.asarray(recs_p.alive)[:, :n])
+    np.testing.assert_allclose(np.asarray(recs_s.pos),
+                               np.asarray(recs_p.pos)[:, :n], atol=5e-5)
+
+
 def test_multichip_scaling_example_runs():
     """Run in a clean subprocess (real CLI usage; in-process reuse after
     mixed-mesh tests trips a jax-internal sharding-cache assert)."""
