@@ -40,6 +40,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", 100))
 #: optional interaction cutoff in meters (see BENCH.md; >= the f32-exact
 #: threshold it is NOT an approximation); unset/empty = exact all-pairs
 CUTOFF = os.environ.get("BENCH_CUTOFF", "")
+#: "1" = compacted pairwise-kernel grid (needs BENCH_CUTOFF; exact — see
+#: StepConfig.pallas_compact / BENCH.md); optional "1:<max_surv>"
+COMPACT = os.environ.get("BENCH_COMPACT", "")
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
@@ -65,6 +68,10 @@ def run_rollout_mode():
             with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
+    if COMPACT:
+        ms = int(COMPACT.split(":")[1]) if ":" in COMPACT else 0
+        cfg = dataclasses.replace(cfg, pallas_compact=True,
+                                  pallas_max_surv=ms)
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def once(s):

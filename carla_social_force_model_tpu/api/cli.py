@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-compact", action="store_true", default=None,
                    help="compacted env-kernel grid (best for sparse street-"
                         "network borders, see BENCH.md)")
+    p.add_argument("--pallas-compact", action="store_true", default=None,
+                   help="compacted pairwise-kernel grid (requires --cutoff; "
+                        "best at large N, see BENCH.md)")
     p.add_argument("--stream", action="store_true",
                    help="stream records to CSV in chunks (bounded memory "
                         "for long rollouts; implies --csv)")
@@ -105,7 +108,8 @@ def main(argv=None) -> int:
                 "pallas_exact_div": args.exact_div,
                 "pallas_vmem_mb": args.vmem_mb,
                 "spatial_order": args.spatial_order,
-                "env_compact": args.env_compact})
+                "env_compact": args.env_compact,
+                "pallas_compact": args.pallas_compact})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -132,6 +132,16 @@ class StepConfig:
     # device sorts its local shard and the per-pair cutoff keeps the sum
     # exact; pair it with axis_comm="ring" for O(N/devices) peak memory.
     interaction_cutoff: float | None = static_field(default=None)
+    # compacted pairwise-kernel grid (requires interaction_cutoff): build
+    # the (row-tile, col-tile) bbox hit matrix in jnp each step and launch
+    # only surviving column tiles per row tile through a scalar-prefetch
+    # survivor table (ops/pallas_forces.py), with a lax.cond dense-grid
+    # fallback on overflow (pallas_max_surv survivors per row tile,
+    # 0 = auto) -- always exact, bitwise equal to the dense grid.  Pays off
+    # at large N where the dense grid is mostly dead iterations (BENCH.md);
+    # ignored on the ring comm paths (their grid is already shard-sized).
+    pallas_compact: bool = static_field(default=False)
+    pallas_max_surv: int = static_field(default=0)
     # space-filling curve for the cutoff sort: "hilbert" (default; no
     # Z-jumps, so tile bounding boxes are tighter -> more skipped tile
     # pairs: -13%/-18%/-18% kernel time at N=10k/50k/100k with the 30 m
@@ -237,7 +247,9 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                     use_ped_radius=params.use_ped_radius,
                     axis_name=axis_name,
                     axis_comm=cfg.axis_comm if axis_name else "gather",
-                    spatial_order=cfg.spatial_order, **tiles)
+                    spatial_order=cfg.spatial_order,
+                    compact=cfg.pallas_compact,
+                    max_surv=cfg.pallas_max_surv, **tiles)
             else:
                 terms["pedestrian_force"] = pedestrian_force_pallas(
                     (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),

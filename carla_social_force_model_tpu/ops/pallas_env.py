@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_forces import _atan2, _SENTINEL, _TINY
-from .spatial import morton_sort, tile_bboxes
+from .spatial import morton_sort, surv_table, tile_bboxes
 from ..env.pointsets import PAD_COORD
 
 #: squared-distance threshold separating real closest points from padding
@@ -312,18 +312,8 @@ def _tile_hits(bb, circ, gs, n_seg_tiles):
     return hit_seg.reshape(j, n_seg_tiles, gs).any(axis=2)
 
 
-def _surv_table(hits, max_surv):
-    """Compact each ped tile's surviving point-tile indices to the front.
-
-    Returns ``(surv, fits)``: surv (J, max_surv) int32 with -1 padding,
-    fits a scalar bool -- True iff no row overflows ``max_surv`` (callers
-    cond to the dense grid otherwise, so compaction is never lossy)."""
-    counts = hits.sum(axis=1).astype(jnp.int32)
-    order = jnp.argsort(~hits, axis=1, stable=True).astype(jnp.int32)
-    slot = jnp.arange(max_surv, dtype=jnp.int32)
-    surv = jnp.where(slot[None, :] < counts[:, None],
-                     order[:, :max_surv], jnp.int32(-1))
-    return surv, jnp.all(counts <= max_surv)
+# shared with the pairwise kernel's compacted grid (ops/spatial.surv_table)
+_surv_table = surv_table
 
 
 def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,

@@ -131,6 +131,53 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                    cutoff=cutoff, exact_div=exact_div)
 
 
+def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
+                         px_r, py_r, vx_r, vy_r, rad_r,
+                         px_c, py_c, vx_c, vy_c, rad_c,
+                         fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
+                         exact_div):
+    """Compacted-grid pair kernel: grid slot (i, j) computes row tile i
+    against its j-th SURVIVING column tile (``surv_ref[i, j]``, built per
+    step by :func:`_bbox_hits` + ``spatial.surv_table``; -1 pads rows with
+    fewer survivors).  Column blocks arrive through a surv-indexed index
+    map, so skipped tiles are never fetched; the per-pair cutoff inside
+    :func:`_pair_tile` keeps the semantics exact regardless of the table."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
+    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+
+    @pl.when(surv_ref[i, j] >= 0)
+    def _compute():
+        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+                   fx_ref, fy_ref,
+                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
+                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
+                   cutoff=cutoff, exact_div=exact_div)
+
+
+def _bbox_hits(row_bb, col_bb, cutoff: float):
+    """(R, C) bool: is the gap between row tile i's and column tile j's
+    bounding boxes within the cutoff?  The jnp twin of the in-kernel test
+    in :func:`_pair_kernel` (same transposed (4, n_tiles) box layout and
+    empty-tile semantics: inverted infinite boxes never hit), evaluated
+    once per step to build the compacted grid."""
+    gx = jnp.maximum(jnp.maximum(col_bb[0][None, :] - row_bb[1][:, None],
+                                 row_bb[0][:, None] - col_bb[1][None, :]),
+                     0.0)
+    gy = jnp.maximum(jnp.maximum(col_bb[2][None, :] - row_bb[3][:, None],
+                                 row_bb[2][:, None] - col_bb[3][None, :]),
+                     0.0)
+    return gx * gx + gy * gy <= cutoff * cutoff
+
+
 def _pair_tile(xi, yi, vxi, vyi, rad_r,
                xj, yj, vxj, vyj, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
@@ -210,7 +257,9 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             axis_comm: str = "gather",
                             planar_out: bool = False,
                             exact_div: bool = False,
-                            vmem_mb: int = 32):
+                            vmem_mb: int = 32,
+                            compact: bool = False,
+                            max_surv: int = 0):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
@@ -235,6 +284,17 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     interaction range (error per skipped pair <= A*exp(-cutoff/B_max)).
     Under sharding, per-tile bounding boxes ride around the ring with their
     blocks, so spatially distant shard pairs skip all their tiles.
+
+    ``compact`` (requires a cutoff): evaluate the tile-pair bbox hit matrix
+    in jnp each step and launch the kernel grid over only the surviving
+    column tiles per row tile (a scalar-prefetch survivor table drives the
+    column index map), with a ``lax.cond`` dense-grid fallback whenever any
+    row tile exceeds ``max_surv`` survivors (0 = auto) -- semantics are
+    always exact and results match the dense grid bitwise (same ascending
+    accumulation order).  Pays off when most tile pairs are beyond the
+    cutoff (large N / large worlds); applies to the single-device and
+    ``"gather"`` paths (the ring paths rotate column blocks, so their grid
+    is already shard-sized).
 
     Dead/padded agents are staged at a far sentinel so their interactions
     underflow to zero with no per-pair masking; positions must stay below
@@ -298,8 +358,28 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         n_cols = _round_up(max(n_c, tc), tc)
         col_1d = _stage(px_c, py_c, vx_c, vy_c, rad_c, alive_c, n_cols)
         col_bb = _bboxes(col_1d, alive_c, n_c, tc)
-        fx, fy = call(row_args, row_bb,
-                      [c.reshape(1, n_cols) for c in col_1d], col_bb)
+        col_args = [c.reshape(1, n_cols) for c in col_1d]
+
+        n_c_tiles = n_cols // tc
+        ms = max_surv if max_surv > 0 else min(n_c_tiles,
+                                               max(32, n_c_tiles // 16))
+        if compact and cutoff is not None and n_c_tiles > ms:
+            # compacted grid: build the tile-pair hit matrix in jnp each
+            # step and launch only surviving column tiles per row tile --
+            # at large N the dense grid is mostly dead iterations (N=1M at
+            # 192x512 tiles is ~10M grid steps for ~0.1% ideal survivors).
+            # Exact: a lax.cond falls back to the dense grid whenever any
+            # row tile overflows ms survivors, and the per-pair cutoff
+            # keeps the force independent of the table either way.
+            from .spatial import surv_table
+            hits = _bbox_hits(row_bb, col_bb, float(cutoff))
+            surv, fits = surv_table(hits, ms)
+            fx, fy = jax.lax.cond(
+                fits,
+                lambda: call(row_args, row_bb, col_args, col_bb, surv=surv),
+                lambda: call(row_args, row_bb, col_args, col_bb))
+        else:
+            fx, fy = call(row_args, row_bb, col_args, col_bb)
 
     if planar_out:
         return fx[:n, 0].astype(px.dtype), fy[:n, 0].astype(py.dtype)
@@ -336,28 +416,51 @@ def _params_vec(p) -> jnp.ndarray:
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
                prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
-               vmem_mb=32):
-    """One kernel launch over a (n_rows x n_cols) slab of staged state."""
+               vmem_mb=32, surv=None):
+    """One kernel launch over a (n_rows x n_cols) slab of staged state.
+
+    ``surv=None`` runs the dense grid (every (row-tile, col-tile) pair a
+    grid step, skipped in-kernel by the bbox test when a cutoff is set); a
+    (n_row_tiles, max_surv) int32 ``surv`` runs the compacted grid over
+    surviving column tiles only, fetched through surv-indexed index maps."""
     n_rows = row_args[0].shape[0]
     n_cols = col_args[0].shape[1]
-    grid = (n_rows // tr, n_cols // tc)
 
     # index maps receive (i, j, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec -- swallow the scalar refs
     row_spec = pl.BlockSpec((tr, 1), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
-                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tr, 1), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    if surv is None:
+        grid = (n_rows // tr, n_cols // tc)
+        num_prefetch = 3
+        prefetch = (prm, row_bb, col_bb)
+        col_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
+                                memory_space=pltpu.VMEM)
+        kern = _pair_kernel
+    else:
+        grid = (n_rows // tr, surv.shape[1])
+        num_prefetch = 4
+        prefetch = (prm, row_bb, col_bb, surv)
+
+        def _surv_map(i, j, prm_r, rbb_r, cbb_r, surv_r):
+            # padded slots (-1) fetch tile 0; the kernel skips their compute
+            # (and consecutive equal blocks are not re-fetched)
+            return (0, jnp.maximum(surv_r[i, j], 0))
+
+        col_spec = pl.BlockSpec((1, tc), _surv_map,
+                                memory_space=pltpu.VMEM)
+        kern = _pair_kernel_compact
+
     kernel = functools.partial(
-        _pair_kernel, use_radius=use_radius, tr=tr, tc=tc,
+        kern, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None,
         exact_div=exact_div)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=num_prefetch,
         grid=grid,
         in_specs=[row_spec] * 5 + [col_spec] * 5,
         out_specs=(out_spec, out_spec),
@@ -368,16 +471,17 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
         out_shape=(jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n_rows, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=int(40 * n_rows * n_cols),
-            bytes_accessed=int(4 * 8 * (n_rows * grid[1] + n_cols * grid[0])),
-            transcendentals=int(5 * n_rows * n_cols)),
+            flops=int(40 * n_rows * grid[1] * tc),
+            bytes_accessed=int(4 * 8 * (n_rows * grid[1]
+                                        + grid[1] * tc * grid[0])),
+            transcendentals=int(5 * n_rows * grid[1] * tc)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) * 1024 * 1024,
             # row tiles are independent; only the column dimension revisits
             # the output block (accumulation), so it must stay "arbitrary"
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(prm, row_bb, col_bb, *row_args, *col_args)
+    )(*prefetch, *row_args, *col_args)
 
 
 def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
@@ -390,7 +494,9 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    planar_out: bool = False,
                                    exact_div: bool = False,
                                    vmem_mb: int = 32,
-                                   spatial_order: str = "hilbert"):
+                                   spatial_order: str = "hilbert",
+                                   compact: bool = False,
+                                   max_surv: int = 0):
     """Locality-sorted cutoff kernel: sort agents along a space-filling
     curve so kernel tiles are spatially tight, run the cutoff kernel,
     scatter the forces back to the original slot order.  The result equals
@@ -415,7 +521,7 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
         axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
-        vmem_mb=vmem_mb)
+        vmem_mb=vmem_mb, compact=compact, max_surv=max_surv)
     if planar_out:
         fx, fy = force
         return fx[inv], fy[inv]

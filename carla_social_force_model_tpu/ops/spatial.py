@@ -109,6 +109,25 @@ def morton_sort(pos, alive, arrays, order: str = "morton"):
     return out[2:], inv
 
 
+def surv_table(hits, max_surv: int):
+    """Compact each row's surviving column-tile indices to the front.
+
+    ``hits``: (R, C) bool tile-pair hit matrix.  Returns ``(surv, fits)``:
+    ``surv`` (R, max_surv) int32 of ascending surviving column indices with
+    -1 padding, ``fits`` a scalar bool -- True iff no row overflows
+    ``max_surv`` (callers ``lax.cond`` to their dense grid otherwise, so
+    compaction is never lossy).  The ascending order makes a compacted
+    kernel's accumulation order identical to the dense grid's, so results
+    match bitwise.
+    """
+    counts = hits.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~hits, axis=1, stable=True).astype(jnp.int32)
+    slot = jnp.arange(max_surv, dtype=jnp.int32)
+    surv = jnp.where(slot[None, :] < counts[:, None],
+                     order[:, :max_surv], jnp.int32(-1))
+    return surv, jnp.all(counts <= max_surv)
+
+
 def tile_bboxes(x, y, alive, tile: int):
     """Per-tile bounding boxes of alive agents.
 

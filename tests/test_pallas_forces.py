@@ -406,3 +406,113 @@ def test_in_kernel_ring_matches_jnp_ring_sorted():
 
     np.testing.assert_allclose(run("ring_kernel"), run("ring"),
                                rtol=2e-5, atol=2e-5)
+
+
+def _clustered_cloud(n=600, n_clusters=3, spread=200.0, seed=21):
+    """Spatially clustered agents: after the locality sort, each row tile's
+    30 m neighborhood covers only its own cluster's column tiles, so the
+    compacted grid engages with a small survivor bound."""
+    rng = np.random.default_rng(seed)
+    centers = np.arange(n_clusters) * spread
+    cx = centers[rng.integers(0, n_clusters, n)]
+    pos = np.column_stack([cx + rng.uniform(-8, 8, n),
+                           rng.uniform(-8, 8, n)])
+    return (jnp.asarray(pos, jnp.float32),
+            jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32),
+            jnp.full((n,), 0.3, jnp.float32),
+            jnp.asarray(rng.uniform(size=n) < 0.9))
+
+
+def test_pairwise_compact_matches_dense_bitwise():
+    """The compacted pairwise grid equals the dense cutoff grid BITWISE
+    (same ascending accumulation order over the same surviving tiles), and
+    the survivor table actually fits (the compact branch, not the cond
+    fallback, produced the result)."""
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        _bbox_hits, _bboxes, _stage, _round_up, pedestrian_force_pallas_sorted)
+    from carla_social_force_model_tpu.ops.spatial import morton_sort, surv_table
+
+    pos, vel, radius, alive = _clustered_cloud(n=1280, n_clusters=5,
+                                               spread=300.0)
+    p = MoussaidParams()
+
+    # replicate the kernel's staging (hilbert sort, sentinel padding) to
+    # size max_surv at the geometry's TRUE per-row survivor bound: the
+    # compact branch -- not the cond fallback -- then provably produced
+    # the result, and the gate (n_col_tiles > max_surv) provably engaged
+    from carla_social_force_model_tpu.ops.vecmath import split_xy
+    px, py = split_xy(pos)
+    (spx, spy, salive), _ = morton_sort((px, py), alive, (px, py, alive),
+                                        order="hilbert")
+    n = int(px.shape[0])
+    n_rows = _round_up(n, 8)
+    n_cols = _round_up(n, 128)
+    row_1d = _stage(spx, spy, spx * 0, spy * 0, radius, salive, n_rows)
+    col_1d = _stage(spx, spy, spx * 0, spy * 0, radius, salive, n_cols)
+    hits = _bbox_hits(_bboxes(row_1d, salive, n, 8),
+                      _bboxes(col_1d, salive, n, 128), 30.0)
+    ms = int(hits.sum(axis=1).max())
+    assert ms < int(hits.shape[1]), "gate needs n_col_tiles > max_surv"
+    _, fits = surv_table(hits, ms)
+    assert bool(fits)
+
+    kw = dict(cutoff=30.0, row_tile=8, col_tile=128, interpret=True)
+    dense = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p, **kw)
+    comp = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p,
+                                          compact=True, max_surv=ms, **kw)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(dense))
+    assert np.abs(np.asarray(dense)).max() > 0.0
+
+
+def test_pairwise_compact_overflow_falls_back_dense():
+    """max_surv too small for the geometry -> the lax.cond picks the dense
+    grid and the result is still exact."""
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+    pos, vel, radius, alive = _clustered_cloud(n=400, n_clusters=1)
+    p = MoussaidParams()
+    kw = dict(cutoff=30.0, row_tile=8, col_tile=128, interpret=True)
+    dense = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p, **kw)
+    comp = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p,
+                                          compact=True, max_surv=1, **kw)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(dense))
+
+
+def test_pairwise_compact_under_sharding_gather():
+    """Compacted grid per device (rows sharded, columns gathered) matches
+    the single-device cutoff kernel.
+
+    One spatial cluster per device slot-range: the gathered column blocks
+    (each device's locally sorted shard) then tile into cluster-tight
+    bboxes, so each row tile survives against ~1 of the 8 column tiles and
+    the max_surv=2 table fits -- the compact branch, not the fallback, is
+    exercised."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+
+    rng = np.random.default_rng(23)
+    n = 8 * 128
+    cx = (np.arange(n) // 128) * 200.0
+    pos = jnp.asarray(np.column_stack([cx + rng.uniform(-8, 8, n),
+                                       rng.uniform(-8, 8, n)]), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    want = pedestrian_force_pallas_sorted(
+        pos, vel, radius, alive, p, cutoff=30.0, row_tile=8, col_tile=128,
+        interpret=True)
+    mesh = make_mesh(n_agent_shards=8)
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas_sorted(
+            *a, p, cutoff=30.0, row_tile=8, col_tile=128, interpret=True,
+            axis_name="agents", axis_comm="gather", compact=True,
+            max_surv=2),
+        mesh=mesh, in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+        check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
