@@ -40,9 +40,14 @@ STEPS = int(os.environ.get("BENCH_STEPS", 100))
 #: optional interaction cutoff in meters (see BENCH.md; >= the f32-exact
 #: threshold it is NOT an approximation); unset/empty = exact all-pairs
 CUTOFF = os.environ.get("BENCH_CUTOFF", "")
-#: "1" = compacted pairwise-kernel grid (needs BENCH_CUTOFF; exact — see
-#: StepConfig.pallas_compact / BENCH.md); optional "1:<max_surv>"
+#: compacted pairwise-kernel grid (takes effect with BENCH_CUTOFF; exact —
+#: see StepConfig.pallas_compact / BENCH.md).  Default ON via StepConfig;
+#: "0" disables, "1" forces, optional "1:<max_surv>"
 COMPACT = os.environ.get("BENCH_COMPACT", "")
+#: pairwise-kernel tiles as "<row>x<col>" (default: StepConfig's 192x512;
+#: very large N wants bigger tiles so the compact survivor table stays
+#: SMEM-sized, see BENCH.md)
+TILES = os.environ.get("BENCH_TILES", "")
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
@@ -70,8 +75,12 @@ def run_rollout_mode():
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     if COMPACT:
         ms = int(COMPACT.split(":")[1]) if ":" in COMPACT else 0
-        cfg = dataclasses.replace(cfg, pallas_compact=True,
+        cfg = dataclasses.replace(cfg, pallas_compact=COMPACT != "0",
                                   pallas_max_surv=ms)
+    if TILES:
+        tr, tc = (int(v) for v in TILES.split("x"))
+        cfg = dataclasses.replace(cfg, pallas_row_tile=tr,
+                                  pallas_col_tile=tc)
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def once(s):

@@ -54,9 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-compact", action="store_true", default=None,
                    help="compacted env-kernel grid (best for sparse street-"
                         "network borders, see BENCH.md)")
-    p.add_argument("--pallas-compact", action="store_true", default=None,
-                   help="compacted pairwise-kernel grid (requires --cutoff; "
-                        "best at large N, see BENCH.md)")
+    p.add_argument("--pallas-compact", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="compacted pairwise-kernel grid (takes effect with "
+                        "--cutoff; default on -- auto-engages above ~33k "
+                        "agents, making the cutoff kernel O(N) at fixed "
+                        "density, see BENCH.md)")
     p.add_argument("--stream", action="store_true",
                    help="stream records to CSV in chunks (bounded memory "
                         "for long rollouts; implies --csv)")

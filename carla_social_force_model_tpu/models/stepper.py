@@ -132,15 +132,20 @@ class StepConfig:
     # device sorts its local shard and the per-pair cutoff keeps the sum
     # exact; pair it with axis_comm="ring" for O(N/devices) peak memory.
     interaction_cutoff: float | None = static_field(default=None)
-    # compacted pairwise-kernel grid (requires interaction_cutoff): build
-    # the (row-tile, col-tile) bbox hit matrix in jnp each step and launch
-    # only surviving column tiles per row tile through a scalar-prefetch
-    # survivor table (ops/pallas_forces.py), with a lax.cond dense-grid
-    # fallback on overflow (pallas_max_surv survivors per row tile,
-    # 0 = auto) -- always exact, bitwise equal to the dense grid.  Pays off
-    # at large N where the dense grid is mostly dead iterations (BENCH.md);
-    # ignored on the ring comm paths (their grid is already shard-sized).
-    pallas_compact: bool = static_field(default=False)
+    # compacted pairwise-kernel grid (takes effect with interaction_cutoff):
+    # build the (row-tile, col-tile) bbox hit matrix in jnp each step and
+    # launch only surviving column tiles per row tile through a
+    # scalar-prefetch survivor table (ops/pallas_forces.py), with a
+    # lax.cond dense-grid fallback on overflow (pallas_max_surv survivors
+    # per row tile, 0 = auto: 32) -- always exact, bitwise equal to the
+    # dense grid.  DEFAULT ON: with the auto bound it engages only above
+    # 64 column tiles (~33k agents at the default 512 col tile, where the
+    # dense grid is mostly dead iterations) and makes the cutoff kernel
+    # O(N) at fixed density -- 5.4-5.7M agent-steps/s flat from N=50k to
+    # N=1M vs the dense grid's 4.4M/3.7M/0.8M (BENCH.md); an explicit
+    # pallas_max_surv engages whenever n_col_tiles exceeds it.  Ignored on
+    # the ring comm paths (their per-block grid is already shard-sized).
+    pallas_compact: bool = static_field(default=True)
     pallas_max_surv: int = static_field(default=0)
     # space-filling curve for the cutoff sort: "hilbert" (default; no
     # Z-jumps, so tile bounding boxes are tighter -> more skipped tile

@@ -153,7 +153,11 @@ def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
     lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
     n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
 
-    @pl.when(surv_ref[i, j] >= 0)
+    # the table rides transposed, (max_surv, n_row_tiles): SMEM pads the
+    # minor dim to 128 lanes just like VMEM, and n_row_tiles is the large
+    # dimension (a (n_row_tiles, max_surv) table at N=1M is ~1 MB of
+    # padding -- the whole v5e SMEM)
+    @pl.when(surv_ref[j, i] >= 0)
     def _compute():
         _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
                    px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
@@ -361,9 +365,26 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         col_args = [c.reshape(1, n_cols) for c in col_1d]
 
         n_c_tiles = n_cols // tc
-        ms = max_surv if max_surv > 0 else min(n_c_tiles,
-                                               max(32, n_c_tiles // 16))
-        if compact and cutoff is not None and n_c_tiles > ms:
+        if max_surv > 0:
+            # explicit bound: trust the caller, engage whenever compaction
+            # is geometrically possible
+            ms = max_surv
+            engage = n_c_tiles > ms
+        else:
+            # auto survivor bound: at uniform crowd density the per-row-
+            # tile survivor count is nearly N-independent (geometry: a
+            # cutoff-wide band around the row tile's Hilbert patch) --
+            # measured 8-15 at 0.4 peds/m^2 with a 30 m cutoff from N=50k
+            # to N=1M (BENCH.md), so a flat bound suffices; the dense
+            # fallback catches denser crowds, and the (ms, n_row_tiles)
+            # table must stay SMEM-sized (32 * (1e6/192) * 4 B = 667 KB of
+            # the 1 MB v5e SMEM at N=1M).  The 64-tile floor keeps the
+            # default off where the per-step hit-matrix/compaction cost
+            # outruns the grid saving: measured -8% at N=20k (40 tiles)
+            # vs +26%/+51%/7x at N=50k/100k/1M (98/196/1954 tiles).
+            ms = min(n_c_tiles, 32)
+            engage = n_c_tiles > max(2 * ms, 64)
+        if compact and cutoff is not None and engage:
             # compacted grid: build the tile-pair hit matrix in jnp each
             # step and launch only surviving column tiles per row tile --
             # at large N the dense grid is mostly dead iterations (N=1M at
@@ -374,9 +395,11 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             from .spatial import surv_table
             hits = _bbox_hits(row_bb, col_bb, float(cutoff))
             surv, fits = surv_table(hits, ms)
+            surv_t = surv.T  # (ms, n_row_tiles): SMEM minor-dim padding
             fx, fy = jax.lax.cond(
                 fits,
-                lambda: call(row_args, row_bb, col_args, col_bb, surv=surv),
+                lambda: call(row_args, row_bb, col_args, col_bb,
+                             surv=surv_t),
                 lambda: call(row_args, row_bb, col_args, col_bb))
         else:
             fx, fy = call(row_args, row_bb, col_args, col_bb)
@@ -441,14 +464,16 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
                                 memory_space=pltpu.VMEM)
         kern = _pair_kernel
     else:
-        grid = (n_rows // tr, surv.shape[1])
+        # surv arrives transposed, (max_surv, n_row_tiles) -- see
+        # _pair_kernel_compact's SMEM layout note
+        grid = (n_rows // tr, surv.shape[0])
         num_prefetch = 4
         prefetch = (prm, row_bb, col_bb, surv)
 
         def _surv_map(i, j, prm_r, rbb_r, cbb_r, surv_r):
             # padded slots (-1) fetch tile 0; the kernel skips their compute
             # (and consecutive equal blocks are not re-fetched)
-            return (0, jnp.maximum(surv_r[i, j], 0))
+            return (0, jnp.maximum(surv_r[j, i], 0))
 
         col_spec = pl.BlockSpec((1, tc), _surv_map,
                                 memory_space=pltpu.VMEM)
