@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="npz", help="snapshot format (resume reads both)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest checkpoint in --checkpoint-dir")
+    p.add_argument("--platform", type=str, default=None, metavar="NAME",
+                   help="JAX platform override (e.g. 'cpu'). Also re-applies "
+                        "the JAX_PLATFORMS env var when a site config has "
+                        "force-set jax_platforms (which beats the env var)")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -93,6 +97,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(format="%(levelname)s: %(message)s",
                         level=logging.DEBUG if args.debug else logging.INFO)
+
+    import os
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
+        # a sitecustomize may force jax_platforms via jax.config, which
+        # silently beats the env var — re-apply before any backend inits
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     sfm_config = args.sfm_config if args.sfm_config else dict(DEFAULT_SFM_CONFIG)
 

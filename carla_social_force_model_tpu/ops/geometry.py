@@ -14,13 +14,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..env.pointsets import PAD_COORD, ChunkedPointSet
 
 _INF = jnp.inf
-_BIG_I32 = jnp.int32(2**31 - 1)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize the
+# device backend at import time, before a CLI --platform override can apply
+_BIG_I32 = np.int32(2**31 - 1)
 _PAD = float(PAD_COORD)
 #: squared-distance threshold separating real hits from padding sentinels
 _PAD_DIST2 = 1e13

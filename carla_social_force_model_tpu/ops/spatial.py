@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_MAX_KEY = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize the
+# device backend at import time, before a CLI --platform override can apply
+_MAX_KEY = np.uint32(0xFFFFFFFF)
 
 
 def _part1by1(x):

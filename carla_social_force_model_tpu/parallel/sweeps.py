@@ -109,6 +109,91 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     return run
 
 
+def make_sharded_ensemble_rollout(mesh, scene_batch: Scene, params: SfmParams,
+                                  cfg: StepConfig, num_steps: int,
+                                  record: bool = False):
+    """Composed 2D parallelism over a ``(batch, agents)`` mesh.
+
+    Independent rollouts are data-parallel over the ``batch`` axis while each
+    rollout's pedestrian slots shard over the ``agents`` axis — the dp x tp
+    composition: B rollouts of N agents run on B_shards x A_shards devices,
+    and the N x N force's collectives (gather or ppermute ring, per
+    ``cfg.axis_comm``) are scoped to the ``agents`` axis so they never cross
+    batch rows.  Geometry is replicated; only spawn schedules carry the
+    batch dimension (``scene_batch.spawn`` leaves lead with B).
+
+    B must divide evenly over the mesh's batch axis; slot capacity is padded
+    to a multiple of the agents axis (padding slots never spawn).
+    """
+    from ..models.stepper import prepare_scene
+    from .mesh import AGENT_AXIS
+
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_agents = mesh.shape[AGENT_AXIS]
+    scene_prepared = prepare_scene(scene_batch)
+    b = scene_prepared.spawn.pos_x.shape[0]
+    if b % n_batch:
+        raise ValueError(f"ensemble batch {b} must divide over the mesh's "
+                         f"{n_batch}-way batch axis")
+
+    # pad the slot axis (axis 1 of every spawn leaf) to the agents axis
+    cap = scene_prepared.spawn.pos_x.shape[1]
+    new_cap = -(-cap // n_agents) * n_agents
+    if new_cap != cap:
+        def pad1(leaf):
+            widths = [(0, 0)] * leaf.ndim
+            widths[1] = (0, new_cap - cap)
+            return jnp.pad(leaf, widths)
+        spawn = jax.tree_util.tree_map(pad1, scene_prepared.spawn)
+        spawn = dataclasses.replace(
+            spawn, step=spawn.step.at[:, cap:].set(-1))
+        scene_prepared = dataclasses.replace(scene_prepared, spawn=spawn)
+
+    state_spec = jax.tree_util.tree_map(lambda _: P(BATCH_AXIS, AGENT_AXIS),
+                                        PedState.empty(1))
+    scene_spec = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: P(), scene_prepared),
+        spawn=jax.tree_util.tree_map(lambda _: P(BATCH_AXIS, AGENT_AXIS),
+                                     scene_prepared.spawn))
+
+    def body(state_blk, scn):
+        def one(state_row, spawn_row):
+            return rollout(state_row,
+                           dataclasses.replace(scn, spawn=spawn_row),
+                           params, cfg, num_steps, record=record,
+                           axis_name=AGENT_AXIS)
+        return jax.vmap(one)(state_blk, scn.spawn)
+
+    if record:
+        from ..models.stepper import StepRecord
+        rec_spec = StepRecord(pos=P(BATCH_AXIS, None, AGENT_AXIS),
+                              vel=P(BATCH_AXIS, None, AGENT_AXIS),
+                              mode=P(BATCH_AXIS, None, AGENT_AXIS),
+                              alive=P(BATCH_AXIS, None, AGENT_AXIS))
+        if scene_prepared.autopilot is not None:
+            from ..models.autopilot import AutopilotRecord
+            rec_spec = (rec_spec, AutopilotRecord(
+                pos=P(BATCH_AXIS), heading=P(BATCH_AXIS),
+                speed=P(BATCH_AXIS), active=P(BATCH_AXIS)))
+        out_specs = (state_spec, rec_spec)
+    else:
+        out_specs = (state_spec, None)
+
+    shard_fn = jax.shard_map(body, mesh=mesh,
+                             in_specs=(state_spec, scene_spec),
+                             out_specs=out_specs, check_vma=False)
+    empty = PedState.empty(new_cap)
+
+    @jax.jit
+    def run():
+        state0 = jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(leaf[None], (b,) + leaf.shape),
+            empty)
+        return shard_fn(state0, scene_prepared)
+
+    return run
+
+
 def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
                        record: bool = False, mesh=None):
     """vmap the rollout over a batched SfmParams pytree.

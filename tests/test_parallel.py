@@ -240,6 +240,68 @@ def test_sharded_env_compact_rollout_matches_single_device():
                                np.asarray(recs_p.pos)[:, :n], atol=5e-5)
 
 
+def test_sharded_ensemble_2d_mesh_matches_unbatched():
+    """Composed dp x tp: rollouts sharded over ``batch`` AND each rollout's
+    slots sharded over ``agents`` in one program; every row must equal an
+    independent single-device rollout of the same crowd."""
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import (
+        batched_crowds, synthetic_crowd)
+    from carla_social_force_model_tpu.parallel.sweeps import (
+        make_sharded_ensemble_rollout)
+
+    b, n, steps = 4, 24, 10
+    scene1, params, cfg, _ = benchmark_bundle(n, extent=12.0)
+    scene = dataclasses.replace(scene1, spawn=batched_crowds(b, n, extent=12.0))
+
+    mesh = make_mesh(n_agent_shards=4, n_batch_shards=2)
+    finals, recs = make_sharded_ensemble_rollout(
+        mesh, scene, params, cfg, steps, record=True)()
+    assert np.asarray(finals.pos).shape == (b, n, 2)
+
+    for row in range(b):
+        s_row = dataclasses.replace(
+            scene1, spawn=synthetic_crowd(n, extent=12.0, seed=row))
+        f_row, r_row = make_rollout_fn(s_row, params, cfg, steps,
+                                       record=True)(PedState.empty(n))
+        np.testing.assert_array_equal(np.asarray(recs.alive)[row],
+                                      np.asarray(r_row.alive))
+        np.testing.assert_allclose(np.asarray(finals.pos)[row],
+                                   np.asarray(f_row.pos), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(recs.pos)[row],
+                                   np.asarray(r_row.pos), atol=2e-5)
+
+
+def test_sharded_ensemble_ring_comm_and_padding():
+    """The 2D ensemble with ppermute-ring column comm (collectives scoped to
+    the agents axis never cross batch rows) and a capacity that needs
+    padding to the agents axis."""
+    import dataclasses
+    from carla_social_force_model_tpu.api.synthetic import (
+        batched_crowds, synthetic_crowd)
+    from carla_social_force_model_tpu.parallel.sweeps import (
+        make_sharded_ensemble_rollout)
+
+    b, n, steps = 2, 22, 8  # capacity 22 pads to 24 over the 4 agent shards
+    scene1, params, cfg, _ = benchmark_bundle(n, extent=12.0)
+    cfg = dataclasses.replace(cfg, axis_comm="ring")
+    scene = dataclasses.replace(scene1, spawn=batched_crowds(b, n, extent=12.0))
+
+    mesh = make_mesh(n_agent_shards=4, n_batch_shards=2)
+    finals, _ = make_sharded_ensemble_rollout(
+        mesh, scene, params, cfg, steps)()
+    pos = np.asarray(finals.pos)
+    alive = np.asarray(finals.alive)
+    assert pos.shape == (b, 24, 2) and not alive[:, n:].any()
+
+    for row in range(b):
+        s_row = dataclasses.replace(
+            scene1, spawn=synthetic_crowd(n, extent=12.0, seed=row))
+        f_row, _ = make_rollout_fn(s_row, params, cfg, steps)(PedState.empty(n))
+        np.testing.assert_allclose(pos[row, :n], np.asarray(f_row.pos),
+                                   atol=3e-5)
+
+
 def test_multichip_scaling_example_runs():
     """Run in a clean subprocess (real CLI usage; in-process reuse after
     mixed-mesh tests trips a jax-internal sharding-cache assert)."""

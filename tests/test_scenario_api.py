@@ -132,3 +132,27 @@ quantity = 1
     runs = os.listdir(tmp_path / "out")
     assert len(runs) == 1
     assert "cli-test" in runs[0]
+
+
+def test_package_import_initializes_no_backend():
+    """Importing the package must not create device arrays: a module-level
+    ``jnp`` constant would initialize the JAX backend at import time, before
+    a CLI ``--platform`` override (api/cli.py) or an embedding application's
+    ``jax.config.update("jax_platforms", ...)`` can take effect (on this
+    machine a sitecustomize force-selects the TPU plugin, so an eager import
+    silently grabs the TPU tunnel).  Regression guard for the np-vs-jnp
+    module constants in ops/geometry.py and ops/spatial.py."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "import carla_social_force_model_tpu\n"
+        "import carla_social_force_model_tpu.api.cli\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, "
+        "f'import initialized backends: {list(xla_bridge._backends)}'\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
