@@ -74,9 +74,13 @@ def run_rollout_mode():
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     if COMPACT:
-        ms = int(COMPACT.split(":")[1]) if ":" in COMPACT else 0
+        # "0" disables; "1" forces (an explicit max_surv bypasses the
+        # 64-tile auto floor, so small N engages too); "1:<k>" sets the
+        # survivor bound.  max_surv=0 would leave the auto gate in charge,
+        # i.e. NOT force anything.
+        ms = int(COMPACT.split(":")[1]) if ":" in COMPACT else 32
         cfg = dataclasses.replace(cfg, pallas_compact=COMPACT != "0",
-                                  pallas_max_surv=ms)
+                                  pallas_max_surv=0 if COMPACT == "0" else ms)
     if TILES:
         tr, tc = (int(v) for v in TILES.split("x"))
         cfg = dataclasses.replace(cfg, pallas_row_tile=tr,

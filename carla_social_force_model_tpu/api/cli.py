@@ -94,7 +94,16 @@ DEFAULT_SFM_CONFIG = {
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.stream and args.checkpoint_dir:
+        # the checkpoint path runs the segmented in-memory rollout, which
+        # is exactly the unbounded (T, N) record --stream exists to avoid;
+        # refuse loudly rather than silently dropping one of the two
+        parser.error("--stream and --checkpoint-dir cannot be combined "
+                     "(checkpointed rollouts keep records in memory; use "
+                     "--record-stride to bound them, or stream without "
+                     "checkpoints)")
     logging.basicConfig(format="%(levelname)s: %(message)s",
                         level=logging.DEBUG if args.debug else logging.INFO)
 

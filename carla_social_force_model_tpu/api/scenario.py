@@ -167,17 +167,20 @@ def _plan_destination_route(sp: dict, router):
             return xyz[:2]
         return np.asarray(value, np.float64).reshape(-1)[:2]
 
-    if sp.get("spawn_point") is not None:
-        origin = resolve(sp["spawn_point"])
-    elif sp.get("spawn_location") is not None:
-        origin = resolve(sp["spawn_location"])
-    else:
-        log.warning("Skipping destination-routed vehicle spawner without "
-                    "spawn_point/spawn_location: %s", sp)
-        return None
     try:
+        if sp.get("spawn_point") is not None:
+            origin = resolve(sp["spawn_point"])
+        elif sp.get("spawn_location") is not None:
+            origin = resolve(sp["spawn_location"])
+        else:
+            log.warning("Skipping destination-routed vehicle spawner "
+                        "without spawn_point/spawn_location: %s", sp)
+            return None
         return router.route(origin, resolve(sp["destination"]))
-    except ValueError as exc:
+    except (ValueError, IndexError) as exc:
+        # covers unresolvable routes, out-of-range spawn_point indices,
+        # and captures saved without spawn points -- warn-and-skip like
+        # every other malformed-spawner path
         log.warning("Skipping destination-routed vehicle spawner: %s", exc)
         return None
 

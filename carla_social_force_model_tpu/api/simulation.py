@@ -134,6 +134,13 @@ class Simulation:
         eff_dt = b.dt * record_stride
         if chunk_steps % record_stride != 0:
             raise ValueError("chunk_steps must be a multiple of record_stride")
+        if total % record_stride != 0:
+            # same contract as the in-memory strided rollout, but raised
+            # before any segment computes: the final partial chunk would
+            # otherwise hit the stepper's divisibility check mid-stream
+            raise ValueError(
+                f"total steps ({total}) must be a multiple of "
+                f"record_stride ({record_stride})")
 
         def make_seg(steps):
             @jax.jit

@@ -401,7 +401,7 @@ def fused_environment_terms(state, scene, params, veh_snap,
                             ped_tile: int = 512, point_tile: int = 1024,
                             interpret: bool = False,
                             spatial_order: str = "hilbert",
-                            compact: bool = True, max_surv: int = 0):
+                            compact: bool = False, max_surv: int = 0):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back
@@ -410,13 +410,19 @@ def fused_environment_terms(state, scene, params, veh_snap,
     One Morton sort + staging is shared by all terms; each term unsorts only
     its final (N, 2) force vector.
 
-    ``compact``: evaluate the tile-pair hit matrix in jnp each step and
-    launch the kernel grid over only the surviving point tiles per ped tile
+    ``compact`` (default off, matching ``StepConfig.env_compact``):
+    evaluate the tile-pair hit matrix in jnp each step and launch the
+    kernel grid over only the surviving point tiles per ped tile
     (scalar-prefetch surv-indexed blocks) -- on sparse geometries (many
     segments, local pedestrians) this removes most grid steps.  A
-    ``lax.cond`` falls back to the dense grid whenever any ped tile has
-    more than ``max_surv`` survivors (0 = auto: ~1/3 of the point tiles,
-    min 8), so semantics are always exact.
+    ``lax.cond`` falls back to a dense grid at the same gs_c granularity
+    whenever any ped tile has more than ``max_surv`` survivors (0 = auto:
+    ~1/3 of the point tiles, min 8), so compact mode is bitwise-consistent
+    across overflow and non-overflow steps.  Compact runs at 8-segment
+    tile granularity; when ``point_tile // points_per_segment`` is not a
+    multiple of 8 this groups the f32 segment sum differently than
+    ``compact=False``, so cross-mode equality is exact only in value
+    order (allclose), bitwise when the granularities coincide.
     """
     from ..models import modes
     from ..models.vehicles import snapshot_segment_pointset
@@ -527,13 +533,18 @@ def fused_environment_terms(state, scene, params, veh_snap,
             staged_c = stage(gs_c)
             hits = _tile_hits(bb, staged_c[3], gs_c, staged_c[4] // gs_c)
             surv, fits = _surv_table(hits, ms)
-            # the overflow fallback keeps the ORIGINAL dense granularity
-            # (gs_d) -- coarse gs_c tiles skip poorly on the dense grid
-            staged_d = staged_c if gs_d == gs_c else stage(gs_d)
+            # the overflow fallback runs the dense grid at the SAME gs_c
+            # granularity: both cond branches then accumulate segment
+            # groups in identical ascending order, so a compact-mode run
+            # is bitwise-consistent whether or not a step overflows (and
+            # bitwise-equal to a dense gs_c launch).  A gs_d fallback
+            # would skip better on the dense grid but flip f32 rounding
+            # between overflow and non-overflow steps whenever
+            # gs_d != gs_c (i.e. point_tile // kk not a multiple of 8).
             fx, fy = jax.lax.cond(
                 fits,
                 lambda: call(gs_c, staged_c, surv=surv),
-                lambda: call(gs_d, staged_d))
+                lambda: call(gs_c, staged_c))
         else:
             fx, fy = call(gs_d, stage(gs_d))
 

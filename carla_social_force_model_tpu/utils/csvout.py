@@ -58,8 +58,12 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True,
         import ctypes
         from .nativelib import load
         lib = load("trajio")
-        if lib is not None:
-            fn = lib.write_pedestrian_csv_chunk
+        # getattr: a cached libtrajio.so from before the chunked entry
+        # point existed lacks the symbol -- fall through to the Python
+        # writer instead of raising AttributeError
+        fn = getattr(lib, "write_pedestrian_csv_chunk", None) \
+            if lib is not None else None
+        if fn is not None:
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                            ctypes.POINTER(ctypes.c_float),

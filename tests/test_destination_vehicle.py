@@ -96,6 +96,23 @@ def test_extract_autopilot_specs_destination():
     assert len(specs[1].waypoints) >= 40
     assert extract_autopilot_specs(scenario, None) == []
 
+    # malformed spawners are skipped with a warning, never raised:
+    # out-of-range spawn_point index (IndexError from spawn_transform),
+    # a capture without spawn points (ValueError), an unreachable
+    # destination (ValueError from route)
+    bad = {"vehicle": {"vehicle_spawner": [
+        {"auto_pilot": True, "spawn_point": 10_000, "destination": 1},
+        {"auto_pilot": True, "destination": [98.8, 98.4]},
+    ]}}
+    assert extract_autopilot_specs(bad, router) == []
+    no_spawn = DrivingGraph(nodes=router.nodes, edge_u=router.edge_u,
+                            edge_v=router.edge_v,
+                            edge_length=router.edge_length)
+    assert extract_autopilot_specs(
+        {"vehicle": {"vehicle_spawner": [
+            {"auto_pilot": True, "spawn_point": 0, "destination": 1}]}},
+        no_spawn) == []
+
 
 def test_destination_scenario_vehicle_arrives():
     """The shipped destination_vehicle scenario: vehicle 1 (spawn-point

@@ -327,3 +327,33 @@ def test_compact_overflow_falls_back_dense():
                                   np.asarray(dense["border_force"][0]))
     np.testing.assert_array_equal(np.asarray(comp["border_force"][1]),
                                   np.asarray(dense["border_force"][1]))
+
+
+def test_compact_mixed_granularity_bitwise_consistent():
+    """When point_tile // points_per_segment is not a multiple of 8
+    (gs_d=1 here vs compact's gs_c=8), the overflow fallback must still be
+    bitwise-equal to the compact branch (both run gs_c granularity), while
+    cross-mode (compact vs dense gs_d) equality is only allclose -- the f32
+    segment sum is grouped differently."""
+    borders = _grid_borders()
+    scene = prepare_scene(Scene(spawn=None, borders=borders))
+    assert scene.borders_seg.points_per_segment == 128
+    state = _clustered_state()
+    params = SfmParams(enable_border=True)
+
+    kw = dict(ped_tile=128, point_tile=128, interpret=True)
+    comp = fused_environment_terms(state, scene, params, None,
+                                   compact=True, **kw)
+    overflow = fused_environment_terms(state, scene, params, None,
+                                       compact=True, max_surv=1, **kw)
+    for plane in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(comp["border_force"][plane]),
+            np.asarray(overflow["border_force"][plane]))
+
+    dense = fused_environment_terms(state, scene, params, None,
+                                    compact=False, **kw)
+    for plane in (0, 1):
+        np.testing.assert_allclose(np.asarray(comp["border_force"][plane]),
+                                   np.asarray(dense["border_force"][plane]),
+                                   atol=1e-5)

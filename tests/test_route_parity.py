@@ -19,19 +19,26 @@ from carla_social_force_model_tpu.routing.graph import GraphType
 def town2(tmp_path_factory):
     m = fake_carla.install_town2()
     import os
+    prev = os.getcwd()
+    # graph building writes its content-addressed cache under the cwd;
+    # point it at a temp dir and RESTORE after the module (a leaked chdir
+    # breaks later cwd-relative tests, e.g. subprocess package imports)
     os.chdir(tmp_path_factory.mktemp("cache"))
-    from carla_social_force_model_tpu.routing.carla_graph import (
-        build_carla_nav_graph, make_waypoint_locator)
-    from carla_social_force_model_tpu.routing.planner import PedPathPlanner
-    from oracle_routing import RoutingOracle
+    try:
+        from carla_social_force_model_tpu.routing.carla_graph import (
+            build_carla_nav_graph, make_waypoint_locator)
+        from carla_social_force_model_tpu.routing.planner import PedPathPlanner
+        from oracle_routing import RoutingOracle
 
-    graph = build_carla_nav_graph(m, waypoint_distance=10.0,
-                                  jaywalking_weight_factor=2.0)
-    planner = PedPathPlanner(graph,
-                             waypoint_locator=make_waypoint_locator(m))
-    oracle = RoutingOracle(m, waypoint_distance=10.0,
-                           jaywalking_weight_factor=2.0)
-    return m, planner, oracle
+        graph = build_carla_nav_graph(m, waypoint_distance=10.0,
+                                      jaywalking_weight_factor=2.0)
+        planner = PedPathPlanner(graph,
+                                 waypoint_locator=make_waypoint_locator(m))
+        oracle = RoutingOracle(m, waypoint_distance=10.0,
+                               jaywalking_weight_factor=2.0)
+        yield m, planner, oracle
+    finally:
+        os.chdir(prev)
 
 
 # origin/destination probes spread over every feature of the town

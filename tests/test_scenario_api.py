@@ -153,6 +153,9 @@ def test_package_import_initializes_no_backend():
         "assert not xla_bridge._backends, "
         "f'import initialized backends: {list(xla_bridge._backends)}'\n"
     )
-    proc = subprocess.run([sys.executable, "-c", code],
+    # cwd-independent: another test may have chdir'd away from the repo
+    # root, and `python -c` resolves the package from its cwd
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr

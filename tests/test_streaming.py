@@ -80,6 +80,30 @@ def test_streamed_chunk_stride_mismatch(tmp_path):
         sim.run_streamed(str(tmp_path), chunk_steps=70, record_stride=4)
 
 
+def test_streamed_total_stride_mismatch(tmp_path):
+    """Non-divisible TOTAL steps fail fast (before any segment computes),
+    not mid-stream in the final partial chunk."""
+    # duration 5.1 s / dt 0.05 = 102 steps: chunk_steps=80 is a multiple of
+    # stride 4 but the total is not
+    sim = Simulation.from_config(
+        os.path.join(SCEN, "corridor_counterflow.toml"), SFM, duration=5.1)
+    assert sim.bundle.num_steps % 4 != 0
+    with pytest.raises(ValueError, match="total steps"):
+        sim.run_streamed(str(tmp_path), chunk_steps=80, record_stride=4)
+
+
+def test_cli_stream_checkpoint_conflict(tmp_path):
+    """--stream with --checkpoint-dir is refused at parse time (the
+    checkpointed rollout keeps records in memory, defeating --stream)."""
+    from carla_social_force_model_tpu.api.cli import main
+    with pytest.raises(SystemExit) as exc:
+        main(["--scenario-config",
+              os.path.join(SCEN, "corridor_counterflow.toml"),
+              "--duration", "4", "--csv", "--output", str(tmp_path),
+              "--stream", "--checkpoint-dir", str(tmp_path / "ck")])
+    assert exc.value.code == 2
+
+
 def test_csv_chunk_append_native_and_python(tmp_path):
     """The chunked writers (native + Python fallback) produce the whole-file
     output when fed the record in two pieces."""
