@@ -1,0 +1,210 @@
+"""Differentiable calibration: fit SFM parameters to observed trajectories.
+
+A capability the reference architecture cannot offer: its engine is numpy
+driven by a CARLA server across an RPC boundary, so the map from model
+parameters to trajectories is not differentiable.  Here the whole rollout is
+one pure jittable function of the parameters (models/stepper.py), so any
+force parameter of the reference's ``sfm_config.toml`` surface
+(/root/reference/config/sfm_config.toml:1-56, read by
+/root/reference/forces.py:44,60-73,141-143,196-199) can be fitted to
+observed pedestrian trajectories by gradient descent THROUGH the simulation:
+``jax.grad`` backpropagates through the ``lax.scan`` rollout, with
+:func:`jax.checkpoint` rematerialization keeping activation memory at
+O(steps x carry) instead of O(steps x pairwise intermediates).
+
+Typical uses:
+
+* recover force parameters from recorded crowd data (the reference's
+  ``pedestrian.csv`` schema, utils/csvout.py, is a natural source);
+* sensitivity analysis: ``jax.grad`` of any trajectory statistic with
+  respect to any parameter;
+* scenario tuning: pick parameters that reproduce a target flow rate or
+  evacuation time.
+
+The observation format is :class:`~..models.stepper.StepRecord` -- exactly
+what a recorded rollout returns, so "simulate with true params, perturb,
+re-fit" round-trips are one-liners (see tests/test_calibrate.py and
+examples/calibrate_params.py).
+
+Calibration runs the differentiable jnp force path (``use_pallas=False``);
+the fused Pallas kernels define no VJP.  For the small-to-medium N where
+calibration data exists this is not a constraint (the jnp path is the same
+physics, oracle-tested), and a fitted parameter set drops straight into the
+Pallas production config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.params import SfmParams
+from ..models.state import PedState
+from ..models.stepper import Scene, StepConfig, StepRecord, prepare_scene, rollout
+
+#: default fit set: the Moussaid interaction parameters (the ones with the
+#: most trajectory leverage; reference forces.py:60-73)
+DEFAULT_FIT = ("pedestrian.A", "pedestrian.gamma", "pedestrian.lambda_")
+
+
+def get_param(params: SfmParams, name: str):
+    """Fetch a parameter by dotted path, e.g. ``"pedestrian.A"`` or
+    ``"acceleration.tau"``."""
+    obj = params
+    for part in name.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def replace_param(params, name: str, value):
+    """Functional update of a (possibly nested) parameter by dotted path."""
+    head, _, rest = name.partition(".")
+    if rest:
+        value = replace_param(getattr(params, head), rest, value)
+    return dataclasses.replace(params, **{head: value})
+
+
+def replace_params(params: SfmParams, values: Mapping[str, object]) -> SfmParams:
+    """Apply a ``{dotted-name: value}`` mapping to ``params``."""
+    for name, value in values.items():
+        params = replace_param(params, name, value)
+    return params
+
+
+def trajectory_mse(rec: StepRecord, observed: StepRecord,
+                   vel_weight: float = 0.0) -> jnp.ndarray:
+    """Masked mean squared error between two recorded rollouts.
+
+    Positions are compared only where BOTH records mark the slot alive (so a
+    parameter change that shifts an arrival/despawn tick by a step does not
+    inject a discontinuous penalty; spawn schedules are parameter-independent,
+    so co-alive masks cover all commonly observed steps).  ``vel_weight``
+    adds a weighted velocity-error term.
+    """
+    m = (rec.alive & observed.alive)
+    w = m.astype(rec.pos.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    se = jnp.sum(jnp.square(rec.pos - observed.pos), axis=-1)
+    loss = jnp.sum(se * w) / denom
+    if vel_weight:
+        sev = jnp.sum(jnp.square(rec.vel - observed.vel), axis=-1)
+        loss = loss + vel_weight * (jnp.sum(sev * w) / denom)
+    return loss
+
+
+def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
+                 cfg: StepConfig, observed: StepRecord, num_steps: int,
+                 fit: Sequence[str] = DEFAULT_FIT, log_space: bool = True,
+                 record_stride: int = 1, vel_weight: float = 0.0,
+                 remat: bool = True) -> Callable[[dict], jnp.ndarray]:
+    """Scalar loss over the fitted parameters.
+
+    Returns ``loss_fn(theta)`` where ``theta`` maps each dotted name in
+    ``fit`` to a scalar; with ``log_space=True`` (default) the scalars are
+    log-parameters (``param = exp(theta)``), which keeps strictly-positive
+    physics parameters positive under unconstrained gradient steps.
+
+    ``observed`` must have leading dimension ``num_steps // record_stride``
+    (a rollout recorded with the same stride).
+    """
+    scene = prepare_scene(scene)
+    if cfg.use_pallas:
+        # the fused kernels define no VJP; the jnp path is the same physics
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+    t_obs = observed.pos.shape[0]
+    if t_obs != num_steps // record_stride:
+        raise ValueError(
+            f"observed record has {t_obs} frames; expected "
+            f"{num_steps // record_stride} (= num_steps/record_stride)")
+
+    def loss_fn(theta: dict) -> jnp.ndarray:
+        values = {name: (jnp.exp(v) if log_space else v)
+                  for name, v in theta.items()}
+        p = replace_params(params, values)
+        _, rec = rollout(state0, scene, p, cfg, num_steps, record=True,
+                         record_stride=record_stride, remat=remat)
+        return trajectory_mse(rec, observed, vel_weight=vel_weight)
+
+    return loss_fn
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    """Outcome of :func:`fit_params`."""
+
+    params: SfmParams           #: params with the fitted values substituted
+    fitted: dict                 #: {dotted-name: fitted value (float)}
+    losses: np.ndarray           #: per-iteration loss curve
+    initial_loss: float
+    final_loss: float
+
+
+def fit_params(state0: PedState, scene: Scene, params: SfmParams,
+               cfg: StepConfig, observed: StepRecord, num_steps: int,
+               fit: Sequence[str] = DEFAULT_FIT, iters: int = 150,
+               learning_rate: float = 0.05, optimizer=None,
+               log_space: bool = True, record_stride: int = 1,
+               vel_weight: float = 0.0, remat: bool = True,
+               callback: Callable[[int, float, dict], None] | None = None,
+               ) -> CalibrationResult:
+    """Fit the named parameters to ``observed`` by Adam over the rollout loss.
+
+    ``params`` provides both the initial guesses for the fitted names and
+    the fixed values of everything else.  ``optimizer`` overrides the
+    default ``optax.adam(learning_rate)``.  ``callback(i, loss, values)``
+    is invoked per iteration with the current *parameter-space* values.
+    """
+    import optax
+
+    loss_fn = make_loss_fn(state0, scene, params, cfg, observed, num_steps,
+                           fit=fit, log_space=log_space,
+                           record_stride=record_stride,
+                           vel_weight=vel_weight, remat=remat)
+    init = {}
+    for name in fit:
+        v = jnp.asarray(get_param(params, name), jnp.float32)
+        if log_space and float(v) <= 0.0:
+            raise ValueError(
+                f"log_space fit requires a positive initial value for "
+                f"{name!r} (got {float(v)}); pass log_space=False")
+        init[name] = jnp.log(v) if log_space else v
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    opt_state = opt.init(init)
+
+    @jax.jit
+    def update(theta, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        updates, opt_state = opt.update(grads, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, loss
+
+    theta = init
+    losses = []
+    best_theta, best_loss = theta, np.inf
+    for i in range(iters):
+        new_theta, opt_state, loss = update(theta, opt_state)
+        loss = float(loss)
+        losses.append(loss)
+        if loss < best_loss:
+            best_theta, best_loss = theta, loss
+        if callback is not None:
+            vals = {k: float(jnp.exp(v) if log_space else v)
+                    for k, v in theta.items()}
+            callback(i, loss, vals)
+        theta = new_theta
+    # the loss at theta_i is reported before the i-th update, so evaluate
+    # the final iterate too and keep the best seen
+    final_loss = float(loss_fn(theta))
+    if final_loss < best_loss:
+        best_theta, best_loss = theta, final_loss
+
+    fitted = {k: float(jnp.exp(v) if log_space else v)
+              for k, v in best_theta.items()}
+    return CalibrationResult(
+        params=replace_params(params, fitted), fitted=fitted,
+        losses=np.asarray(losses, np.float64),
+        initial_loss=float(losses[0]) if losses else float("nan"),
+        final_loss=best_loss)

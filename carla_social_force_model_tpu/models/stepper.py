@@ -464,8 +464,16 @@ def simulation_step(state: PedState, scene: Scene, params: SfmParams,
 def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             num_steps: int, record: bool = True, start_step: int = 0,
             axis_name: str | None = None, record_stride: int = 1,
-            autopilot_state=None, return_autopilot_state: bool = False):
+            autopilot_state=None, return_autopilot_state: bool = False,
+            remat: bool = False):
     """Run ``num_steps`` ticks under ``lax.scan``.
+
+    ``remat=True`` wraps each tick in :func:`jax.checkpoint` so reverse-mode
+    AD through the rollout (api/calibrate.py) stores only the per-step
+    carries and recomputes the step internals on the backward pass -- O(T)
+    activation memory in the carry size instead of in the step's pairwise
+    intermediates.  Forward-only rollouts should leave it off (it forbids
+    XLA from eliding recomputation it would not otherwise do).
 
     Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
     ``(final_state, None)``.  ``record_stride=k`` keeps only every k-th
@@ -525,6 +533,9 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
                                      speed=ap.speed, active=ap.active))
                if want_rec else None)
         return (new_state, ap), out
+
+    if remat:
+        body = jax.checkpoint(body, static_argnums=(2,))
 
     if fleet is None:
         carry0 = state

@@ -85,18 +85,23 @@ def _moussaid_pair_force(diff, radius_sub, dv, p: MoussaidParams, pair_ok):
     thy = ty * rt
     t_len = t2 * rt
 
-    # signed angle from t_hat to e via one atan2
-    cross = thx * ey - thy * ex
-    dot = ex * thx + ey * thy
-    theta = jnp.arctan2(cross, dot)
-
     B = p.gamma * t_len
-    theta = theta + B * (-p.epsilon)
     # B == 0 (vanishing interaction vector) and d2 == 0 (exactly coincident
     # positions) are both NaN in the reference (0/0 unit vectors); they
     # contribute zero here (PARITY.md), which also makes the masking
     # distance-only -- exactly the fused Pallas kernel's rule.
     ok = pair_ok & (B > 0.0) & (d2 > 0.0)
+
+    # signed angle from t_hat to e via one atan2.  Masked pairs (which
+    # include every self-pair: d2 == 0) would feed (0, 0) into arctan2 --
+    # fine forward (arctan2(0, 0) == 0, and the result is zeroed below) but
+    # NaN in reverse mode (the arctan2 VJP divides by x^2 + y^2), so guard
+    # the *inputs*: the returned force is bitwise unchanged and rollouts
+    # stay differentiable (api/calibrate.py).
+    cross = jnp.where(ok, thx * ey - thy * ex, 0.0)
+    dot = jnp.where(ok, ex * thx + ey * thy, 1.0)
+    theta = jnp.arctan2(cross, dot)
+    theta = theta + B * (-p.epsilon)
     B_safe = jnp.where(ok, B, 1.0)
     common = -d / B_safe
     Bt = B * theta

@@ -43,20 +43,28 @@ def normalize(v, axis=-1):
     Returns ``(unit_vectors, norms)``; vectors with zero norm yield a zero
     direction and a zero norm (reference: stateutils.py:78-92 replaces zero
     norms with 1 before dividing).
+
+    Gradient-safe: the zero guard is applied to the *squared* norm before
+    the sqrt, so reverse-mode AD through zero vectors stays finite (a
+    ``sqrt``-then-``where`` form produces ``0 * inf = NaN`` in the sqrt
+    VJP at exactly-zero inputs).  The forward values are bitwise unchanged
+    (``sqrt(n2) == n`` wherever ``n2 > 0``).  The returned *norm* keeps the
+    standard sqrt derivative (infinite at 0), like ``jnp.linalg.norm``.
     """
-    n = norm(v, axis=axis)
-    safe = jnp.where(n == 0.0, 1.0, n)
-    return v / jnp.expand_dims(safe, axis), n
+    n2 = jnp.sum(v * v, axis=axis)
+    safe = jnp.sqrt(jnp.where(n2 == 0.0, 1.0, n2))
+    return v / jnp.expand_dims(safe, axis), jnp.sqrt(n2)
 
 
 def cap_velocity(v, max_speed):
     """Scale velocity vectors down so their speed does not exceed ``max_speed``.
 
     Mirrors reference stateutils.py:18-23 (zero speeds are guarded with 1 so
-    zero vectors pass through unchanged).
+    zero vectors pass through unchanged).  Gradient-safe at zero velocity
+    (guard before the sqrt; see :func:`normalize`).
     """
-    speed = norm(v)
-    safe = jnp.where(speed == 0.0, 1.0, speed)
+    s2 = jnp.sum(v * v, axis=-1)
+    safe = jnp.sqrt(jnp.where(s2 == 0.0, 1.0, s2))
     factor = jnp.minimum(1.0, max_speed / safe)
     return v * jnp.expand_dims(factor, -1)
 
@@ -68,16 +76,17 @@ def norm_xy(x, y):
 
 def normalize_xy(x, y):
     """Zero-safe planar normalize: ``(ux, uy, norm)`` with zero vectors
-    mapping to zero directions (same guard as :func:`normalize`)."""
-    n = norm_xy(x, y)
-    inv = jnp.where(n == 0.0, 1.0, n)
-    return x / inv, y / inv, n
+    mapping to zero directions (same guard — and the same gradient-safe
+    guard-before-sqrt form — as :func:`normalize`)."""
+    n2 = x * x + y * y
+    inv = jnp.sqrt(jnp.where(n2 == 0.0, 1.0, n2))
+    return x / inv, y / inv, jnp.sqrt(n2)
 
 
 def cap_velocity_xy(vx, vy, max_speed):
     """Planar :func:`cap_velocity` (same math on x/y planes)."""
-    speed = norm_xy(vx, vy)
-    safe = jnp.where(speed == 0.0, 1.0, speed)
+    s2 = vx * vx + vy * vy
+    safe = jnp.sqrt(jnp.where(s2 == 0.0, 1.0, s2))
     factor = jnp.minimum(1.0, max_speed / safe)
     return vx * factor, vy * factor
 

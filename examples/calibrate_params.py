@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Differentiable calibration demo: recover SFM parameters from trajectories.
+
+A capability the reference architecture cannot offer (numpy + CARLA RPC is
+not differentiable).  Here the whole rollout is one pure jittable function,
+so we can:
+
+1. simulate "observed" crowd data with ground-truth parameters,
+2. start from deliberately wrong parameters,
+3. recover the truth by Adam over ``jax.grad`` THROUGH the simulation
+   (backprop through the ``lax.scan`` rollout with jax.checkpoint
+   rematerialization).
+
+Real observed data plugs in the same way: anything in the reference's
+``pedestrian.csv`` schema (utils/csvout.py) can be packed into a StepRecord.
+
+Run:  python examples/calibrate_params.py  (CPU-friendly; ~2 min)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# CPU is fine for the demo's N; override the environment's TPU auto-select
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+except Exception:
+    pass
+
+from carla_social_force_model_tpu.api.calibrate import (  # noqa: E402
+    fit_params, get_param, replace_params)
+from carla_social_force_model_tpu.api.synthetic import benchmark_bundle  # noqa: E402
+from carla_social_force_model_tpu.models.stepper import make_rollout_fn  # noqa: E402
+
+N, STEPS = 48, 120
+TRUTH = {"pedestrian.A": 4.5, "pedestrian.gamma": 0.35,
+         "acceleration.tau": 0.5}
+START = {"pedestrian.A": 2.0, "pedestrian.gamma": 0.6,
+         "acceleration.tau": 0.8}
+
+
+def main():
+    import dataclasses
+    import jax.numpy as jnp
+    scene, params, cfg, state = benchmark_bundle(N, extent=10.0,
+                                                 use_pallas=False)
+    # spawn at rest: the initial relaxation transient is what identifies
+    # tau (benchmark_bundle spawns AT target velocity, where the
+    # acceleration force starts at zero and tau is unobservable)
+    zeros = jnp.zeros_like(scene.spawn.vel_x)
+    scene = dataclasses.replace(
+        scene, spawn=dataclasses.replace(scene.spawn, vel_x=zeros,
+                                         vel_y=zeros))
+    print(f"simulating observed data: N={N}, {STEPS} steps, "
+          f"truth={TRUTH}")
+    _, observed = make_rollout_fn(scene, params, cfg, STEPS)(state)
+
+    start = replace_params(params, START)
+    print(f"fitting from start={START} ...")
+    t0 = time.time()
+    last = {}
+
+    def progress(i, loss, values):
+        last.update(values)
+        if i % 25 == 0:
+            vals = ", ".join(f"{k.split('.')[-1]}={v:.3f}"
+                             for k, v in values.items())
+            print(f"  iter {i:4d}  loss {loss:10.3e}  {vals}")
+
+    # vel_weight makes tau identifiable (the relaxation rate shows directly
+    # in velocity errors; from positions alone, A and tau are entangled);
+    # clipping tames the exploding gradients a chaotic 120-step BPTT
+    # produces, and a cosine-decayed Adam settles the last digits
+    import optax
+    iters = 250
+    result = fit_params(state, scene, start, cfg, observed, STEPS,
+                        fit=tuple(TRUTH), iters=iters, vel_weight=1.0,
+                        optimizer=optax.chain(
+                            optax.clip_by_global_norm(1.0),
+                            optax.adam(
+                                optax.cosine_decay_schedule(0.05, iters))),
+                        callback=progress)
+    dt = time.time() - t0
+
+    print(f"\ndone in {dt:.1f}s  (loss {result.initial_loss:.3e} -> "
+          f"{result.final_loss:.3e})")
+    print(f"{'parameter':<22}{'truth':>8}{'start':>8}{'fitted':>9}{'err':>8}")
+    for name, truth in TRUTH.items():
+        fitted = result.fitted[name]
+        err = abs(fitted - truth) / truth
+        print(f"{name:<22}{truth:>8.3f}{START[name]:>8.3f}"
+              f"{fitted:>9.4f}{err:>7.1%}")
+    assert all(abs(result.fitted[k] - v) / v < 0.25 for k, v in TRUTH.items()), \
+        "calibration failed to approach the ground truth"
+    print("\nfitted params drop straight into the Pallas production config:")
+    print(f"  pedestrian.A = {get_param(result.params, 'pedestrian.A'):.4f}")
+
+
+if __name__ == "__main__":
+    main()
