@@ -57,7 +57,63 @@ _ATAN_C = (9.9999989775e-01, -3.3331959724e-01, 1.9969235395e-01,
            2.4166189522e-02, -4.6687733076e-03)
 
 
-def _atan2(y, x, exact_div=False):
+#: near-minimax fit of 2^f on [-0.5, 0.5], degree 6 (rel err 6.2e-9 -- below
+#: the f32 ulp), for the ALU exp below
+_EXP2_C = (9.9999999997e-01, 6.9314720007e-01, 2.4022651101e-01,
+           5.5503406681e-02, 9.6180399291e-03, 1.3395285365e-03,
+           1.5465318042e-04)
+
+
+
+def _exp_alu(a):
+    """exp(a) computed entirely on the VPU's regular ALUs (no EUP op):
+    ``2^(a*log2e)`` via magic-number round-to-nearest, a degree-6 polynomial
+    for the fractional part, and exponent-field bit assembly.
+
+    The pairwise kernel is bound by the transcendental (EUP) port at ~2.1e11
+    ops/s with 5 EUP ops/pair (BENCH.md); this trades the kernel's 2 exp EUP
+    ops for ~13 ALU ops each, which co-issue with the EUP work.  Accuracy:
+    the polynomial is exact to f32, so the error is the classic exp-via-exp2
+    argument rounding, |a|*log2e*2^-24*ln2 relative -- <= 2.4e-6 at the
+    underflow edge |a|=87, ~1e-7 for the |a| <= 5 arguments that produce
+    non-negligible forces.
+
+    Matches ``jnp.exp`` at the domain edges: +0 below the f32 underflow
+    threshold (including the -inf masked pairs -- the kernel's liveness
+    masking relies on that exact zero) and 1.0 at 0.  Arguments here are
+    bounded above by ~radii/gamma (use_radius can make -d/B slightly
+    positive), far inside the clamp range.
+    """
+    y = a * 1.4426950408889634
+    # masked pairs arrive as a = -inf: the max() keeps the integer path
+    # defined (the final select restores their exact +0)
+    y = jnp.maximum(y, -150.0)
+    # round-to-nearest via a real floor op, NOT the (y + 1.5*2^23) - magic
+    # trick: XLA CPU's default fast-math reassociates the magic away inside
+    # compiled kernels (measured), silently degrading k to y
+    k = jnp.floor(y + 0.5)
+    f = y - k                                    # in [-0.5, 0.5]
+    p = _EXP2_C[6]
+    for c in _EXP2_C[5::-1]:
+        p = p * f + c
+    ki = jnp.maximum(k.astype(jnp.int32), -126)  # keep 2^k a normal f32
+    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+    return jnp.where(a < -87.3, 0.0, p * scale)
+
+
+def _recip_alu(x):
+    """Positive-argument reciprocal on the ALUs (no EUP op): exponent-flip
+    bit seed (~2^-5 relative) + two Newton steps (~2e-7, the hardware
+    approx+1-Newton path's scale).  Only valid for normal positive x; the
+    atan2 ratio argument is ``max(|x|, |y|) + tiny``, which qualifies."""
+    seed = jax.lax.bitcast_convert_type(
+        jnp.int32(0x7EF311C3) - jax.lax.bitcast_convert_type(x, jnp.int32),
+        jnp.float32)
+    seed = seed * (2.0 - x * seed)
+    return seed * (2.0 - x * seed)
+
+
+def _atan2(y, x, exact_div=False, alu_recip=False):
     """Branchless division-free atan2 (Mosaic has no atan2 lowering):
     t = min/max via hardware approximate reciprocal + one Newton step
     (~1e-7 relative), atan(t) by the direct minimax polynomial, then the
@@ -65,13 +121,17 @@ def _atan2(y, x, exact_div=False):
     atan2(0, 0) = 0 and atan2(0, -x) = pi.
 
     ``exact_div`` (StepConfig.pallas_exact_div): use a true division for the
-    ratio instead of the Newton-refined approximate reciprocal."""
+    ratio instead of the Newton-refined approximate reciprocal.
+    ``alu_recip``: compute the reciprocal on the regular ALUs (bit seed +
+    2 Newton steps) so the ratio costs no EUP op."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay) + _TINY    # hi==0 -> t=0 -> atan 0
     lo = jnp.minimum(ax, ay)
     if exact_div:
         t = lo / hi
+    elif alu_recip:
+        t = lo * _recip_alu(hi)
     else:
         r0 = pl.reciprocal(hi, approx=True)
         r0 = r0 * (2.0 - hi * r0)
@@ -90,7 +150,7 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                  px_r, py_r, vx_r, vy_r, rad_r,
                  px_c, py_c, vx_c, vy_c, rad_c,
                  fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
-                 exact_div):
+                 exact_div, alu_exp, alu_recip):
     # prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM); force
     # parameters ride in prm so they may be traced (vmap sweeps).
     # Liveness is pre-staged: dead/padded agents sit at a far sentinel, so
@@ -128,14 +188,15 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                    fx_ref, fy_ref,
                    lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
                    epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div)
+                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                   alu_recip=alu_recip)
 
 
 def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
                          px_r, py_r, vx_r, vy_r, rad_r,
                          px_c, py_c, vx_c, vy_c, rad_c,
                          fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
-                         exact_div):
+                         exact_div, alu_exp, alu_recip):
     """Compacted-grid pair kernel: grid slot (i, j) computes row tile i
     against its j-th SURVIVING column tile (``surv_ref[i, j]``, built per
     step by :func:`_bbox_hits` + ``spatial.surv_table``; -1 pads rows with
@@ -164,7 +225,8 @@ def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
                    fx_ref, fy_ref,
                    lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
                    epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div)
+                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                   alu_recip=alu_recip)
 
 
 def _bbox_hits(row_bb, col_bb, cutoff: float):
@@ -185,7 +247,8 @@ def _bbox_hits(row_bb, col_bb, cutoff: float):
 def _pair_tile(xi, yi, vxi, vyi, rad_r,
                xj, yj, vxj, vyj, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
-               use_radius, tr, tc, cutoff, exact_div):
+               use_radius, tr, tc, cutoff, exact_div, alu_exp=False,
+               alu_recip=False):
     # row vectors are (TR, 1) arrays, column vectors (1, TC) arrays: the
     # broadcast to (TR, TC) needs no sublane<->lane relayout in the kernel
     dx = xj - xi                       # (TR, TC), x_j - x_i
@@ -213,7 +276,7 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
     # applied to u^2 = (t_len*theta)^2.
     cross = tx * ey - ty * ex
     dot = ex * tx + ey * ty
-    theta = (_atan2(cross, dot, exact_div=exact_div)
+    theta = (_atan2(cross, dot, exact_div=exact_div, alu_recip=alu_recip)
              + (-epsilon * gamma) * t_len)
 
     # mask: coincident pairs (self pair, dead-dead sentinel pairs, and
@@ -237,11 +300,12 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
     # common = -d/B = -d * rt / gamma: rt == 1/|t|, so no division at all
     common = jnp.where(ok, d * rt * (-1.0 / gamma), -jnp.inf)
     u2 = jnp.square(t_len * theta)
-    f_v = -A * jnp.exp(common - jnp.square(n_prime * gamma) * u2)
+    exp = _exp_alu if alu_exp else jnp.exp
+    f_v = -A * exp(common - jnp.square(n_prime * gamma) * u2)
     # sign(theta) must be exact (sign(0) = 0): theta == 0 is NOT
     # measure-zero when epsilon is configured to 0 (every equal-velocity
     # pair), and the reference emits no tangential force there
-    f_t = (-A * jnp.sign(theta)) * jnp.exp(common - jnp.square(n * gamma) * u2)
+    f_t = (-A * jnp.sign(theta)) * exp(common - jnp.square(n * gamma) * u2)
 
     # f = f_v * t_hat + f_t * left_normal(t_hat); fold the 1/|t| of the
     # unit vector into the magnitudes
@@ -261,6 +325,8 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             axis_comm: str = "gather",
                             planar_out: bool = False,
                             exact_div: bool = False,
+                            alu_exp: bool = False,
+                            alu_recip: bool = False,
                             vmem_mb: int = 32,
                             compact: bool = False,
                             max_surv: int = 0):
@@ -318,7 +384,7 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     call = functools.partial(
         _slab_call, prm=_params_vec(p), use_radius=use_ped_radius, tr=tr,
         tc=tc, cutoff=cutoff, interpret=interpret, exact_div=exact_div,
-        vmem_mb=vmem_mb)
+        alu_exp=alu_exp, alu_recip=alu_recip, vmem_mb=vmem_mb)
 
     if axis_name is not None and axis_comm == "ring_kernel":
         # fused in-kernel RDMA ring (ops/pallas_ring.py): one pallas_call
@@ -439,7 +505,7 @@ def _params_vec(p) -> jnp.ndarray:
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
                prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
-               vmem_mb=32, surv=None):
+               alu_exp=False, alu_recip=False, vmem_mb=32, surv=None):
     """One kernel launch over a (n_rows x n_cols) slab of staged state.
 
     ``surv=None`` runs the dense grid (every (row-tile, col-tile) pair a
@@ -482,7 +548,7 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
     kernel = functools.partial(
         kern, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None,
-        exact_div=exact_div)
+        exact_div=exact_div, alu_exp=alu_exp, alu_recip=alu_recip)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
@@ -518,6 +584,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    axis_comm: str = "ring",
                                    planar_out: bool = False,
                                    exact_div: bool = False,
+                                   alu_exp: bool = False,
+                                   alu_recip: bool = False,
                                    vmem_mb: int = 32,
                                    spatial_order: str = "hilbert",
                                    compact: bool = False,
@@ -546,6 +614,7 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
         axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
+        alu_exp=alu_exp, alu_recip=alu_recip,
         vmem_mb=vmem_mb, compact=compact, max_surv=max_surv)
     if planar_out:
         fx, fy = force

@@ -516,3 +516,40 @@ def test_pairwise_compact_under_sharding_gather():
     got = jax.jit(fn)(pos, vel, radius, alive)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_alu_exp_recip_match_hardware_paths():
+    """The ALU transcendental paths (alu_exp: exp2-by-bits, alu_recip:
+    bit-seed Newton reciprocal -- EUP-port offload knobs) match the
+    hardware-exp kernel to f32-rounding scale, including sentinel masking
+    (dead agents stay exactly zero) and the radius/cutoff variants."""
+    from carla_social_force_model_tpu.ops.pallas_forces import (_exp_alu,
+                                                                _recip_alu)
+    # unit behavior at the edges the kernel relies on
+    a = jnp.asarray([0.0, -np.inf, -200.0, -87.4, -5.0, 2.5], jnp.float32)
+    out = np.asarray(_exp_alu(a))
+    assert out[0] == 1.0 and out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+    np.testing.assert_allclose(out[4:], np.exp([-5.0, 2.5]), rtol=1e-6)
+    x = jnp.asarray(np.logspace(-30, 30, 101), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_recip_alu(x)) * np.asarray(x),
+                               1.0, rtol=2e-5)
+
+    n = 260
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-20, 20, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(0.2, 0.4, (n,)), jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.85)
+    p = MoussaidParams()
+    for kw in (dict(), dict(use_ped_radius=True),
+               dict(cutoff=15.0), dict(use_ped_radius=True, cutoff=15.0)):
+        base = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                       row_tile=8, col_tile=128,
+                                       interpret=True, **kw)
+        got = pedestrian_force_pallas(pos, vel, radius, alive, p,
+                                      row_tile=8, col_tile=128,
+                                      interpret=True, alu_exp=True,
+                                      alu_recip=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-5, atol=1e-4)
+        assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
