@@ -24,7 +24,9 @@ Typical uses:
 The observation format is :class:`~..models.stepper.StepRecord` -- exactly
 what a recorded rollout returns, so "simulate with true params, perturb,
 re-fit" round-trips are one-liners (see tests/test_calibrate.py and
-examples/calibrate_params.py).
+examples/calibrate_params.py).  Recorded runs and real CARLA captures load
+via ``utils.csvout.read_pedestrian_csv`` (accepts both this framework's and
+the reference's pedestrian.csv, including ``PedMode.<NAME>`` mode text).
 
 Calibration runs the differentiable jnp force path (``use_pallas=False``);
 the fused Pallas kernels define no VJP.  For the small-to-medium N where

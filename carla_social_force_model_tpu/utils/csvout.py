@@ -101,6 +101,66 @@ def write_pedestrian_csv(path, records, dt, use_native: bool = True,
                             mode_of(mode[t, slot])])
 
 
+def read_pedestrian_csv(path, capacity: int | None = None):
+    """Inverse of :func:`write_pedestrian_csv`: load a ``pedestrian.csv``
+    (this framework's or the reference's, output_generator.py:32-51) into a
+    ``StepRecord`` -- the observation format of the differentiable
+    calibration API (api/calibrate.py), so recorded runs and real CARLA
+    captures can be fitted directly.
+
+    Pedestrian ids are mapped to record columns in first-appearance order
+    (the reference writes CARLA actor ids; this framework writes slot
+    indices -- both become dense columns).  Frames are mapped to rows in
+    sorted order, so ``record_stride`` outputs load naturally.  ``mode``
+    accepts both the integer form and the reference's ``PedMode.<NAME>``
+    strings.  Returns ``(record, dt)`` with ``dt`` estimated from the
+    time/frame columns (0.0 for single-frame files).
+    """
+    from ..models.modes import MODE_NAMES
+    from ..models.stepper import StepRecord
+    name_to_mode = {f"PedMode.{v}": k for k, v in MODE_NAMES.items()}
+    rows = []
+    with open(path, newline="", encoding="UTF8") as f:
+        r = csv.reader(f)
+        header = next(r)
+        if header[:3] != ["ped_id", "frame", "time"]:
+            raise ValueError(f"{path}: not a pedestrian.csv (header {header[:3]})")
+        for row in r:
+            if row:
+                rows.append(row)
+    frames = sorted({int(row[1]) for row in rows})
+    frame_idx = {fr: i for i, fr in enumerate(frames)}
+    col_of: dict = {}
+    for row in rows:
+        col_of.setdefault(row[0], len(col_of))
+    n = len(col_of)
+    if capacity is not None:
+        if capacity < n:
+            raise ValueError(f"capacity {capacity} < {n} distinct ped ids")
+        n = capacity
+    t = max(len(frames), 1)
+    pos = np.zeros((t, n, 2), np.float32)
+    vel = np.zeros((t, n, 2), np.float32)
+    mode = np.zeros((t, n), np.int32)
+    alive = np.zeros((t, n), bool)
+    dt = 0.0
+    for row in rows:
+        ti = frame_idx[int(row[1])]
+        ci = col_of[row[0]]
+        pos[ti, ci] = (float(row[3]), float(row[4]))
+        vel[ti, ci] = (float(row[5]), float(row[6]))
+        m = row[7]
+        mode[ti, ci] = name_to_mode[m] if m in name_to_mode else int(m)
+        alive[ti, ci] = True
+    if len(frames) > 1:
+        # dt from the first two distinct frames (time = frame * dt)
+        first = next(row for row in rows if int(row[1]) == frames[0])
+        second = next(row for row in rows if int(row[1]) == frames[1])
+        dt = ((float(second[2]) - float(first[2]))
+              / (frames[1] - frames[0]))
+    return StepRecord(pos=pos, vel=vel, mode=mode, alive=alive), dt
+
+
 def write_vehicle_csv(path, vehicles, dt, num_steps, frame_offset: int = 0,
                       append: bool = False):
     """vehicles: models.vehicles.VehicleStates (or None)."""

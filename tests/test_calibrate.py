@@ -134,3 +134,36 @@ def test_pallas_cfg_falls_back_to_jnp():
     val, grad = jax.value_and_grad(loss_fn)(theta)
     assert float(val) < 1e-8
     assert np.isfinite(float(grad["pedestrian.A"]))
+
+
+def test_csv_roundtrip_feeds_calibration(tmp_path):
+    """write_pedestrian_csv -> read_pedestrian_csv round-trips into a
+    StepRecord that the calibration loss accepts (zero at true params)."""
+    from carla_social_force_model_tpu.utils.csvout import (
+        read_pedestrian_csv, write_pedestrian_csv)
+    scene, params, cfg, state, observed = _bundle(n=10, steps=20)
+    path = str(tmp_path / "pedestrian.csv")
+    write_pedestrian_csv(path, observed, cfg.dt, use_native=False)
+    rec, dt = read_pedestrian_csv(path)
+    assert dt == pytest.approx(cfg.dt)
+    assert rec.pos.shape == observed.pos.shape
+    np.testing.assert_array_equal(np.asarray(rec.alive),
+                                  np.asarray(observed.alive))
+    a = np.asarray(observed.alive)
+    np.testing.assert_allclose(np.asarray(rec.pos)[a],
+                               np.asarray(observed.pos)[a], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec.vel)[a],
+                               np.asarray(observed.vel)[a], rtol=1e-6)
+    loss_fn = make_loss_fn(state, scene, params, cfg,
+                           jax.tree_util.tree_map(jnp.asarray, rec), 20,
+                           fit=("pedestrian.A",))
+    theta = {"pedestrian.A": jnp.log(jnp.asarray(4.5, jnp.float32))}
+    assert float(loss_fn(theta)) < 1e-9
+
+    # mode-text (reference PedMode.<NAME>) files load too
+    path2 = str(tmp_path / "pedestrian_text.csv")
+    write_pedestrian_csv(path2, observed, cfg.dt, use_native=False,
+                         mode_text=True)
+    rec2, _ = read_pedestrian_csv(path2)
+    np.testing.assert_array_equal(np.asarray(rec2.mode)[a],
+                                  np.asarray(observed.mode)[a])
