@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--cutoff; default on -- auto-engages above ~33k "
                         "agents, making the cutoff kernel O(N) at fixed "
                         "density, see BENCH.md)")
+    p.add_argument("--symmetric", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Newton's-third-law pairwise launch: each unordered "
+                        "pair computed once (default on; half the pairwise "
+                        "work, f32-summation-order equal; single-device)")
     p.add_argument("--stream", action="store_true",
                    help="stream records to CSV in chunks (bounded memory "
                         "for long rollouts; implies --csv)")
@@ -133,7 +138,8 @@ def main(argv=None) -> int:
                 "pallas_vmem_mb": args.vmem_mb,
                 "spatial_order": args.spatial_order,
                 "env_compact": args.env_compact,
-                "pallas_compact": args.pallas_compact})
+                "pallas_compact": args.pallas_compact,
+                "pallas_symmetric": args.symmetric})
 
     if args.checkpoint_dir:
         from ..utils.checkpoint import latest_checkpoint, load_state, run_segmented

@@ -405,6 +405,7 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         env_max_surv=int(eng.get("env_max_surv", 0)),
         pallas_compact=bool(eng.get("pallas_compact", True)),
         pallas_max_surv=int(eng.get("pallas_max_surv", 0)),
+        pallas_symmetric=bool(eng.get("pallas_symmetric", True)),
         env_ped_tile=int(eng.get("env_ped_tile", 512)),
         env_point_tile=int(eng.get("env_point_tile", 512)),
     )

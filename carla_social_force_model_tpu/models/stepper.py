@@ -147,6 +147,15 @@ class StepConfig:
     # the ring comm paths (their per-block grid is already shard-sized).
     pallas_compact: bool = static_field(default=True)
     pallas_max_surv: int = static_field(default=0)
+    # Newton's-third-law pairwise launch: the Moussaid pair force is exactly
+    # antisymmetric, so each unordered pair is computed once and accumulated
+    # +f to its row / -f to its column -- half the pairwise EUP+ALU work
+    # (ops/pallas_forces._pair_kernel_sym).  Equal to the non-symmetric
+    # kernel up to f32 summation order.  Applies on single-device rollouts
+    # (under agent-sharding the mirrored row lives on another device, so
+    # the flag is ignored there); composes with the cutoff and the
+    # compacted grid.
+    pallas_symmetric: bool = static_field(default=True)
     # space-filling curve for the cutoff sort: "hilbert" (default; no
     # Z-jumps, so tile bounding boxes are tighter -> more skipped tile
     # pairs: -13%/-18%/-18% kernel time at N=10k/50k/100k with the 30 m
@@ -242,6 +251,7 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                          interpret=cfg.pallas_interpret, planar_out=True,
                          exact_div=cfg.pallas_exact_div,
                          vmem_mb=cfg.pallas_vmem_mb)
+            sym = cfg.pallas_symmetric and axis_name is None
             if cfg.interaction_cutoff is not None:
                 # composes with agent-sharding: per-device Morton sort +
                 # ring/gather column comm with rotated tile bboxes
@@ -254,13 +264,14 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                     axis_comm=cfg.axis_comm if axis_name else "gather",
                     spatial_order=cfg.spatial_order,
                     compact=cfg.pallas_compact,
-                    max_surv=cfg.pallas_max_surv, **tiles)
+                    max_surv=cfg.pallas_max_surv, symmetric=sym, **tiles)
             else:
                 terms["pedestrian_force"] = pedestrian_force_pallas(
                     (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),
                     state.radius, state.alive,
                     params.pedestrian, use_ped_radius=params.use_ped_radius,
-                    axis_name=axis_name, axis_comm=cfg.axis_comm, **tiles)
+                    axis_name=axis_name, axis_comm=cfg.axis_comm,
+                    symmetric=sym, **tiles)
         else:
             terms["pedestrian_force"] = split_xy(forces.pedestrian_force(
                 _pos2(), _vel2(), state.radius, state.alive,

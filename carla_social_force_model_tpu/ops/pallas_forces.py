@@ -229,6 +229,83 @@ def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
                    alu_recip=alu_recip)
 
 
+def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
+                     px_r, py_r, vx_r, vy_r, rad_r,
+                     px_c, py_c, vx_c, vy_c, rad_c,
+                     fx_ref, fy_ref, fxc_ref, fyc_ref, *,
+                     use_radius, tr, tc, cutoff, exact_div, alu_exp,
+                     alu_recip):
+    """Newton's-third-law pair kernel: each unordered pair is computed ONCE.
+
+    The Moussaid pair force is exactly antisymmetric (f_ji == -f_ij in f32:
+    every intermediate is sign-exact under the i<->j swap -- diff, dv and t
+    negate exactly, d2/t2/cross/dot/theta/B are invariant), so the kernel
+    walks only tile pairs that contain some col_gid > row_gid (the ``surv``
+    table -- static upper-triangle for the dense launch, bbox-hits ANDed
+    with the triangle for the compacted cutoff launch), masks pairs at or
+    below the diagonal, and accumulates each pair's force twice: +f into
+    the row block (revisited per row tile, as the dense kernel does) and
+    -f into a ``(1, n_cols)`` column accumulator that lives in VMEM for the
+    whole launch (constant-index output block).  Halves the pairwise
+    EUP+ALU work; the result equals the dense kernel up to f32 summation
+    order.  Single-device / all-gathered columns only (a remote row cannot
+    be accumulated locally).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        fxc_ref[...] = jnp.zeros_like(fxc_ref)
+        fyc_ref[...] = jnp.zeros_like(fyc_ref)
+
+    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
+    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+
+    jj = surv_ref[j, i]
+    run = jj >= 0
+    if cutoff is not None:
+        # bbox skip for the static-triangle launch (the compacted launch
+        # pre-filtered, in which case this re-test is always true)
+        gx = jnp.maximum(jnp.maximum(cbb_ref[0, jj] - rbb_ref[1, i],
+                                     rbb_ref[0, i] - cbb_ref[1, jj]), 0.0)
+        gy = jnp.maximum(jnp.maximum(cbb_ref[2, jj] - rbb_ref[3, i],
+                                     rbb_ref[2, i] - cbb_ref[3, jj]), 0.0)
+        run = run & (gx * gx + gy * gy <= cutoff * cutoff)
+
+    @pl.when(run)
+    def _compute():
+        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+                   fx_ref, fy_ref,
+                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
+                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
+                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                   alu_recip=alu_recip,
+                   sym=(i * tr, jj * tc, fxc_ref, fyc_ref))
+
+
+def _triangle_table(n_row_tiles: int, n_col_tiles: int, tr: int, tc: int):
+    """Static (max_surv, n_row_tiles) upper-triangle launch table for the
+    symmetric kernel: row tile i's surviving column tiles are those that
+    contain any col_gid > row_gid, i.e. j*tc + tc - 1 > i*tr.  numpy
+    (trace-time constant); -1-padded like ``spatial.surv_table``."""
+    import numpy as np
+    # smallest j with j*tc + tc - 1 > i*tr  <=>  j >= ceil((i*tr+2-tc)/tc)
+    # = floor((i*tr + 1) / tc)
+    first = (np.arange(n_row_tiles) * tr + 1) // tc
+    first = np.minimum(first, n_col_tiles)          # rows past all columns
+    width = int((n_col_tiles - first).max()) if n_row_tiles else 0
+    tbl = first[:, None] + np.arange(max(width, 1))[None, :]
+    tbl = np.where(tbl < n_col_tiles, tbl, -1).astype(np.int32)
+    return tbl.T  # transposed for SMEM (see _pair_kernel_compact)
+
+
 def _bbox_hits(row_bb, col_bb, cutoff: float):
     """(R, C) bool: is the gap between row tile i's and column tile j's
     bounding boxes within the cutoff?  The jnp twin of the in-kernel test
@@ -248,7 +325,7 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
                xj, yj, vxj, vyj, rad_c,
                fx_ref, fy_ref, *, lam, A, gamma, n, n_prime, epsilon,
                use_radius, tr, tc, cutoff, exact_div, alu_exp=False,
-               alu_recip=False):
+               alu_recip=False, sym=None):
     # row vectors are (TR, 1) arrays, column vectors (1, TC) arrays: the
     # broadcast to (TR, TC) needs no sublane<->lane relayout in the kernel
     dx = xj - xi                       # (TR, TC), x_j - x_i
@@ -286,6 +363,13 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
     # and B == 0 (zero interaction vector at d > 0) drives common to -inf
     # through rt = rsqrt(tiny).  One compare, no index bookkeeping.
     ok = d2 > 0.0
+    if sym is not None:
+        # Newton's-third-law mode (_pair_kernel_sym): compute each unordered
+        # pair once -- only pairs strictly above the diagonal
+        row_gid0, col_gid0, _, _ = sym
+        row_gid = row_gid0 + jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
+        col_gid = col_gid0 + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+        ok = ok & (col_gid > row_gid)
     if use_radius:
         # with radii subtracted, d can be negative while t2 == 0 (zero
         # interaction vector): common would be +inf -> exp overflow -> NaN,
@@ -315,6 +399,13 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
     fy = f_v * ty + f_t * tx
     fx_ref[...] += jnp.sum(fx, axis=1, keepdims=True)
     fy_ref[...] += jnp.sum(fy, axis=1, keepdims=True)
+    if sym is not None:
+        # the mirrored (j, i) pairs: f_ji == -f_ij exactly, accumulated into
+        # the launch-resident (1, n_cols) column block at this tile's offset
+        _, col_gid0, fxc_ref, fyc_ref = sym
+        idx = (slice(None), pl.ds(col_gid0, tc))
+        fxc_ref[idx] -= jnp.sum(fx, axis=0, keepdims=True)
+        fyc_ref[idx] -= jnp.sum(fy, axis=0, keepdims=True)
 
 
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
@@ -329,7 +420,8 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             alu_recip: bool = False,
                             vmem_mb: int = 32,
                             compact: bool = False,
-                            max_surv: int = 0):
+                            max_surv: int = 0,
+                            symmetric: bool = False):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
@@ -365,6 +457,14 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     cutoff (large N / large worlds); applies to the single-device and
     ``"gather"`` paths (the ring paths rotate column blocks, so their grid
     is already shard-sized).
+
+    ``symmetric``: Newton's-third-law launch -- the Moussaid pair force is
+    exactly antisymmetric, so each unordered pair is computed once and
+    accumulated as +f to its row and -f to its column, halving the pairwise
+    transcendental+ALU work (see :func:`_pair_kernel_sym`).  Equal to the
+    non-symmetric kernel up to f32 summation order.  Single-device only
+    (under sharding the mirrored row lives on another device); composes
+    with ``cutoff`` and ``compact``.
 
     Dead/padded agents are staged at a far sentinel so their interactions
     underflow to zero with no per-pair masking; positions must stay below
@@ -450,6 +550,11 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             # vs +26%/+51%/7x at N=50k/100k/1M (98/196/1954 tiles).
             ms = min(n_c_tiles, 32)
             engage = n_c_tiles > max(2 * ms, 64)
+        use_sym = symmetric and axis_name is None
+        if use_sym:
+            import numpy as np
+            n_r_tiles = n_rows // tr
+            tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles, tr, tc))
         if compact and cutoff is not None and engage:
             # compacted grid: build the tile-pair hit matrix in jnp each
             # step and launch only surviving column tiles per row tile --
@@ -460,15 +565,40 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             # keeps the force independent of the table either way.
             from .spatial import surv_table
             hits = _bbox_hits(row_bb, col_bb, float(cutoff))
-            surv, fits = surv_table(hits, ms)
-            surv_t = surv.T  # (ms, n_row_tiles): SMEM minor-dim padding
-            fx, fy = jax.lax.cond(
-                fits,
-                lambda: call(row_args, row_bb, col_args, col_bb,
-                             surv=surv_t),
-                lambda: call(row_args, row_bb, col_args, col_bb))
+            if use_sym:
+                # intersect with the (static) upper triangle: the sym
+                # kernel only ever needs tiles containing col_gid > row_gid
+                triu = np.asarray(
+                    (np.arange(n_c_tiles)[None, :] * tc + tc - 1)
+                    > (np.arange(n_r_tiles)[:, None] * tr))
+                surv, fits = surv_table(hits & jnp.asarray(triu), ms)
+                out = jax.lax.cond(
+                    fits,
+                    lambda: call(row_args, row_bb, col_args, col_bb,
+                                 surv=surv.T, sym=True),
+                    lambda: call(row_args, row_bb, col_args, col_bb,
+                                 surv=tri, sym=True))
+            else:
+                surv, fits = surv_table(hits, ms)
+                surv_t = surv.T  # (ms, n_row_tiles): SMEM minor-dim padding
+                out = jax.lax.cond(
+                    fits,
+                    lambda: call(row_args, row_bb, col_args, col_bb,
+                                 surv=surv_t),
+                    lambda: call(row_args, row_bb, col_args, col_bb))
+        elif use_sym:
+            out = call(row_args, row_bb, col_args, col_bb, surv=tri,
+                       sym=True)
         else:
-            fx, fy = call(row_args, row_bb, col_args, col_bb)
+            out = call(row_args, row_bb, col_args, col_bb)
+        if use_sym:
+            fxr, fyr, fxc, fyc = out
+            # combine the row-accumulated halves with the mirrored column
+            # halves (padding widths differ; only [:n] slots are real)
+            fx = fxr[:n] + fxc[0, :n, None]
+            fy = fyr[:n] + fyc[0, :n, None]
+        else:
+            fx, fy = out
 
     if planar_out:
         return fx[:n, 0].astype(px.dtype), fy[:n, 0].astype(py.dtype)
@@ -505,15 +635,24 @@ def _params_vec(p) -> jnp.ndarray:
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
                prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
-               alu_exp=False, alu_recip=False, vmem_mb=32, surv=None):
+               alu_exp=False, alu_recip=False, vmem_mb=32, surv=None,
+               sym=False):
     """One kernel launch over a (n_rows x n_cols) slab of staged state.
 
     ``surv=None`` runs the dense grid (every (row-tile, col-tile) pair a
     grid step, skipped in-kernel by the bbox test when a cutoff is set); a
     (n_row_tiles, max_surv) int32 ``surv`` runs the compacted grid over
-    surviving column tiles only, fetched through surv-indexed index maps."""
+    surviving column tiles only, fetched through surv-indexed index maps.
+
+    ``sym`` (requires ``surv``, built from/intersected with the upper
+    triangle): Newton's-third-law launch -- each unordered pair computed
+    once, with the mirrored forces accumulated into two extra
+    ``(1, n_cols)`` outputs (see :func:`_pair_kernel_sym`).  Returns
+    ``(fx_rows, fy_rows, fx_cols, fy_cols)``."""
     n_rows = row_args[0].shape[0]
     n_cols = col_args[0].shape[1]
+    if sym and surv is None:
+        raise ValueError("sym launches need a (triangle) surv table")
 
     # index maps receive (i, j, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec -- swallow the scalar refs
@@ -543,34 +682,48 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
 
         col_spec = pl.BlockSpec((1, tc), _surv_map,
                                 memory_space=pltpu.VMEM)
-        kern = _pair_kernel_compact
+        kern = _pair_kernel_sym if sym else _pair_kernel_compact
 
     kernel = functools.partial(
         kern, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None,
         exact_div=exact_div, alu_exp=alu_exp, alu_recip=alu_recip)
 
+    out_shapes = [jax.ShapeDtypeStruct((n_rows, 1), jnp.float32)] * 2
+    out_specs = [out_spec, out_spec]
+    if sym:
+        # the column accumulators: one block, constant index map -> resident
+        # in VMEM across the whole launch, written back once at the end
+        col_out = pl.BlockSpec((1, n_cols), lambda i, j, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+        out_shapes += [jax.ShapeDtypeStruct((1, n_cols), jnp.float32)] * 2
+        out_specs += [col_out, col_out]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=grid,
         in_specs=[row_spec] * 5 + [col_spec] * 5,
-        out_specs=(out_spec, out_spec),
+        out_specs=tuple(out_specs),
     )
+    pair_scale = 0.5 if sym else 1.0
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n_rows, 1), jnp.float32)),
+        out_shape=tuple(out_shapes),
         cost_estimate=pl.CostEstimate(
-            flops=int(40 * n_rows * grid[1] * tc),
+            flops=int(40 * n_rows * grid[1] * tc * pair_scale),
             bytes_accessed=int(4 * 8 * (n_rows * grid[1]
                                         + grid[1] * tc * grid[0])),
-            transcendentals=int(5 * n_rows * grid[1] * tc)),
+            transcendentals=int(5 * n_rows * grid[1] * tc * pair_scale)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) * 1024 * 1024,
             # row tiles are independent; only the column dimension revisits
-            # the output block (accumulation), so it must stay "arbitrary"
-            dimension_semantics=("parallel", "arbitrary")),
+            # the row output block (accumulation), so it must stay
+            # "arbitrary".  The sym launch also accumulates the column
+            # block across ROW tiles, so there both dimensions are
+            # "arbitrary" (single-core v5e: the grid is sequential anyway).
+            dimension_semantics=(("arbitrary" if sym else "parallel"),
+                                 "arbitrary")),
         interpret=interpret,
     )(*prefetch, *row_args, *col_args)
 
@@ -589,7 +742,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    vmem_mb: int = 32,
                                    spatial_order: str = "hilbert",
                                    compact: bool = False,
-                                   max_surv: int = 0):
+                                   max_surv: int = 0,
+                                   symmetric: bool = False):
     """Locality-sorted cutoff kernel: sort agents along a space-filling
     curve so kernel tiles are spatially tight, run the cutoff kernel,
     scatter the forces back to the original slot order.  The result equals
@@ -615,7 +769,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         interpret=interpret, cutoff=cutoff, axis_name=axis_name,
         axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
         alu_exp=alu_exp, alu_recip=alu_recip,
-        vmem_mb=vmem_mb, compact=compact, max_surv=max_surv)
+        vmem_mb=vmem_mb, compact=compact, max_surv=max_surv,
+        symmetric=symmetric)
     if planar_out:
         fx, fy = force
         return fx[inv], fy[inv]

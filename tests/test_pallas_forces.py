@@ -553,3 +553,83 @@ def test_alu_exp_recip_match_hardware_paths():
         np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                    rtol=2e-5, atol=1e-4)
         assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(), dict(use_ped_radius=True), dict(cutoff=15.0),
+    dict(cutoff=15.0, compact=True, max_surv=4)])
+def test_symmetric_kernel_matches_dense(kw):
+    """Newton's-third-law launch (symmetric=True): each unordered pair
+    computed once, mirrored as -f to its column -- must equal the dense
+    kernel up to f32 summation order across all kernel variants.  n=1000
+    exercises uneven row/col padding (1056 rows vs 1024 cols at 8/128
+    tiles scaled down: 1000 -> 1000/8 vs 1000/128 tiling)."""
+    kw = dict(kw)
+    upr = kw.pop("use_ped_radius", False)
+    rng = np.random.default_rng(23)
+    for n in (130, 1000):
+        pos = jnp.asarray(rng.uniform(0, 40, (n, 2)), jnp.float32)
+        vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+        rad = jnp.asarray(rng.uniform(0.2, 0.4, n), jnp.float32)
+        alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+        p = MoussaidParams()
+        base = pedestrian_force_pallas(pos, vel, rad, alive, p,
+                                       use_ped_radius=upr, row_tile=8,
+                                       col_tile=128, interpret=True, **kw)
+        got = pedestrian_force_pallas(pos, vel, rad, alive, p,
+                                      use_ped_radius=upr, row_tile=8,
+                                      col_tile=128, interpret=True,
+                                      symmetric=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-4, atol=2e-4)
+        assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
+
+
+def test_symmetric_kernel_under_vmap_sweep():
+    """Parameter sweeps vmap over MoussaidParams leaves; the symmetric
+    launch's static triangle table must stay constant under the batch."""
+    import jax
+    rng = np.random.default_rng(5)
+    n = 200
+    pos = jnp.asarray(rng.uniform(0, 30, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    rad = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.ones((n,), bool)
+    As = jnp.asarray([2.0, 4.5, 7.0], jnp.float32)
+
+    def f(a, sym):
+        import dataclasses
+        p = dataclasses.replace(MoussaidParams(), A=a)
+        return pedestrian_force_pallas(pos, vel, rad, alive, p, row_tile=8,
+                                       col_tile=128, interpret=True,
+                                       symmetric=sym)
+    base = jax.vmap(lambda a: f(a, False))(As)
+    got = jax.vmap(lambda a: f(a, True))(As)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_symmetric_ignored_under_sharding():
+    """symmetric=True under an axis_name falls back to the non-symmetric
+    comm paths (the mirrored row lives on another device)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    n_dev = min(4, jax.device_count())
+    n = 64 * n_dev
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.uniform(-30, 30, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    rad = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    kw = dict(row_tile=8, col_tile=128, interpret=True)
+    want = pedestrian_force_pallas(pos, vel, rad, alive, p, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("agents",))
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas(
+            *a, p, axis_name="agents", symmetric=True, **kw),
+        mesh=mesh, in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+        check_vma=False)
+    got = jax.jit(fn)(pos, vel, rad, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -28,6 +28,8 @@ def main():
     cutoff = float(sys.argv[3]) if len(sys.argv) > 3 else None
     alu_exp = os.environ.get("ALU_EXP", "0") == "1"
     alu_recip = os.environ.get("ALU_RECIP", "0") == "1"
+    sym = os.environ.get("SYM", "0") == "1"
+    compact = os.environ.get("COMPACT", "0") == "1"
     tr, tc = (int(v) for v in os.environ.get("TILES", "192x512").split("x"))
 
     import jax
@@ -47,7 +49,8 @@ def main():
     alive = jnp.ones((n,), bool)
     p = MoussaidParams()
     kw = dict(row_tile=tr, col_tile=tc, planar_out=True,
-              alu_exp=alu_exp, alu_recip=alu_recip)
+              alu_exp=alu_exp, alu_recip=alu_recip, symmetric=sym,
+              compact=compact)
 
     @jax.jit
     def run(px, py, vx, vy):
@@ -76,6 +79,7 @@ def main():
     print(json.dumps({
         "what": "alu_kernel", "n": n, "steps": steps, "cutoff": cutoff,
         "tiles": f"{tr}x{tc}", "alu_exp": alu_exp, "alu_recip": alu_recip,
+        "sym": sym, "compact": compact,
         "ms_per_step": round(ms, 4),
         "agent_steps_per_s": round(n / (ms / 1e3), 1)}))
 
