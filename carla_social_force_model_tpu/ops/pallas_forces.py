@@ -57,6 +57,12 @@ _ATAN_C = (9.9999989775e-01, -3.3331959724e-01, 1.9969235395e-01,
            2.4166189522e-02, -4.6687733076e-03)
 
 
+#: static-triangle-table size bound for the symmetric launch, in table
+#: entries: must fit SMEM alongside the bboxes (4 B/entry vs the 1 MB
+#: v5e SMEM) and stay out of the compiled program's constant budget (a
+#: 10M-entry table at N=1M measured a 74 MB MLIR remote-compile failure)
+_TRI_TABLE_MAX = 128 * 1024
+
 #: near-minimax fit of 2^f on [-0.5, 0.5], degree 6 (rel err 6.2e-9 -- below
 #: the f32 ulp), for the ALU exp below
 _EXP2_C = (9.9999999997e-01, 6.9314720007e-01, 2.4022651101e-01,
@@ -551,10 +557,26 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             ms = min(n_c_tiles, 32)
             engage = n_c_tiles > max(2 * ms, 64)
         use_sym = symmetric and axis_name is None
+        tri = None
         if use_sym:
             import numpy as np
             n_r_tiles = n_rows // tr
-            tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles, tr, tc))
+            # the static triangle table must fit SMEM (and not bloat the
+            # compiled program: at N=1M it would be a 40 MB constant --
+            # measured remote-compile failure).  Above the bound the
+            # compacted launch still runs symmetric (its per-step table is
+            # max_surv-wide) with a plain-dense overflow fallback; the
+            # dense launches drop to the non-symmetric kernel.
+            if n_r_tiles * n_c_tiles <= _TRI_TABLE_MAX:
+                tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles,
+                                                  tr, tc))
+
+        def _dense_as_sym():
+            # non-symmetric dense grid wrapped to the sym output signature
+            # (full row sums; zero column parts)
+            fx, fy = call(row_args, row_bb, col_args, col_bb)
+            z = jnp.zeros((1, n_cols), jnp.float32)
+            return fx, fy, z, z
         if compact and cutoff is not None and engage:
             # compacted grid: build the tile-pair hit matrix in jnp each
             # step and launch only surviving column tiles per row tile --
@@ -568,16 +590,18 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             if use_sym:
                 # intersect with the (static) upper triangle: the sym
                 # kernel only ever needs tiles containing col_gid > row_gid
-                triu = np.asarray(
+                triu = jnp.asarray(
                     (np.arange(n_c_tiles)[None, :] * tc + tc - 1)
                     > (np.arange(n_r_tiles)[:, None] * tr))
-                surv, fits = surv_table(hits & jnp.asarray(triu), ms)
+                surv, fits = surv_table(hits & triu, ms)
+                fallback = ((lambda: call(row_args, row_bb, col_args,
+                                          col_bb, surv=tri, sym=True))
+                            if tri is not None else _dense_as_sym)
                 out = jax.lax.cond(
                     fits,
                     lambda: call(row_args, row_bb, col_args, col_bb,
                                  surv=surv.T, sym=True),
-                    lambda: call(row_args, row_bb, col_args, col_bb,
-                                 surv=tri, sym=True))
+                    fallback)
             else:
                 surv, fits = surv_table(hits, ms)
                 surv_t = surv.T  # (ms, n_row_tiles): SMEM minor-dim padding
@@ -586,10 +610,11 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                     lambda: call(row_args, row_bb, col_args, col_bb,
                                  surv=surv_t),
                     lambda: call(row_args, row_bb, col_args, col_bb))
-        elif use_sym:
+        elif use_sym and tri is not None:
             out = call(row_args, row_bb, col_args, col_bb, surv=tri,
                        sym=True)
         else:
+            use_sym = False
             out = call(row_args, row_bb, col_args, col_bb)
         if use_sym:
             fxr, fyr, fxc, fyc = out

@@ -633,3 +633,30 @@ def test_symmetric_ignored_under_sharding():
     got = jax.jit(fn)(pos, vel, rad, alive)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_symmetric_table_bound_fallbacks(monkeypatch):
+    """Above the static-triangle-table bound (N=1M would bake a 40 MB
+    constant -- measured remote-compile failure) the dense launches drop
+    to the non-symmetric kernel and the compacted launch's overflow
+    fallback runs the plain dense grid wrapped in the sym signature."""
+    from carla_social_force_model_tpu.ops import pallas_forces as PF
+    rng = np.random.default_rng(31)
+    n = 400
+    pos = jnp.asarray(rng.uniform(0, 40, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    rad = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    kw = dict(row_tile=8, col_tile=128, interpret=True)
+    monkeypatch.setattr(PF, "_TRI_TABLE_MAX", 1)
+    base = PF.pedestrian_force_pallas(pos, vel, rad, alive, p, **kw)
+    got = PF.pedestrian_force_pallas(pos, vel, rad, alive, p,
+                                     symmetric=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    b_cut = PF.pedestrian_force_pallas(pos, vel, rad, alive, p,
+                                       cutoff=15.0, **kw)
+    g_cut = PF.pedestrian_force_pallas(pos, vel, rad, alive, p, cutoff=15.0,
+                                       compact=True, max_surv=1,
+                                       symmetric=True, **kw)
+    np.testing.assert_array_equal(np.asarray(g_cut), np.asarray(b_cut))
