@@ -22,7 +22,8 @@ reference itself is real-time paced at N*20 agent-steps/sec, BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; locality-sorted cutoff on
-the Pallas path), BENCH_BATCH (ensemble only).
+the Pallas path), BENCH_BATCH (ensemble only), BENCH_SYM ("0" disables the
+symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES.
 """
 import json
 import os
@@ -48,6 +49,9 @@ COMPACT = os.environ.get("BENCH_COMPACT", "")
 #: very large N wants bigger tiles so the compact survivor table stays
 #: SMEM-sized, see BENCH.md)
 TILES = os.environ.get("BENCH_TILES", "")
+#: Newton's-third-law symmetric launch (default on via StepConfig;
+#: "0" disables for pre-symmetric A/B comparisons)
+SYM = os.environ.get("BENCH_SYM", "")
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
@@ -85,6 +89,8 @@ def run_rollout_mode():
         tr, tc = (int(v) for v in TILES.split("x"))
         cfg = dataclasses.replace(cfg, pallas_row_tile=tr,
                                   pallas_col_tile=tc)
+    if SYM:
+        cfg = dataclasses.replace(cfg, pallas_symmetric=SYM != "0")
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def once(s):
