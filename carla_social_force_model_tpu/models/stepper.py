@@ -152,9 +152,11 @@ class StepConfig:
     # +f to its row / -f to its column -- half the pairwise EUP+ALU work
     # (ops/pallas_forces._pair_kernel_sym).  Equal to the non-symmetric
     # kernel up to f32 summation order.  Applies on single-device rollouts
-    # (under agent-sharding the mirrored row lives on another device, so
-    # the flag is ignored there); composes with the cutoff and the
-    # compacted grid.
+    # and, under agent-sharding, to axis_comm="ring" (the half-ring
+    # schedule: floor(D/2) compute rotations with the mirrored force sums
+    # riding the ring home -- ~2x less pairwise work per device); ignored
+    # under gather comm (the mirrored row lives on another device with no
+    # channel back).  Composes with the cutoff and the compacted grid.
     pallas_symmetric: bool = static_field(default=True)
     # space-filling curve for the cutoff sort: "hilbert" (default; no
     # Z-jumps, so tile bounding boxes are tighter -> more skipped tile
@@ -251,7 +253,12 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                          interpret=cfg.pallas_interpret, planar_out=True,
                          exact_div=cfg.pallas_exact_div,
                          vmem_mb=cfg.pallas_vmem_mb)
-            sym = cfg.pallas_symmetric and axis_name is None
+            # Newton's-third-law launches: single-device, or the half-ring
+            # schedule under ring column comm (ops/pallas_forces.py); under
+            # gather comm the mirrored row lives on another device with no
+            # channel back, so the flag is ignored there
+            sym = cfg.pallas_symmetric and (
+                axis_name is None or cfg.axis_comm == "ring")
             if cfg.interaction_cutoff is not None:
                 # composes with agent-sharding: per-device Morton sort +
                 # ring/gather column comm with rotated tile bboxes

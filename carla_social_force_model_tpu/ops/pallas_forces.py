@@ -296,6 +296,58 @@ def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
                    sym=(i * tr, jj * tc, fxc_ref, fyc_ref))
 
 
+def _pair_kernel_sym_dense(prm_ref, rbb_ref, cbb_ref,
+                           px_r, py_r, vx_r, vy_r, rad_r,
+                           px_c, py_c, vx_c, vy_c, rad_c,
+                           fx_ref, fy_ref, fxc_ref, fyc_ref, *,
+                           use_radius, tr, tc, cutoff, exact_div, alu_exp,
+                           alu_recip):
+    """Symmetric-accumulation kernel over a FULL block: every pair is
+    computed once, +f into the row output and -f into the launch-resident
+    ``(1, n_cols)`` column accumulators.  This is the off-diagonal step of
+    the half-ring schedule (:func:`pedestrian_force_pallas` ``axis_comm=
+    "ring"`` + ``symmetric``): row and column agents belong to *different*
+    shards, so no triangle mask applies -- the whole block is one-sided.
+    Grid/skip semantics otherwise match :func:`_pair_kernel`."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        fxc_ref[...] = jnp.zeros_like(fxc_ref)
+        fyc_ref[...] = jnp.zeros_like(fyc_ref)
+
+    if cutoff is not None:
+        gx = jnp.maximum(jnp.maximum(cbb_ref[0, j] - rbb_ref[1, i],
+                                     rbb_ref[0, i] - cbb_ref[1, j]), 0.0)
+        gy = jnp.maximum(jnp.maximum(cbb_ref[2, j] - rbb_ref[3, i],
+                                     rbb_ref[2, i] - cbb_ref[3, j]), 0.0)
+        run_tile = gx * gx + gy * gy <= cutoff * cutoff
+    else:
+        run_tile = True
+
+    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
+    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+
+    @pl.when(run_tile)
+    def _compute():
+        # row_gid0 far below any col_gid -> the triangle mask inside
+        # _pair_tile is vacuously true (full block, no diagonal here)
+        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+                   fx_ref, fy_ref,
+                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
+                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
+                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                   alu_recip=alu_recip,
+                   sym=(-(1 << 30), j * tc, fxc_ref, fyc_ref))
+
+
 def _triangle_table(n_row_tiles: int, n_col_tiles: int, tr: int, tc: int):
     """Static (max_surv, n_row_tiles) upper-triangle launch table for the
     symmetric kernel: row tile i's surviving column tiles are those that
@@ -468,9 +520,14 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     exactly antisymmetric, so each unordered pair is computed once and
     accumulated as +f to its row and -f to its column, halving the pairwise
     transcendental+ALU work (see :func:`_pair_kernel_sym`).  Equal to the
-    non-symmetric kernel up to f32 summation order.  Single-device only
-    (under sharding the mirrored row lives on another device); composes
-    with ``cutoff`` and ``compact``.
+    non-symmetric kernel up to f32 summation order.  Applies single-device
+    and, with ``axis_comm="ring"``, as a HALF-ring schedule: the diagonal
+    shard pair runs the local triangle launch, only floor(D/2) ring
+    rotations compute full blocks (even-D opposite pairs tie-broken by
+    device id), and the mirrored -f column sums ride an accumulator around
+    the ring back to their home shard -- ~2x less pairwise work per device.
+    Ignored under ``"gather"``/``"ring_kernel"`` comm (no return channel
+    for the mirrored row there).  Composes with ``cutoff`` and ``compact``.
 
     Dead/padded agents are staged at a far sentinel so their interactions
     underflow to zero with no per-pair masking; positions must stay below
@@ -507,21 +564,86 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         n_cols = _round_up(max(n, tc), tc)
         col_1d = _stage(px, py, vx, vy, radius, alive, n_cols)
         blk = (jnp.stack(col_1d), _bboxes(col_1d, alive, n, tc))
+        n_r_tiles, n_c_tiles = n_rows // tr, n_cols // tc
+        sym_ring = (symmetric and n_dev > 1
+                    and n_r_tiles * n_c_tiles <= _TRI_TABLE_MAX)
 
-        def step(carry, _):
-            fx, fy, blk = carry
-            cols, col_bb = blk
-            # issue the permute before the kernel so XLA's async collective
-            # permute overlaps the transfer with this block's compute
-            nxt = jax.tree_util.tree_map(
+        if sym_ring:
+            # Newton's-third-law HALF-ring: the diagonal shard pair runs the
+            # local triangle launch, then only floor(D/2) rotations compute
+            # (for even D the "opposite" block is tie-broken by device id so
+            # each shard pair is computed exactly once).  The mirrored -f
+            # column sums ride an accumulator that travels WITH the block
+            # (added after each compute, then forwarded) and takes one home
+            # hop of +(floor(D/2)+1) at the end -- per-device pairwise work
+            # drops from D blocks to ~D/2 (see BENCH.md "Scaling paths").
+            me = jax.lax.axis_index(axis_name)
+            tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles, tr, tc))
+            col_args0 = [c.reshape(1, n_cols) for c in col_1d]
+            fx0, fy0, fxc0, fyc0 = call(row_args, row_bb, col_args0, blk[1],
+                                        surv=tri, sym=True)
+            s_comp = n_dev // 2
+            tie = n_dev % 2 == 0
+            blk = jax.tree_util.tree_map(
                 lambda a: jax.lax.ppermute(a, axis_name, perm), blk)
-            fxp, fyp = call(row_args, row_bb,
-                            [c.reshape(1, n_cols) for c in cols], col_bb)
-            return (fx + fxp, fy + fyp, nxt), None
 
-        zero = jnp.zeros((n_rows, 1), jnp.float32)
-        (fx, fy, _), _ = jax.lax.scan(step, (zero, zero, blk),
-                                      jnp.arange(n_dev))
+            def step(carry, s):
+                fx, fy, blk, ax, ay = carry
+                cols, col_bb = blk
+                # issue the block permute before the kernel so XLA's async
+                # collective permute overlaps transfer with compute; the
+                # accumulator must be forwarded AFTER this step's add
+                nxt = jax.tree_util.tree_map(
+                    lambda a: jax.lax.ppermute(a, axis_name, perm), blk)
+                col_args = [c.reshape(1, n_cols) for c in cols]
+
+                def compute():
+                    return call(row_args, row_bb, col_args, col_bb,
+                                sym_dense=True)
+
+                def skip():
+                    z = jnp.zeros((n_rows, 1), jnp.float32)
+                    zc = jnp.zeros((1, n_cols), jnp.float32)
+                    return z, z, zc, zc
+
+                if tie:
+                    # step D/2 sees each opposite pair {d, d + D/2} twice;
+                    # the lower id computes it, the higher id idles
+                    fxp, fyp, axp, ayp = jax.lax.cond(
+                        (s < s_comp) | (me < n_dev // 2), compute, skip)
+                else:
+                    fxp, fyp, axp, ayp = compute()
+                ax, ay = jax.lax.ppermute((ax + axp, ay + ayp),
+                                          axis_name, perm)
+                return (fx + fxp, fy + fyp, nxt, ax, ay), None
+
+            zc = jnp.zeros((1, n_cols), jnp.float32)
+            (fx, fy, _, ax, ay), _ = jax.lax.scan(
+                step, (fx0, fy0, blk, zc, zc),
+                1 + jnp.arange(s_comp, dtype=jnp.int32))
+            # block b's accumulator was forwarded once per compute step plus
+            # the pre-rotation: it sits at device (b - s_comp - 1); one hop
+            # of +(s_comp + 1) sends every accumulator home
+            home = [(d, (d + s_comp + 1) % n_dev) for d in range(n_dev)]
+            ax, ay = jax.lax.ppermute((ax, ay), axis_name, home)
+            fx = fx.at[:n, 0].add(fxc0[0, :n] + ax[0, :n])
+            fy = fy.at[:n, 0].add(fyc0[0, :n] + ay[0, :n])
+        else:
+            def step(carry, _):
+                fx, fy, blk = carry
+                cols, col_bb = blk
+                # issue the permute before the kernel so XLA's async
+                # collective permute overlaps the transfer with this
+                # block's compute
+                nxt = jax.tree_util.tree_map(
+                    lambda a: jax.lax.ppermute(a, axis_name, perm), blk)
+                fxp, fyp = call(row_args, row_bb,
+                                [c.reshape(1, n_cols) for c in cols], col_bb)
+                return (fx + fxp, fy + fyp, nxt), None
+
+            zero = jnp.zeros((n_rows, 1), jnp.float32)
+            (fx, fy, _), _ = jax.lax.scan(step, (zero, zero, blk),
+                                          jnp.arange(n_dev))
     else:
         if axis_name is not None:
             g = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)  # noqa: E731
@@ -661,7 +783,7 @@ def _params_vec(p) -> jnp.ndarray:
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
                prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
                alu_exp=False, alu_recip=False, vmem_mb=32, surv=None,
-               sym=False):
+               sym=False, sym_dense=False):
     """One kernel launch over a (n_rows x n_cols) slab of staged state.
 
     ``surv=None`` runs the dense grid (every (row-tile, col-tile) pair a
@@ -673,11 +795,18 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
     triangle): Newton's-third-law launch -- each unordered pair computed
     once, with the mirrored forces accumulated into two extra
     ``(1, n_cols)`` outputs (see :func:`_pair_kernel_sym`).  Returns
-    ``(fx_rows, fy_rows, fx_cols, fy_cols)``."""
+    ``(fx_rows, fy_rows, fx_cols, fy_cols)``.
+
+    ``sym_dense``: the full-block variant for off-diagonal shard pairs of
+    the half-ring schedule -- dense grid, every pair computed once with the
+    mirrored sums in the column accumulators, no triangle (see
+    :func:`_pair_kernel_sym_dense`).  Same 4-output signature as ``sym``."""
     n_rows = row_args[0].shape[0]
     n_cols = col_args[0].shape[1]
     if sym and surv is None:
         raise ValueError("sym launches need a (triangle) surv table")
+    if sym_dense and surv is not None:
+        raise ValueError("sym_dense launches run the dense grid")
 
     # index maps receive (i, j, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec -- swallow the scalar refs
@@ -692,7 +821,7 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
         prefetch = (prm, row_bb, col_bb)
         col_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
                                 memory_space=pltpu.VMEM)
-        kern = _pair_kernel
+        kern = _pair_kernel_sym_dense if sym_dense else _pair_kernel
     else:
         # surv arrives transposed, (max_surv, n_row_tiles) -- see
         # _pair_kernel_compact's SMEM layout note
@@ -716,7 +845,7 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
 
     out_shapes = [jax.ShapeDtypeStruct((n_rows, 1), jnp.float32)] * 2
     out_specs = [out_spec, out_spec]
-    if sym:
+    if sym or sym_dense:
         # the column accumulators: one block, constant index map -> resident
         # in VMEM across the whole launch, written back once at the end
         col_out = pl.BlockSpec((1, n_cols), lambda i, j, *_: (0, 0),
@@ -744,11 +873,11 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
             vmem_limit_bytes=int(vmem_mb) * 1024 * 1024,
             # row tiles are independent; only the column dimension revisits
             # the row output block (accumulation), so it must stay
-            # "arbitrary".  The sym launch also accumulates the column
-            # block across ROW tiles, so there both dimensions are
+            # "arbitrary".  The sym/sym_dense launches also accumulate the
+            # column block across ROW tiles, so there both dimensions are
             # "arbitrary" (single-core v5e: the grid is sequential anyway).
-            dimension_semantics=(("arbitrary" if sym else "parallel"),
-                                 "arbitrary")),
+            dimension_semantics=(("arbitrary" if (sym or sym_dense)
+                                  else "parallel"), "arbitrary")),
         interpret=interpret,
     )(*prefetch, *row_args, *col_args)
 

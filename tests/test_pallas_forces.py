@@ -660,3 +660,76 @@ def test_symmetric_table_bound_fallbacks(monkeypatch):
                                        compact=True, max_surv=1,
                                        symmetric=True, **kw)
     np.testing.assert_array_equal(np.asarray(g_cut), np.asarray(b_cut))
+
+
+@pytest.mark.parametrize("n_shards,cutoff,use_radius", [
+    (8, None, False), (8, 15.0, False), (3, None, False), (2, 20.0, True)])
+def test_symmetric_half_ring_matches_single_device(n_shards, cutoff,
+                                                   use_radius):
+    """Newton's-third-law HALF-ring (axis_comm='ring' + symmetric): the
+    diagonal shard pair runs the local triangle launch, floor(D/2) ring
+    rotations compute full blocks once (even-D opposite pairs tie-broken by
+    device id), and the mirrored -f sums ride an accumulator home -- must
+    equal the single-device kernel on even, odd, and two-device rings,
+    with a cutoff and with radii."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+
+    n = 24 * n_shards
+    rng = np.random.default_rng(5 + n_shards)
+    pos = jnp.asarray(rng.uniform(-25, 25, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(0.2, 0.4, (n,)), jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.85)
+    p = MoussaidParams()
+    # small col tiles so each ring block spans multiple column tiles (the
+    # triangle table and the column accumulator cross tile boundaries)
+    kw = dict(row_tile=8, col_tile=16, interpret=True, cutoff=cutoff,
+              use_ped_radius=use_radius)
+    want = pedestrian_force_pallas(pos, vel, radius, alive, p, **kw)
+
+    mesh = make_mesh(n_agent_shards=n_shards)
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas(
+            *a, p, axis_name="agents", axis_comm="ring", symmetric=True,
+            **kw),
+        mesh=mesh, in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+        check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=3e-5)
+    assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
+
+
+def test_symmetric_half_ring_sorted_cutoff():
+    """The half-ring composes with the per-device locality sort (the
+    production multi-chip cutoff configuration): sorted + sharded +
+    symmetric == single-device sorted cutoff kernel."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+    from carla_social_force_model_tpu.ops.pallas_forces import (
+        pedestrian_force_pallas_sorted)
+
+    n, cutoff = 96, 18.0
+    rng = np.random.default_rng(17)
+    pos = jnp.asarray(rng.uniform(-40, 40, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    kw = dict(row_tile=8, col_tile=16, interpret=True)
+
+    want = pedestrian_force_pallas_sorted(pos, vel, radius, alive, p,
+                                          cutoff=cutoff, **kw)
+    mesh = make_mesh(n_agent_shards=8)
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas_sorted(
+            *a, p, cutoff=cutoff, axis_name="agents", axis_comm="ring",
+            symmetric=True, **kw),
+        mesh=mesh, in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+        check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=3e-5)
