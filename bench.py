@@ -52,6 +52,10 @@ TILES = os.environ.get("BENCH_TILES", "")
 #: Newton's-third-law symmetric launch (default on via StepConfig;
 #: "0" disables for pre-symmetric A/B comparisons)
 SYM = os.environ.get("BENCH_SYM", "")
+#: analytic border geometry ("1" enables StepConfig.env_analytic: closest
+#: point ON Douglas-Peucker-simplified segments instead of the reference's
+#: 0.1 m sampled argmin -- see BENCH.md accuracy notes)
+ENV_ANALYTIC = os.environ.get("BENCH_ENV_ANALYTIC", "")
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 BASELINE_AGENT_STEPS_PER_SEC = 1_000_000.0
 
@@ -91,6 +95,8 @@ def run_rollout_mode():
                                   pallas_col_tile=tc)
     if SYM:
         cfg = dataclasses.replace(cfg, pallas_symmetric=SYM != "0")
+    if ENV_ANALYTIC:
+        cfg = dataclasses.replace(cfg, env_analytic=ENV_ANALYTIC != "0")
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def once(s):

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-compact", action="store_true", default=None,
                    help="compacted env-kernel grid (best for sparse street-"
                         "network borders, see BENCH.md)")
+    p.add_argument("--env-analytic", action="store_true", default=None,
+                   help="analytic border geometry: closest point ON Douglas-"
+                        "Peucker-simplified segments instead of the "
+                        "reference's 0.1 m sampled argmin (~10x less border "
+                        "work; deviation bounded by the sampling "
+                        "quantization, see PARITY.md/BENCH.md)")
     p.add_argument("--pallas-compact", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="compacted pairwise-kernel grid (takes effect with "
@@ -138,6 +144,7 @@ def main(argv=None) -> int:
                 "pallas_vmem_mb": args.vmem_mb,
                 "spatial_order": args.spatial_order,
                 "env_compact": args.env_compact,
+                "env_analytic": args.env_analytic,
                 "pallas_compact": args.pallas_compact,
                 "pallas_symmetric": args.symmetric})
 

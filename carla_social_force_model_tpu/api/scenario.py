@@ -402,6 +402,7 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         pallas_vmem_mb=int(eng.get("pallas_vmem_mb", 32)),
         spatial_order=str(eng.get("spatial_order", "hilbert")),
         env_compact=bool(eng.get("env_compact", False)),
+        env_analytic=bool(eng.get("env_analytic", False)),
         env_max_surv=int(eng.get("env_max_surv", 0)),
         pallas_compact=bool(eng.get("pallas_compact", True)),
         pallas_max_surv=int(eng.get("pallas_max_surv", 0)),

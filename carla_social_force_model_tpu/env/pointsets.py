@@ -114,6 +114,158 @@ def segment_major(pset: ChunkedPointSet | None,
     )
 
 
+@pytree_dataclass
+class SegmentGeomSet:
+    """Analytic per-section line-segment geometry (the ``env_analytic``
+    tier, ops/pallas_env.py).
+
+    The reference approximates each border section by 0.1 m-sampled points
+    and takes ``np.argmin`` over them (obstacles.py sampling;
+    forces.py:154-155) -- the sampled argmin is therefore itself a
+    quantization of the true wall geometry.  This container instead stores
+    each section as up to ``M`` line segments (Douglas-Peucker-simplified
+    vertices of the same polyline), and the analytic kernels compute the
+    exact closest point ON the segments: ~kk/M times less work per
+    (section, pedestrian) pair (kk = sampled points per section, typically
+    512; M typically 8), and *more* faithful to the underlying geometry
+    than the sampled path.  Padding segments carry ``ax = PAD_COORD`` and
+    ``ux = inv_len2 = 0`` so their closest point is the PAD sentinel
+    (masked by distance); degenerate single-point sections are segments
+    with ``ux = uy = 0`` whose closest point is the point itself.
+    """
+
+    ax: jnp.ndarray            # (S, M) f32 segment start x
+    ay: jnp.ndarray            # (S, M)
+    ux: jnp.ndarray            # (S, M) segment vector (b - a) x
+    uy: jnp.ndarray            # (S, M)
+    inv_len2: jnp.ndarray      # (S, M) 1 / |u|^2 (0 for degenerate/padding)
+    centers: jnp.ndarray       # (S, 2) per-segment filter center
+    filter_radius: jnp.ndarray  # (S,) per-segment filter radius
+    num_segments: int = static_field()
+
+    @property
+    def max_segments(self) -> int:
+        return self.ax.shape[1]
+
+
+def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Indices of the Douglas-Peucker-simplified vertices of a polyline.
+
+    Iterative (stack-based); keeps the first and last point and every point
+    whose perpendicular distance to the current chord exceeds ``tol``.
+    """
+    n = pts.shape[0]
+    keep = np.zeros((n,), dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        u = b - a
+        seg = pts[i + 1: j] - a
+        len2 = float(u @ u)
+        if len2 == 0.0:
+            d2 = np.einsum("ij,ij->i", seg, seg)
+        else:
+            cross = seg[:, 0] * u[1] - seg[:, 1] * u[0]
+            d2 = cross * cross / len2
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return np.flatnonzero(keep)
+
+
+def analytic_split(pset: ChunkedPointSet | None, tol: float = 1e-3,
+                   max_segments: int = 8,
+                   ) -> tuple[SegmentGeomSet | None, ChunkedPointSet | None]:
+    """Split a point set into (analytic geometry, sampled remainder).
+
+    Sections whose sampled polyline Douglas-Peucker-simplifies (at ``tol``
+    meters) to at most ``max_segments`` line segments move to a
+    :class:`SegmentGeomSet`; the rest (tightly curved outlines where
+    simplification buys nothing, e.g. 0.1 m-sampled ellipses) stay sampled.
+    The environment force is a sum over sections, so evaluating the two
+    sets separately and adding is exact (up to f32 summation grouping).
+    Host-side, like :func:`segment_major`.
+    """
+    if pset is None:
+        return None, None
+    pts = np.asarray(pset.points)
+    valid = np.asarray(pset.valid)
+    seg = np.asarray(pset.chunk_segment)
+    centers = np.asarray(pset.centers)
+    radius = np.asarray(pset.filter_radius)
+    s_count = pset.num_segments
+
+    per_seg: list[np.ndarray] = [np.zeros((0, 2), pts.dtype)
+                                 for _ in range(s_count)]
+    for c in range(pts.shape[0]):
+        v = valid[c]
+        if v.any():
+            per_seg[seg[c]] = np.concatenate([per_seg[seg[c]], pts[c][v]],
+                                             axis=0)
+
+    geom: list[tuple[int, np.ndarray]] = []   # (section, (V, 2) vertices)
+    rest: list[int] = []
+    for si, p in enumerate(per_seg):
+        if p.shape[0] == 0:
+            continue
+        if p.shape[0] == 1:
+            geom.append((si, p))
+            continue
+        idx = _douglas_peucker(p.astype(np.float64), tol)
+        if idx.shape[0] - 1 <= max_segments:
+            geom.append((si, p[idx]))
+        else:
+            rest.append(si)
+
+    gset = None
+    if geom:
+        m = max(1, max(v.shape[0] - 1 for _, v in geom))
+        m = -(-m // 8) * 8                     # sublane-tileable rows
+        s_g = len(geom)
+        ax = np.full((s_g, m), PAD_COORD, np.float32)
+        ay = np.full((s_g, m), PAD_COORD, np.float32)
+        ux = np.zeros((s_g, m), np.float32)
+        uy = np.zeros((s_g, m), np.float32)
+        il2 = np.zeros((s_g, m), np.float32)
+        c_g = np.zeros((s_g, 2), np.float32)
+        r_g = np.zeros((s_g,), np.float32)
+        for row, (si, v) in enumerate(geom):
+            nv = v.shape[0]
+            if nv == 1:                        # single-point section
+                ax[row, 0], ay[row, 0] = v[0]
+            else:
+                a, b = v[:-1], v[1:]
+                u = b - a
+                l2 = np.einsum("ij,ij->i", u, u)
+                ax[row, : nv - 1] = a[:, 0]
+                ay[row, : nv - 1] = a[:, 1]
+                ux[row, : nv - 1] = u[:, 0]
+                uy[row, : nv - 1] = u[:, 1]
+                il2[row, : nv - 1] = np.where(l2 > 0.0, 1.0 / np.maximum(
+                    l2, 1e-30), 0.0)
+            c_g[row] = centers[si]
+            r_g[row] = radius[si]
+        gset = SegmentGeomSet(
+            ax=jnp.asarray(ax), ay=jnp.asarray(ay), ux=jnp.asarray(ux),
+            uy=jnp.asarray(uy), inv_len2=jnp.asarray(il2),
+            centers=jnp.asarray(c_g), filter_radius=jnp.asarray(r_g),
+            num_segments=s_g)
+
+    rset = None
+    if rest:
+        rset = build_chunked_pointset(
+            [per_seg[si] for si in rest], centers[rest], radius[rest],
+            chunk_size=pset.chunk_size)
+    return gset, rset
+
+
 def build_chunked_pointset(
     point_lists: Sequence[np.ndarray],
     centers: np.ndarray,

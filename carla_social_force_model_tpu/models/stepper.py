@@ -59,6 +59,12 @@ class Scene:
     # :func:`prepare_scene` (None -> the jnp closest-point path is used)
     borders_seg: object | None = None
     static_obstacles_seg: object | None = None
+    # analytic border geometry for StepConfig.env_analytic: the
+    # Douglas-Peucker line-segment form of the simplifiable border
+    # sections plus the sampled remainder (env/pointsets.analytic_split);
+    # populated by prepare_scene
+    borders_geom: object | None = None
+    borders_seg_rest: object | None = None
 
 
 def prepare_scene(scene: Scene) -> Scene:
@@ -66,10 +72,15 @@ def prepare_scene(scene: Scene) -> Scene:
     environment-force kernels.  Host-side (concrete arrays; call outside
     jit) and idempotent; rollout/sharding/sweep builders call it so every
     entry point gets the fast path automatically."""
-    from ..env.pointsets import segment_major
+    from ..env.pointsets import analytic_split, segment_major
     upd = {}
     if scene.borders is not None and scene.borders_seg is None:
         upd["borders_seg"] = segment_major(scene.borders)
+        if scene.borders_geom is None:
+            gset, rest = analytic_split(scene.borders)
+            upd["borders_geom"] = gset
+            upd["borders_seg_rest"] = (segment_major(rest)
+                                       if rest is not None else None)
     if (scene.static_obstacles is not None
             and scene.static_obstacles_seg is None):
         upd["static_obstacles_seg"] = segment_major(scene.static_obstacles)
@@ -124,6 +135,19 @@ class StepConfig:
     # configs #2/#3), so the default stays dense
     env_compact: bool = static_field(default=False)
     env_max_surv: int = static_field(default=0)
+    # analytic border geometry (env/pointsets.analytic_split): border-family
+    # forces compute the closest point ON Douglas-Peucker-simplified line
+    # segments of each section instead of argmin over the reference's
+    # 0.1 m point sampling -- ~kk/M times less work per (section, ped)
+    # pair (kk = points per section, typically 512; M <= 8 segments).
+    # Sections that do not simplify (tightly curved outlines) stay on the
+    # sampled path and their term is summed, so enabling this changes only
+    # the sampling-quantization error (the analytic distance is the true
+    # polyline distance; the sampled argmin overestimates it by up to
+    # sqrt(d^2 + 0.05^2) - d).  OPT-IN because the sampled argmin IS the
+    # reference's semantic (PARITY.md); the quantization study lives in
+    # BENCH.md.  Requires prepare_scene (populates scene.borders_geom).
+    env_analytic: bool = static_field(default=False)
     # optional interaction cutoff [m] for the Pallas path: agents are
     # Morton-sorted and tile pairs beyond the cutoff are skipped.  None =
     # all pairs (reference semantics).  A cutoff >= 110*gamma*(2*lambda*
@@ -220,7 +244,7 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
             state, scene, params, veh_snap, ped_tile=cfg.env_ped_tile,
             point_tile=cfg.env_point_tile, interpret=cfg.pallas_interpret,
             spatial_order=cfg.spatial_order, compact=cfg.env_compact,
-            max_surv=cfg.env_max_surv)
+            max_surv=cfg.env_max_surv, analytic=cfg.env_analytic)
 
     # (N, 2) assembly for the jnp force paths (parity oracle / CPU); the
     # production Pallas paths consume the planes directly

@@ -85,6 +85,46 @@ def _closest_sel(bx, by, px, py, *, gs, kk):
     return dmin, bxm, bym
 
 
+def _closest_seg(ax, ay, ux, uy, il2, px, py, *, gs, mm):
+    """Per-(section, ped) closest point ON the section's line segments
+    (the ``env_analytic`` tier; see env/pointsets.SegmentGeomSet).
+
+    ``ax``/``ay``/``ux``/``uy``/``il2``: (gs*mm, 1) segment planes (start,
+    vector, 1/|u|^2); ``px``/``py``: (1, tc) ped planes.  Returns
+    ``(dmin2, cxm, cym)`` of shape (gs, tc) with first-occurrence
+    tie-breaking over the section's segments.  Padding segments
+    (ax = PAD_COORD, ux = il2 = 0) project to the PAD sentinel and mask
+    by distance; degenerate single-point sections (ux = uy = 0, il2 = 0)
+    project to the point itself.
+    """
+    dxa = px[...] - ax[...]                    # (gs*mm, tc)
+    dya = py[...] - ay[...]
+    t = jnp.clip((dxa * ux[...] + dya * uy[...]) * il2[...], 0.0, 1.0)
+    cx = ax[...] + t * ux[...]
+    cy = ay[...] + t * uy[...]
+    ddx = px[...] - cx
+    ddy = py[...] - cy
+    tc = ddx.shape[1]
+    d2 = (ddx * ddx + ddy * ddy).reshape(gs, mm, tc)
+    dmin = jnp.min(d2, axis=1)                 # (gs, tc)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (gs, mm, tc), 1)
+    ismin = d2 == dmin[:, None, :]
+    first = jnp.min(jnp.where(ismin, sub, 2**31 - 1), axis=1)
+    sel = ismin & (sub == first[:, None, :])
+    cxm = jnp.min(jnp.where(sel, cx.reshape(gs, mm, tc), _PAD32), axis=1)
+    cym = jnp.min(jnp.where(sel, cy.reshape(gs, mm, tc), _PAD32), axis=1)
+    return dmin, cxm, cym
+
+
+def _closest(pt, px, py, *, gs, kk, analytic):
+    """Dispatch to the sampled-argmin or analytic-segment selector.
+    ``pt``: (bx, by) point planes, or (ax, ay, ux, uy, il2) segment
+    planes; ``kk`` is points-per-segment or segments-per-section."""
+    if analytic:
+        return _closest_seg(*pt, px, py, gs=gs, mm=kk)
+    return _closest_sel(pt[0], pt[1], px, py, gs=gs, kk=kk)
+
+
 def _tile_hit(bb_ref, circ_ref, j, i, gs):
     """Does any segment's filter circle in point tile ``i`` touch ped tile
     ``j``'s bounding box?  Padded segments carry radius^2 = -1 (never hit);
@@ -110,16 +150,17 @@ def _tile_hit(bb_ref, circ_ref, j, i, gs):
     return hit
 
 
-def _exp_tilework(prm_ref, bx, by, cxg, cyg, r2g, px, py, prad,
-                  fx_ref, fy_ref, *, gs, kk, use_radius):
+def _exp_tilework(prm_ref, pt, cxg, cyg, r2g, px, py, prad,
+                  fx_ref, fy_ref, *, gs, kk, use_radius, analytic=False):
     """One (point-tile, ped-tile) accumulation of the exp-magnitude force:
     f = a * exp(-d/b) away from the per-segment closest point, summed over
     in-filter segments (reference forces.py:154-165; the space repulsive
     variant maps a = u0/r, b = r).  ``cxg``/``cyg``/``r2g``: (gs, 1)
-    segment metadata for THIS point tile."""
+    segment metadata for THIS point tile; ``pt``: sampled point planes or
+    analytic segment planes (see :func:`_closest`)."""
     a = prm_ref[0]
     inv_b = prm_ref[1]
-    dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+    dmin, bxm, bym = _closest(pt, px, py, gs=gs, kk=kk, analytic=analytic)
     r = jax.lax.rsqrt(dmin + _TINY)
     d = dmin * r
     if use_radius:
@@ -133,9 +174,10 @@ def _exp_tilework(prm_ref, bx, by, cxg, cyg, r2g, px, py, prad,
     fy_ref[...] += jnp.sum(mag * (py[...] - bym), axis=0, keepdims=True)
 
 
-def _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
+def _moussaid_tilework(prm_ref, pt, cxg, cyg, r2g, ovxg, ovyg,
                        px, py, pvx, pvy, prad,
-                       fx_ref, fy_ref, *, gs, kk, use_radius):
+                       fx_ref, fy_ref, *, gs, kk, use_radius,
+                       analytic=False):
     """One (point-tile, ped-tile) accumulation of the Moussaid interaction
     against the per-segment closest point with relative velocity
     v_ped - v_obstacle (reference forces.py:233-270), using the pairwise
@@ -147,7 +189,7 @@ def _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
     n_prime = prm_ref[4]
     epsilon = prm_ref[5]
 
-    dmin, bxm, bym = _closest_sel(bx, by, px, py, gs=gs, kk=kk)
+    dmin, bxm, bym = _closest(pt, px, py, gs=gs, kk=kk, analytic=analytic)
     dx = bxm - px[...]                     # ped -> obstacle point
     dy = bym - py[...]
     r = jax.lax.rsqrt(dmin + _TINY)
@@ -187,13 +229,19 @@ def _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
     fy_ref[...] += jnp.sum(f_v * ty + f_t * tx, axis=0, keepdims=True)
 
 
-def _exp_kernel(prm_ref, bb_ref, circ_ref,
-                bx, by, cx, cy, r2, px, py, prad,
-                fx_ref, fy_ref, *, gs, kk, use_radius):
+def _exp_kernel(prm_ref, bb_ref, circ_ref, *args, gs, kk, use_radius,
+                analytic=False):
     """Dense-grid exp kernel: every (ped-tile, point-tile) pair is a grid
-    step; the filter-circle/bbox test skips non-interacting pairs."""
+    step; the filter-circle/bbox test skips non-interacting pairs.
+    ``args``: point/segment planes (2 sampled or 5 analytic), cx, cy, r2
+    segment metadata, px, py, prad ped planes, then the two outputs."""
     j = pl.program_id(0)
     i = pl.program_id(1)
+    n_pt = 5 if analytic else 2
+    pt = args[:n_pt]
+    cx, cy, r2 = args[n_pt: n_pt + 3]
+    px, py, prad = args[n_pt + 3: n_pt + 6]
+    fx_ref, fy_ref = args[n_pt + 6: n_pt + 8]
 
     @pl.when(i == 0)
     def _():
@@ -209,17 +257,21 @@ def _exp_kernel(prm_ref, bb_ref, circ_ref,
         cxg = cx[pl.ds(i * gs, gs), :]           # (gs, 1)
         cyg = cy[pl.ds(i * gs, gs), :]
         r2g = r2[pl.ds(i * gs, gs), :]
-        _exp_tilework(prm_ref, bx, by, cxg, cyg, r2g, px, py, prad,
-                      fx_ref, fy_ref, gs=gs, kk=kk, use_radius=use_radius)
+        _exp_tilework(prm_ref, pt, cxg, cyg, r2g, px, py, prad,
+                      fx_ref, fy_ref, gs=gs, kk=kk, use_radius=use_radius,
+                      analytic=analytic)
 
 
-def _moussaid_kernel(prm_ref, bb_ref, circ_ref,
-                     bx, by, cx, cy, r2, ovx, ovy,
-                     px, py, pvx, pvy, prad,
-                     fx_ref, fy_ref, *, gs, kk, use_radius):
+def _moussaid_kernel(prm_ref, bb_ref, circ_ref, *args, gs, kk, use_radius,
+                     analytic=False):
     """Dense-grid Moussaid kernel (see _exp_kernel)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
+    n_pt = 5 if analytic else 2
+    pt = args[:n_pt]
+    cx, cy, r2, ovx, ovy = args[n_pt: n_pt + 5]
+    px, py, pvx, pvy, prad = args[n_pt + 5: n_pt + 10]
+    fx_ref, fy_ref = args[n_pt + 10: n_pt + 12]
 
     @pl.when(i == 0)
     def _():
@@ -233,14 +285,14 @@ def _moussaid_kernel(prm_ref, bb_ref, circ_ref,
         r2g = r2[pl.ds(i * gs, gs), :]
         ovxg = ovx[pl.ds(i * gs, gs), :]
         ovyg = ovy[pl.ds(i * gs, gs), :]
-        _moussaid_tilework(prm_ref, bx, by, cxg, cyg, r2g, ovxg, ovyg,
+        _moussaid_tilework(prm_ref, pt, cxg, cyg, r2g, ovxg, ovyg,
                            px, py, pvx, pvy, prad, fx_ref, fy_ref,
-                           gs=gs, kk=kk, use_radius=use_radius)
+                           gs=gs, kk=kk, use_radius=use_radius,
+                           analytic=analytic)
 
 
-def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
-                        bx, by, cxg, cyg, r2g, px, py, prad,
-                        fx_ref, fy_ref, *, gs, kk, use_radius):
+def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref, *args,
+                        gs, kk, use_radius, analytic=False):
     """Compacted-grid exp kernel: grid slot (j, i) computes the i-th
     SURVIVING point tile of ped tile j (``surv_ref[j, i]``, built per step
     by :func:`_tile_hits`; -1 pads rows with fewer survivors).  Point and
@@ -249,6 +301,11 @@ def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
     the tilework keeps the semantics exact."""
     j = pl.program_id(0)
     i = pl.program_id(1)
+    n_pt = 5 if analytic else 2
+    pt = args[:n_pt]
+    cxg, cyg, r2g = args[n_pt: n_pt + 3]
+    px, py, prad = args[n_pt + 3: n_pt + 6]
+    fx_ref, fy_ref = args[n_pt + 6: n_pt + 8]
 
     @pl.when(i == 0)
     def _():
@@ -257,18 +314,22 @@ def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
 
     @pl.when(surv_ref[j, i] >= 0)
     def _():
-        _exp_tilework(prm_ref, bx, by, cxg[...], cyg[...], r2g[...],
+        _exp_tilework(prm_ref, pt, cxg[...], cyg[...], r2g[...],
                       px, py, prad, fx_ref, fy_ref,
-                      gs=gs, kk=kk, use_radius=use_radius)
+                      gs=gs, kk=kk, use_radius=use_radius,
+                      analytic=analytic)
 
 
-def _moussaid_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
-                             bx, by, cxg, cyg, r2g, ovxg, ovyg,
-                             px, py, pvx, pvy, prad,
-                             fx_ref, fy_ref, *, gs, kk, use_radius):
+def _moussaid_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref, *args,
+                             gs, kk, use_radius, analytic=False):
     """Compacted-grid Moussaid kernel (see _exp_kernel_compact)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
+    n_pt = 5 if analytic else 2
+    pt = args[:n_pt]
+    cxg, cyg, r2g, ovxg, ovyg = args[n_pt: n_pt + 5]
+    px, py, pvx, pvy, prad = args[n_pt + 5: n_pt + 10]
+    fx_ref, fy_ref = args[n_pt + 10: n_pt + 12]
 
     @pl.when(i == 0)
     def _():
@@ -277,10 +338,10 @@ def _moussaid_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref,
 
     @pl.when(surv_ref[j, i] >= 0)
     def _():
-        _moussaid_tilework(prm_ref, bx, by, cxg[...], cyg[...], r2g[...],
+        _moussaid_tilework(prm_ref, pt, cxg[...], cyg[...], r2g[...],
                            ovxg[...], ovyg[...], px, py, pvx, pvy, prad,
                            fx_ref, fy_ref, gs=gs, kk=kk,
-                           use_radius=use_radius)
+                           use_radius=use_radius, analytic=analytic)
 
 
 def _stage_lane(a, fill, mask, n_pad):
@@ -318,13 +379,17 @@ _surv_table = surv_table
 
 def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
                     ped_planes, bb, circ, *, gs, kk, tc, n_pad,
-                    use_radius, interpret, surv=None):
+                    use_radius, interpret, surv=None, analytic=False):
     """One fused kernel launch; returns (fx, fy) of shape (1, n_pad).
 
     ``surv=None`` runs the dense grid (every (ped-tile, point-tile) pair a
     grid step, skipped in-kernel by the bbox/circle test); a (J, max_surv)
     int32 ``surv`` runs the compacted grid over surviving tiles only, with
-    point/segment blocks fetched through surv-indexed index maps."""
+    point/segment blocks fetched through surv-indexed index maps.
+
+    ``analytic``: ``seg_points`` holds 5 line-segment planes (ax, ay, ux,
+    uy, inv_len2; ``kk`` segments per section) instead of 2 sampled-point
+    planes (``kk`` points per segment) -- the env_analytic tier."""
     s_pad_k = seg_points[0].shape[0]
 
     s_pad = circ_planes[0].shape[0]
@@ -362,17 +427,18 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
                                 memory_space=pltpu.VMEM)
         kern_exp, kern_mou = _exp_kernel_compact, _moussaid_kernel_compact
 
+    n_pt = len(seg_points)
     if kind == "exp":
         kernel = functools.partial(kern_exp, gs=gs, kk=kk,
-                                   use_radius=use_radius)
+                                   use_radius=use_radius, analytic=analytic)
         inputs = [*seg_points, *circ_planes, *ped_planes]
-        in_specs = ([pt_spec] * 2 + [seg_spec] * 3 + [ped_spec] * 3)
+        in_specs = ([pt_spec] * n_pt + [seg_spec] * 3 + [ped_spec] * 3)
         transcendentals = 2 * s_pad_k // kk * n_pad
     else:
         kernel = functools.partial(kern_mou, gs=gs, kk=kk,
-                                   use_radius=use_radius)
+                                   use_radius=use_radius, analytic=analytic)
         inputs = [*seg_points, *circ_planes, *obs_vel_planes, *ped_planes]
-        in_specs = ([pt_spec] * 2 + [seg_spec] * 5 + [ped_spec] * 5)
+        in_specs = ([pt_spec] * n_pt + [seg_spec] * 5 + [ped_spec] * 5)
         transcendentals = 5 * s_pad_k // kk * n_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -401,7 +467,8 @@ def fused_environment_terms(state, scene, params, veh_snap,
                             ped_tile: int = 512, point_tile: int = 1024,
                             interpret: bool = False,
                             spatial_order: str = "hilbert",
-                            compact: bool = False, max_surv: int = 0):
+                            compact: bool = False, max_surv: int = 0,
+                            analytic: bool = False):
     """Environment force terms via the fused kernels, keyed like
     models.stepper.force_terms.  Covers the terms whose segment-major
     layout is available (models.stepper.prepare_scene) -- callers fall back
@@ -409,6 +476,18 @@ def fused_environment_terms(state, scene, params, veh_snap,
 
     One Morton sort + staging is shared by all terms; each term unsorts only
     its final (N, 2) force vector.
+
+    ``analytic`` (``StepConfig.env_analytic``): border-family forces use
+    the line-segment geometry (``scene.borders_geom``, built by
+    prepare_scene via env/pointsets.analytic_split) -- the closest point
+    is computed ON the Douglas-Peucker-simplified segments instead of by
+    argmin over the reference's 0.1 m point sampling, ~kk/M times less
+    work per (section, ped) pair.  Sections that do not simplify stay on
+    the sampled path (``scene.borders_seg_rest``) and their term is added,
+    so the split is exact up to f32 summation grouping.  Deviation from
+    the reference's sampled argmin is bounded by the sampling quantization
+    itself (the analytic distance is the true polyline distance, which the
+    0.1 m sampling overestimates by up to sqrt(d^2+0.05^2)-d).
 
     ``compact`` (default off, matching ``StepConfig.env_compact``):
     evaluate the tile-pair hit matrix in jnp each step and launch the
@@ -427,29 +506,45 @@ def fused_environment_terms(state, scene, params, veh_snap,
     from ..models import modes
     from ..models.vehicles import snapshot_segment_pointset
 
-    jobs = []  # (name, kind, segset, prm tuple, obs_vel (S,2)|None, active)
+    # (name, kind, set, prm tuple, obs_vel, active, use_radius, analytic);
+    # "<term>#rest" names are summed into <term> at the end (the sampled
+    # remainder of an analytic split)
+    jobs = []
+    use_geom = analytic and getattr(scene, "borders_geom", None) is not None
+
+    def border_jobs(name, prm_vals, use_rad):
+        if use_geom:
+            jobs.append((name, "exp", scene.borders_geom, prm_vals,
+                         None, None, use_rad, True))
+            if getattr(scene, "borders_seg_rest", None) is not None:
+                jobs.append((name + "#rest", "exp", scene.borders_seg_rest,
+                             prm_vals, None, None, use_rad, False))
+        else:
+            jobs.append((name, "exp", scene.borders_seg, prm_vals,
+                         None, None, use_rad, False))
+
     if params.enable_border and scene.borders_seg is not None:
         b = params.border
-        jobs.append(("border_force", "exp", scene.borders_seg,
-                     (b.a, 1.0 / b.b), None, None, params.use_ped_radius))
+        border_jobs("border_force", (b.a, 1.0 / b.b), params.use_ped_radius)
     if params.enable_space_repulsive and scene.borders_seg is not None:
         sp = params.space_repulsive
-        jobs.append(("space_repulsive_force", "exp", scene.borders_seg,
-                     (sp.u0 / sp.r, 1.0 / sp.r), None, None, False))
+        border_jobs("space_repulsive_force", (sp.u0 / sp.r, 1.0 / sp.r),
+                    False)
     if (params.enable_static_obstacle
             and scene.static_obstacles_seg is not None):
         p = params.static_obstacle
         jobs.append(("static_obstacle_force", "moussaid",
                      scene.static_obstacles_seg,
                      (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon),
-                     scene.static_obstacle_vel, None, params.use_ped_radius))
+                     scene.static_obstacle_vel, None, params.use_ped_radius,
+                     False))
     if params.enable_dynamic_obstacle and veh_snap is not None:
         p = params.dynamic_obstacle
         dset, dvel, dact = snapshot_segment_pointset(
             veh_snap, p.perception_threshold)
         jobs.append(("dynamic_obstacle_force", "moussaid", dset,
                      (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon),
-                     dvel, dact, params.use_ped_radius))
+                     dvel, dact, params.use_ped_radius, False))
     if not jobs:
         return {}
 
@@ -475,9 +570,10 @@ def fused_environment_terms(state, scene, params, veh_snap,
                 | (mode == modes.ROAD_TO_SIDEWALK))
 
     terms = {}
-    for name, kind, sset, prm_vals, obs_vel, active, use_radius in jobs:
+    for (name, kind, sset, prm_vals, obs_vel, active, use_radius,
+         is_analytic) in jobs:
         s = sset.num_segments
-        kk = sset.points_per_segment
+        kk = sset.max_segments if is_analytic else sset.points_per_segment
         # compact mode needs gs % 8 == 0 (blocked (gs, 1) segment metadata
         # must satisfy the sublane tiling rule) and only pays off when the
         # surviving-tile bound is actually below the tile count
@@ -488,8 +584,9 @@ def fused_environment_terms(state, scene, params, veh_snap,
             n_tiles_c, max(8, -(-n_tiles_c // 3)))
         use_compact = compact and n_tiles_c > ms
 
-        ptsx = sset.points[..., 0].reshape(-1)
-        ptsy = sset.points[..., 1].reshape(-1)
+        if not is_analytic:
+            ptsx = sset.points[..., 0].reshape(-1)
+            ptsy = sset.points[..., 1].reshape(-1)
         r = jnp.maximum(sset.filter_radius, 0.0)
         r2 = r * r
         if active is not None:
@@ -506,10 +603,24 @@ def fused_environment_terms(state, scene, params, veh_snap,
         def stage(gs_):
             """Point/segment staging for one grid granularity."""
             s_pad_ = _round_up(s, gs_)
-            bxp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
-            bxp = bxp.at[: s * kk, 0].set(ptsx.astype(jnp.float32))
-            byp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
-            byp = byp.at[: s * kk, 0].set(ptsy.astype(jnp.float32))
+            if is_analytic:
+
+                def geom_plane(arr, fill):
+                    out = jnp.full((s_pad_ * kk, 1), jnp.float32(fill))
+                    return out.at[: s * kk, 0].set(
+                        arr.reshape(-1).astype(jnp.float32))
+
+                pts_ = [geom_plane(sset.ax, _PAD32),
+                        geom_plane(sset.ay, _PAD32),
+                        geom_plane(sset.ux, 0.0),
+                        geom_plane(sset.uy, 0.0),
+                        geom_plane(sset.inv_len2, 0.0)]
+            else:
+                bxp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
+                bxp = bxp.at[: s * kk, 0].set(ptsx.astype(jnp.float32))
+                byp = jnp.full((s_pad_ * kk, 1), _PAD32, jnp.float32)
+                byp = byp.at[: s * kk, 0].set(ptsy.astype(jnp.float32))
+                pts_ = [bxp, byp]
             cxp = _stage_seg_plane(sset.centers[:, 0], _PAD32, s_pad_)
             cyp = _stage_seg_plane(sset.centers[:, 1], _PAD32, s_pad_)
             r2p = _stage_seg_plane(r2, -1.0, s_pad_)
@@ -518,7 +629,7 @@ def fused_environment_terms(state, scene, params, veh_snap,
             if kind == "moussaid":
                 obs_ = [_stage_seg_plane(ov[:, 0], 0.0, s_pad_),
                         _stage_seg_plane(ov[:, 1], 0.0, s_pad_)]
-            return [bxp, byp], [cxp, cyp, r2p], obs_, circ_, s_pad_
+            return pts_, [cxp, cyp, r2p], obs_, circ_, s_pad_
 
         prm = jnp.stack([jnp.asarray(v, jnp.float32) for v in prm_vals])
 
@@ -527,7 +638,8 @@ def fused_environment_terms(state, scene, params, veh_snap,
             return _env_force_call(
                 kind, prm, pts_, cpl_, obs_, ped_planes, bb, circ_,
                 gs=gs_, kk=kk, tc=tc, n_pad=n_pad,
-                use_radius=use_radius, interpret=interpret, surv=surv)
+                use_radius=use_radius, interpret=interpret, surv=surv,
+                analytic=is_analytic)
 
         if use_compact:
             staged_c = stage(gs_c)
@@ -556,5 +668,11 @@ def fused_environment_terms(state, scene, params, veh_snap,
             # (reference forces.py:176-177)
             ux = jnp.where(crossing, 0.0, ux)
             uy = jnp.where(crossing, 0.0, uy)
-        terms[name] = (ux, uy)
+        base = name.split("#")[0]
+        if base in terms:
+            # the sampled remainder of an analytic split sums into its term
+            px_, py_ = terms[base]
+            terms[base] = (px_ + ux, py_ + uy)
+        else:
+            terms[base] = (ux, uy)
     return terms

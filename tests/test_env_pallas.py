@@ -357,3 +357,195 @@ def test_compact_mixed_granularity_bitwise_consistent():
         np.testing.assert_allclose(np.asarray(comp["border_force"][plane]),
                                    np.asarray(dense["border_force"][plane]),
                                    atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# analytic border geometry (env_analytic tier)
+# ---------------------------------------------------------------------------
+
+def _analytic_lines():
+    """Straight (incl. slanted) walls + one ellipse that will NOT simplify:
+    the walls go to the SegmentGeomSet, the ellipse to the sampled rest."""
+    from carla_social_force_model_tpu.models.vehicles import ellipse_template
+    lines = [
+        np.column_stack([np.linspace(-20, 20, 401), np.full(401, 6.0)]),
+        np.column_stack([np.linspace(-18, 4, 221),
+                         np.linspace(-7, -2, 221)]),      # slanted
+        np.column_stack([np.full(80, 2.0), np.linspace(-4, 4, 80)]),
+        np.array([[9.0, 9.0]]),                           # single point
+        ellipse_template(2.4, 1.1, 0.1) + np.array([-6.0, -9.0]),
+    ]
+    centers = [l[len(l) // 2] for l in lines]
+    lengths = [25.0, 18.0, 9.0, 5.0, 8.0]
+    return lines, centers, lengths
+
+
+def _poly_closest_f64(pts, q):
+    """f64 closest point on the piecewise-linear chain through ``pts``."""
+    pts = np.asarray(pts, np.float64)
+    if pts.shape[0] == 1:
+        d = q - pts[0]
+        return float(d @ d), pts[0]
+    a, b = pts[:-1], pts[1:]
+    u = b - a
+    l2 = np.einsum("ij,ij->i", u, u)
+    t = np.clip(np.einsum("ij,ij->i", q[None, :] - a, u)
+                / np.where(l2 > 0, l2, 1.0), 0.0, 1.0)
+    c = a + t[:, None] * u
+    d2 = np.sum((q[None, :] - c) ** 2, axis=1)
+    k = int(np.argmin(d2))
+    return float(d2[k]), c[k]
+
+
+def _sampled_closest_f64(pts, q):
+    d2 = np.sum((np.asarray(pts, np.float64) - q) ** 2, axis=1)
+    k = int(np.argmin(d2))
+    return float(d2[k]), np.asarray(pts[k], np.float64)
+
+
+def _border_oracle_f64(lines, centers, lengths, state, p, use_radius,
+                       analytic_idx):
+    """f64 border force: analytic chain distance for ``analytic_idx``
+    sections, sampled argmin for the rest (forces.py:138-179 semantics:
+    filter circle on the section center, magnitude a*exp(-d/b), direction
+    away from the closest point, crossing modes zeroed)."""
+    pos = np.asarray(state.pos, np.float64)
+    alive = np.asarray(state.alive)
+    radius = np.asarray(state.radius, np.float64)
+    mode = np.asarray(state.mode)
+    n = pos.shape[0]
+    f = np.zeros((n, 2))
+    # f32 sampling: the kernels see f32 points
+    lines32 = [np.asarray(l, np.float32).astype(np.float64) for l in lines]
+    pos32 = np.asarray(state.pos, np.float32)
+    for si, (line, c, L) in enumerate(zip(lines32, centers, lengths)):
+        c32 = np.asarray(c, np.float32)
+        r2_32 = np.float32(np.float32(L) * np.float32(L))
+        for i in range(n):
+            if not alive[i]:
+                continue
+            # the kernel evaluates the filter circle in f32; replicate it
+            # exactly so boundary pedestrians do not flip sides
+            fdx = np.float32(c32[0] - pos32[i, 0])
+            fdy = np.float32(c32[1] - pos32[i, 1])
+            if not np.float32(fdx * fdx + fdy * fdy) < r2_32:
+                continue
+            if si in analytic_idx:
+                d2, cp = _poly_closest_f64(line, pos[i])
+            else:
+                d2, cp = _sampled_closest_f64(line, pos[i])
+            if d2 <= 0.0:
+                continue
+            d = np.sqrt(d2)
+            de = d - (radius[i] if use_radius else 0.0)
+            mag = p.a * np.exp(-de / p.b) / d
+            f[i] += mag * (pos[i] - cp)
+    crossing = (mode == modes.CROSSING_ROAD) | (mode == modes.ROAD_TO_SIDEWALK)
+    f[crossing] = 0.0
+    return f
+
+
+def test_analytic_split_geometry():
+    """Straight walls simplify to 1 segment, the slanted wall too, the
+    single point becomes a degenerate segment, the ellipse stays sampled."""
+    from carla_social_force_model_tpu.env.pointsets import analytic_split
+    lines, centers, lengths = _analytic_lines()
+    pset = build_border_set(lines, centers, lengths)
+    gset, rest = analytic_split(pset)
+    assert gset is not None and rest is not None
+    assert gset.num_segments == 4          # 3 walls + 1 point
+    assert rest.num_segments == 1          # the ellipse
+    il2 = np.asarray(gset.inv_len2)
+    seg_counts = (il2 > 0).sum(axis=1)
+    # walls -> exactly 1 live segment; the single point -> 0 (degenerate)
+    assert sorted(seg_counts.tolist()) == [0, 1, 1, 1]
+    # degenerate row still projects to the point itself
+    ax = np.asarray(gset.ax)
+    row = int(np.argmin(seg_counts))
+    assert ax[row, 0] == np.float32(9.0)
+    # filter metadata follows the split
+    np.testing.assert_allclose(np.asarray(rest.filter_radius), [8.0])
+
+
+@pytest.mark.parametrize("use_radius", [False, True])
+def test_analytic_border_force_matches_f64_oracle(use_radius):
+    """env_analytic=True: fused analytic + sampled-rest terms equal the f64
+    oracle (analytic chain distance on simplifiable sections, sampled
+    argmin on the rest), incl. filter circles, radii, crossing, dead."""
+    lines, centers, lengths = _analytic_lines()
+    scene = prepare_scene(Scene(spawn=None,
+                                borders=build_border_set(lines, centers,
+                                                         lengths)))
+    assert scene.borders_geom is not None
+    assert scene.borders_seg_rest is not None
+    state = _state(n=83)
+    params = SfmParams(enable_border=True, use_ped_radius=use_radius)
+
+    got = fused_environment_terms(state, scene, params, None,
+                                  ped_tile=128, interpret=True,
+                                  analytic=True)
+    got_f = np.stack([np.asarray(a) for a in got["border_force"]], axis=-1)
+    want = _border_oracle_f64(lines, centers, lengths, state,
+                              params.border, use_radius,
+                              analytic_idx={0, 1, 2, 3})
+    # compare force VECTORS against the per-ped magnitude: the f32 segment
+    # projection (cx = ax + t*ux) rounds at the wall-length scale, so the
+    # near-zero perpendicular component of a wall-hugging ped carries
+    # ~|F| * 1e-6 absolute error (a ~1e-6 rad direction error) that a
+    # componentwise atol would flag while the vector is spot on
+    err = np.linalg.norm(got_f - want, axis=1)
+    lim = 3e-4 * np.linalg.norm(want, axis=1) + 3e-5
+    assert np.all(err <= lim), (err / np.maximum(lim, 1e-30)).max()
+    assert np.all(got_f[~np.asarray(state.alive)] == 0.0)
+
+
+def test_analytic_compact_matches_dense():
+    """The compacted grid composes with the analytic tier."""
+    lines, centers, lengths = _analytic_lines()
+    scene = prepare_scene(Scene(spawn=None,
+                                borders=build_border_set(lines, centers,
+                                                         lengths)))
+    state = _state(n=83)
+    params = SfmParams(enable_border=True, enable_space_repulsive=True)
+    kw = dict(ped_tile=128, point_tile=128, interpret=True, analytic=True)
+    dense = fused_environment_terms(state, scene, params, None, **kw)
+    comp = fused_environment_terms(state, scene, params, None,
+                                   compact=True, max_surv=2, **kw)
+    for name in ("border_force", "space_repulsive_force"):
+        for plane in (0, 1):
+            np.testing.assert_allclose(np.asarray(comp[name][plane]),
+                                       np.asarray(dense[name][plane]),
+                                       atol=1e-5)
+
+
+def test_analytic_stepper_dispatch():
+    """StepConfig.env_analytic routes border terms through the geometry
+    path; the default (off) stays on the reference's sampled argmin."""
+    lines, centers, lengths = _analytic_lines()
+    scene = prepare_scene(Scene(spawn=None,
+                                borders=build_border_set(lines, centers,
+                                                         lengths)))
+    state = _state(n=64)
+    params = SfmParams(enable_acceleration=True, enable_border=True)
+    cfg = dataclasses.replace(
+        StepConfig(use_pallas=True, pallas_interpret=True,
+                   pallas_row_tile=8, pallas_col_tile=128),
+        env_ped_tile=128, env_analytic=True)
+    t_on = force_terms(state, scene, params, cfg, None)
+    direct = fused_environment_terms(state, scene, params, None,
+                                     ped_tile=128, point_tile=512,
+                                     analytic=True, interpret=True)
+    for plane in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(t_on["border_force"][plane]),
+            np.asarray(direct["border_force"][plane]))
+
+    cfg_off = dataclasses.replace(cfg, env_analytic=False)
+    t_off = force_terms(state, scene, params, cfg_off, None)
+    sampled = fused_environment_terms(state, scene, params, None,
+                                      ped_tile=128, point_tile=512,
+                                      interpret=True)
+    for plane in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(t_off["border_force"][plane]),
+            np.asarray(sampled["border_force"][plane]))
