@@ -25,6 +25,8 @@ def main():
     scene, params, cfg, state = urban_bundle(n, num_steps_hint=steps)
     if cutoff:
         cfg = dataclasses.replace(cfg, interaction_cutoff=cutoff)
+    if os.environ.get("PROF_ENV_ANALYTIC", "") not in ("", "0"):
+        cfg = dataclasses.replace(cfg, env_analytic=True)
 
     def timed(scene_, params_, cfg_, label):
         run = make_rollout_fn(scene_, params_, cfg_, steps, record=False)
