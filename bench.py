@@ -23,7 +23,8 @@ reference itself is real-time paced at N*20 agent-steps/sec, BASELINE.md).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; locality-sorted cutoff on
 the Pallas path), BENCH_BATCH (ensemble only), BENCH_SYM ("0" disables the
-symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES.
+symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES,
+BENCH_ENV_ANALYTIC ("1" enables the analytic border tier).
 """
 import json
 import os

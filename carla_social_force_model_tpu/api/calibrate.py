@@ -112,7 +112,7 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
     ``observed`` must have leading dimension ``num_steps // record_stride``
     (a rollout recorded with the same stride).
     """
-    scene = prepare_scene(scene)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
     if cfg.use_pallas:
         # the fused kernels define no VJP; the jnp path is the same physics
         cfg = dataclasses.replace(cfg, use_pallas=False)

@@ -134,7 +134,7 @@ class BridgeRunner:
         self._scene_geom = prepare_scene(Scene(
             spawn=self._dummy_schedule(), borders=borders,
             static_obstacles=static_obstacles, static_obstacle_vel=static_vel,
-            vehicles=None))
+            vehicles=None), analytic=self.cfg.env_analytic)
         self._core = jax.jit(self._core_fn)
         self.history = []     # per-tick StepRecord snapshots (numpy)
         self.veh_history = []  # per-tick list of VehicleObs

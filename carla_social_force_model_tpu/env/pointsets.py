@@ -85,25 +85,15 @@ def segment_major(pset: ChunkedPointSet | None,
     """
     if pset is None:
         return None
-    pts = np.asarray(pset.points)
-    valid = np.asarray(pset.valid)
-    seg = np.asarray(pset.chunk_segment)
     s_count = pset.num_segments
-    k_chunk = pts.shape[1]
-
-    per_seg: list[np.ndarray] = [np.zeros((0, 2), pts.dtype)
-                                 for _ in range(s_count)]
-    for c in range(pts.shape[0]):
-        v = valid[c]
-        if not v.any():
-            continue
-        per_seg[seg[c]] = np.concatenate([per_seg[seg[c]], pts[c][v]], axis=0)
-
+    k_chunk = pset.chunk_size
+    per_seg = _per_segment_points(pset)
     longest = max((p.shape[0] for p in per_seg), default=0)
     if longest == 0 or longest > max_points_per_segment:
         return None
     k = -(-max(longest, 1) // k_chunk) * k_chunk
-    out = np.full((s_count, k, 2), PAD_COORD, pts.dtype)
+    out = np.full((s_count, k, 2), PAD_COORD,
+                  np.asarray(pset.points).dtype)
     for si, p in enumerate(per_seg):
         out[si, : p.shape[0]] = p
     return SegmentPointSet(
@@ -180,35 +170,70 @@ def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
     return np.flatnonzero(keep)
 
 
+def _per_segment_points(pset: ChunkedPointSet) -> list[np.ndarray]:
+    """Reassemble each segment's valid points in original order (host-side;
+    shared by :func:`segment_major` and :func:`analytic_split`)."""
+    pts = np.asarray(pset.points)
+    valid = np.asarray(pset.valid)
+    seg = np.asarray(pset.chunk_segment)
+    per_seg: list[np.ndarray] = [np.zeros((0, 2), pts.dtype)
+                                 for _ in range(pset.num_segments)]
+    for c in range(pts.shape[0]):
+        v = valid[c]
+        if v.any():
+            per_seg[seg[c]] = np.concatenate([per_seg[seg[c]], pts[c][v]],
+                                             axis=0)
+    return per_seg
+
+
+def _chain_covers(p: np.ndarray, verts: np.ndarray, tol: float) -> bool:
+    """Is every point of ``p`` within ``tol`` of the polyline ``verts``
+    (distance to the SEGMENTS, not their infinite lines)?  Douglas-Peucker
+    only bounds the distance to chord *lines*, so a collinear out-and-back
+    section ([(0,0)..(10,0),(10,0)..(5,0)] simplifies to (0,0)-(5,0))
+    passes DP but leaves sampled points far from the simplified chain --
+    this check routes such sections back to the sampled path."""
+    a, b = verts[:-1], verts[1:]
+    u = b - a                                                # (M, 2)
+    l2 = np.einsum("ij,ij->i", u, u)
+    d = p[:, None, :] - a[None, :, :]                        # (P, M, 2)
+    t = np.clip(np.einsum("pmi,mi->pm", d, u)
+                / np.where(l2 > 0, l2, 1.0), 0.0, 1.0)
+    c = a[None] + t[..., None] * u[None]
+    d2 = np.sum((p[:, None, :] - c) ** 2, axis=-1)
+    return bool(np.sqrt(d2.min(axis=1)).max() <= tol)
+
+
 def analytic_split(pset: ChunkedPointSet | None, tol: float = 1e-3,
                    max_segments: int = 8,
                    ) -> tuple[SegmentGeomSet | None, ChunkedPointSet | None]:
     """Split a point set into (analytic geometry, sampled remainder).
 
-    Sections whose sampled polyline Douglas-Peucker-simplifies (at ``tol``
-    meters) to at most ``max_segments`` line segments move to a
-    :class:`SegmentGeomSet`; the rest (tightly curved outlines where
-    simplification buys nothing, e.g. 0.1 m-sampled ellipses) stay sampled.
+    Sections whose sampled points form a connected polyline AND
+    Douglas-Peucker-simplify (at ``tol`` meters) to at most
+    ``max_segments`` line segments move to a :class:`SegmentGeomSet`; the
+    rest stay sampled -- tightly curved outlines where simplification buys
+    nothing (0.1 m-sampled ellipses), and any section where the polyline
+    assumption is unsafe.  Safety gates (sections are POINT CLOUDS under
+    the reference's argmin semantics, with no connectivity contract):
+
+    * consecutive-gap check: a jump between consecutive points larger than
+      4x the median spacing (min 0.5 m) means the section is multi-piece
+      or reordered -- a DP chord across the jump would fabricate a phantom
+      wall the sampled argmin never produces;
+    * coverage check (:func:`_chain_covers`): every sampled point must lie
+      within ``tol`` of the simplified chain's *segments* (DP only bounds
+      distance to chord lines, which misses out-and-back overlaps).
+
     The environment force is a sum over sections, so evaluating the two
     sets separately and adding is exact (up to f32 summation grouping).
     Host-side, like :func:`segment_major`.
     """
     if pset is None:
         return None, None
-    pts = np.asarray(pset.points)
-    valid = np.asarray(pset.valid)
-    seg = np.asarray(pset.chunk_segment)
     centers = np.asarray(pset.centers)
     radius = np.asarray(pset.filter_radius)
-    s_count = pset.num_segments
-
-    per_seg: list[np.ndarray] = [np.zeros((0, 2), pts.dtype)
-                                 for _ in range(s_count)]
-    for c in range(pts.shape[0]):
-        v = valid[c]
-        if v.any():
-            per_seg[seg[c]] = np.concatenate([per_seg[seg[c]], pts[c][v]],
-                                             axis=0)
+    per_seg = _per_segment_points(pset)
 
     geom: list[tuple[int, np.ndarray]] = []   # (section, (V, 2) vertices)
     rest: list[int] = []
@@ -218,8 +243,14 @@ def analytic_split(pset: ChunkedPointSet | None, tol: float = 1e-3,
         if p.shape[0] == 1:
             geom.append((si, p))
             continue
-        idx = _douglas_peucker(p.astype(np.float64), tol)
-        if idx.shape[0] - 1 <= max_segments:
+        p64 = p.astype(np.float64)
+        gaps = np.sqrt(np.sum(np.diff(p64, axis=0) ** 2, axis=1))
+        if gaps.max() > max(4.0 * float(np.median(gaps)), 0.5):
+            rest.append(si)
+            continue
+        idx = _douglas_peucker(p64, tol)
+        if (idx.shape[0] - 1 <= max_segments
+                and _chain_covers(p64, p64[idx], max(tol, 1e-6))):
             geom.append((si, p[idx]))
         else:
             rest.append(si)

@@ -67,20 +67,27 @@ class Scene:
     borders_seg_rest: object | None = None
 
 
-def prepare_scene(scene: Scene) -> Scene:
+def prepare_scene(scene: Scene, analytic: bool = False) -> Scene:
     """Populate the segment-major point layouts consumed by the fused
     environment-force kernels.  Host-side (concrete arrays; call outside
-    jit) and idempotent; rollout/sharding/sweep builders call it so every
-    entry point gets the fast path automatically."""
+    jit) and idempotent; rollout/sharding/sweep builders call it (passing
+    ``cfg.env_analytic`` as ``analytic``) so every entry point gets the
+    fast path automatically.
+
+    ``analytic``: also build the Douglas-Peucker border geometry for the
+    ``env_analytic`` tier (skipped by default -- the DP pass over every
+    border section is pure host-side overhead when the opt-in tier is
+    off)."""
     from ..env.pointsets import analytic_split, segment_major
     upd = {}
     if scene.borders is not None and scene.borders_seg is None:
         upd["borders_seg"] = segment_major(scene.borders)
-        if scene.borders_geom is None:
-            gset, rest = analytic_split(scene.borders)
-            upd["borders_geom"] = gset
-            upd["borders_seg_rest"] = (segment_major(rest)
-                                       if rest is not None else None)
+    if (analytic and scene.borders is not None
+            and scene.borders_geom is None):
+        gset, rest = analytic_split(scene.borders)
+        upd["borders_geom"] = gset
+        upd["borders_seg_rest"] = (segment_major(rest)
+                                   if rest is not None else None)
     if (scene.static_obstacles is not None
             and scene.static_obstacles_seg is None):
         upd["static_obstacles_seg"] = segment_major(scene.static_obstacles)
@@ -621,7 +628,7 @@ def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
     commonly reuse the same initial state across invocations, and the carry
     is tiny compared to the recorded trajectory output.)
     """
-    scene = prepare_scene(scene)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
 
     @jax.jit
     def run(state: PedState):

@@ -61,28 +61,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _closest_sel(bx, by, px, py, *, gs, kk):
-    """Per-(segment, ped) closest point within one kernel tile.
-
-    ``bx``/``by``: (gs*kk, 1) point planes; ``px``/``py``: (1, tc) ped
-    planes.  Returns ``(dmin2, bxm, bym)`` of shape (gs, tc): squared
-    distance and coordinates of the first-occurrence argmin point (the
-    reference's ``np.argmin`` tie rule).  Unselected/pad slots yield
-    coordinates at PAD_COORD (finite, so masked magnitudes multiply garbage
-    by exactly 0.0 without producing NaN).
-    """
-    dxp = bx[...] - px[...]                   # (gs*kk, tc)
-    dyp = by[...] - py[...]
-    tc = dxp.shape[1]
-    d2 = (dxp * dxp + dyp * dyp).reshape(gs, kk, tc)
+def _select_first_min(d2, cx, cy):
+    """First-occurrence argmin selection over axis 1 of a (gs, kk, tc)
+    distance tensor (the reference's ``np.argmin`` tie rule): returns
+    ``(dmin, cxm, cym)`` of shape (gs, tc) where cxm/cym are the selected
+    slot's coordinates (broadcast from (gs, kk, 1) or (gs, kk, tc)).
+    Unselected/pad slots yield PAD_COORD (finite, so masked magnitudes
+    multiply garbage by exactly 0.0 without producing NaN)."""
+    gs, kk, tc = d2.shape
     dmin = jnp.min(d2, axis=1)                # (gs, tc)
     sub = jax.lax.broadcasted_iota(jnp.int32, (gs, kk, tc), 1)
     ismin = d2 == dmin[:, None, :]
     first = jnp.min(jnp.where(ismin, sub, 2**31 - 1), axis=1)
     sel = ismin & (sub == first[:, None, :])
-    bxm = jnp.min(jnp.where(sel, bx[...].reshape(gs, kk, 1), _PAD32), axis=1)
-    bym = jnp.min(jnp.where(sel, by[...].reshape(gs, kk, 1), _PAD32), axis=1)
-    return dmin, bxm, bym
+    cxm = jnp.min(jnp.where(sel, cx, _PAD32), axis=1)
+    cym = jnp.min(jnp.where(sel, cy, _PAD32), axis=1)
+    return dmin, cxm, cym
+
+
+def _closest_sel(bx, by, px, py, *, gs, kk):
+    """Per-(segment, ped) closest point within one kernel tile.
+
+    ``bx``/``by``: (gs*kk, 1) point planes; ``px``/``py``: (1, tc) ped
+    planes.  Returns ``(dmin2, bxm, bym)`` of shape (gs, tc) with
+    first-occurrence tie-breaking (:func:`_select_first_min`).
+    """
+    dxp = bx[...] - px[...]                   # (gs*kk, tc)
+    dyp = by[...] - py[...]
+    tc = dxp.shape[1]
+    d2 = (dxp * dxp + dyp * dyp).reshape(gs, kk, tc)
+    return _select_first_min(d2, bx[...].reshape(gs, kk, 1),
+                             by[...].reshape(gs, kk, 1))
 
 
 def _closest_seg(ax, ay, ux, uy, il2, px, py, *, gs, mm):
@@ -106,14 +115,8 @@ def _closest_seg(ax, ay, ux, uy, il2, px, py, *, gs, mm):
     ddy = py[...] - cy
     tc = ddx.shape[1]
     d2 = (ddx * ddx + ddy * ddy).reshape(gs, mm, tc)
-    dmin = jnp.min(d2, axis=1)                 # (gs, tc)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (gs, mm, tc), 1)
-    ismin = d2 == dmin[:, None, :]
-    first = jnp.min(jnp.where(ismin, sub, 2**31 - 1), axis=1)
-    sel = ismin & (sub == first[:, None, :])
-    cxm = jnp.min(jnp.where(sel, cx.reshape(gs, mm, tc), _PAD32), axis=1)
-    cym = jnp.min(jnp.where(sel, cy.reshape(gs, mm, tc), _PAD32), axis=1)
-    return dmin, cxm, cym
+    return _select_first_min(d2, cx.reshape(gs, mm, tc),
+                             cy.reshape(gs, mm, tc))
 
 
 def _closest(pt, px, py, *, gs, kk, analytic):

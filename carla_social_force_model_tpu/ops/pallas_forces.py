@@ -565,8 +565,12 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
         col_1d = _stage(px, py, vx, vy, radius, alive, n_cols)
         blk = (jnp.stack(col_1d), _bboxes(col_1d, alive, n, tc))
         n_r_tiles, n_c_tiles = n_rows // tr, n_cols // tc
-        sym_ring = (symmetric and n_dev > 1
-                    and n_r_tiles * n_c_tiles <= _TRI_TABLE_MAX)
+        sym_ring = symmetric and n_dev > 1
+        # the SMEM triangle-table bound only constrains the DIAGONAL
+        # launch; past it the diagonal degrades to a plain non-symmetric
+        # block while the table-free sym_dense rotations keep the
+        # off-diagonal halving (which is where the D-scaling saving lives)
+        tri_fits = n_r_tiles * n_c_tiles <= _TRI_TABLE_MAX
 
         if sym_ring:
             # Newton's-third-law HALF-ring: the diagonal shard pair runs the
@@ -578,10 +582,15 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             # hop of +(floor(D/2)+1) at the end -- per-device pairwise work
             # drops from D blocks to ~D/2 (see BENCH.md "Scaling paths").
             me = jax.lax.axis_index(axis_name)
-            tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles, tr, tc))
             col_args0 = [c.reshape(1, n_cols) for c in col_1d]
-            fx0, fy0, fxc0, fyc0 = call(row_args, row_bb, col_args0, blk[1],
-                                        surv=tri, sym=True)
+            if tri_fits:
+                tri = jnp.asarray(_triangle_table(n_r_tiles, n_c_tiles,
+                                                  tr, tc))
+                fx0, fy0, fxc0, fyc0 = call(row_args, row_bb, col_args0,
+                                            blk[1], surv=tri, sym=True)
+            else:
+                fx0, fy0 = call(row_args, row_bb, col_args0, blk[1])
+                fxc0 = fyc0 = jnp.zeros((1, n_cols), jnp.float32)
             s_comp = n_dev // 2
             tie = n_dev % 2 == 0
             blk = jax.tree_util.tree_map(

@@ -64,7 +64,7 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
         final, recs = run(PedState.empty(cap))
     """
     from ..models.stepper import prepare_scene
-    scene = prepare_scene(scene)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
     state_spec = jax.tree_util.tree_map(lambda _: P(AGENT_AXIS),
                                         PedState.empty(1))
     # Scene-of-specs: same pytree structure, slot arrays sharded, geometry

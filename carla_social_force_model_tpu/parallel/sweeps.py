@@ -83,7 +83,7 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     """
     from ..models.spawn import SpawnSchedule
     from ..models.stepper import prepare_scene
-    scene_prepared = prepare_scene(scene_batch)
+    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic)
     spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_prepared.spawn)
     scene_axes = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: None, scene_prepared),
@@ -130,7 +130,7 @@ def make_sharded_ensemble_rollout(mesh, scene_batch: Scene, params: SfmParams,
 
     n_batch = mesh.shape[BATCH_AXIS]
     n_agents = mesh.shape[AGENT_AXIS]
-    scene_prepared = prepare_scene(scene_batch)
+    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic)
     b = scene_prepared.spawn.pos_x.shape[0]
     if b % n_batch:
         raise ValueError(f"ensemble batch {b} must divide over the mesh's "
@@ -203,7 +203,7 @@ def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
     """
 
     from ..models.stepper import prepare_scene
-    scene = prepare_scene(scene)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
 
     def one(params_row: SfmParams):
         state = PedState.empty(scene.spawn.capacity)

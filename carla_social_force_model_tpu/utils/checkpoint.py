@@ -126,7 +126,7 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
     import jax.numpy as jnp
     import functools
 
-    scene = prepare_scene(scene)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
     fleet = getattr(scene, "autopilot", None)
     ap = autopilot_state
     if fleet is not None and ap is None:

@@ -475,7 +475,8 @@ def test_analytic_border_force_matches_f64_oracle(use_radius):
     lines, centers, lengths = _analytic_lines()
     scene = prepare_scene(Scene(spawn=None,
                                 borders=build_border_set(lines, centers,
-                                                         lengths)))
+                                                         lengths)),
+                          analytic=True)
     assert scene.borders_geom is not None
     assert scene.borders_seg_rest is not None
     state = _state(n=83)
@@ -504,7 +505,8 @@ def test_analytic_compact_matches_dense():
     lines, centers, lengths = _analytic_lines()
     scene = prepare_scene(Scene(spawn=None,
                                 borders=build_border_set(lines, centers,
-                                                         lengths)))
+                                                         lengths)),
+                          analytic=True)
     state = _state(n=83)
     params = SfmParams(enable_border=True, enable_space_repulsive=True)
     kw = dict(ped_tile=128, point_tile=128, interpret=True, analytic=True)
@@ -524,7 +526,8 @@ def test_analytic_stepper_dispatch():
     lines, centers, lengths = _analytic_lines()
     scene = prepare_scene(Scene(spawn=None,
                                 borders=build_border_set(lines, centers,
-                                                         lengths)))
+                                                         lengths)),
+                          analytic=True)
     state = _state(n=64)
     params = SfmParams(enable_acceleration=True, enable_border=True)
     cfg = dataclasses.replace(
@@ -549,3 +552,50 @@ def test_analytic_stepper_dispatch():
         np.testing.assert_array_equal(
             np.asarray(t_off["border_force"][plane]),
             np.asarray(sampled["border_force"][plane]))
+
+
+def test_analytic_split_rejects_unsafe_sections():
+    """Sections violating the polyline assumption go to the sampled rest:
+    a side-jump point cloud (DP would fabricate a phantom wall across the
+    jump) and a collinear out-and-back chain (DP's chord-LINE distance is
+    zero everywhere but the simplified chain does not cover the far
+    points)."""
+    from carla_social_force_model_tpu.env.pointsets import analytic_split
+    # side-jump: left wall points then right wall points in one section
+    jump = np.concatenate([
+        np.column_stack([np.linspace(0, 10, 101), np.full(101, -3.0)]),
+        np.column_stack([np.linspace(0, 10, 101), np.full(101, 3.0)])])
+    # out-and-back: 0..10 then back to 5 along the same line
+    outback = np.concatenate([
+        np.column_stack([np.linspace(0, 10, 101), np.zeros(101)]),
+        np.column_stack([np.linspace(9.9, 5, 50), np.zeros(50)])])
+    straight = np.column_stack([np.linspace(0, 10, 101), np.full(101, 8.0)])
+    pset = build_border_set([jump, outback, straight],
+                            [jump[50], outback[50], straight[50]],
+                            [12.0, 12.0, 12.0])
+    gset, rest = analytic_split(pset)
+    assert gset is not None and gset.num_segments == 1   # only the wall
+    assert rest is not None and rest.num_segments == 2
+    # and the split still sums to the full sampled force through the terms
+    scene = prepare_scene(Scene(spawn=None, borders=pset), analytic=True)
+    state = _state(n=48)
+    params = SfmParams(enable_border=True)
+    got = fused_environment_terms(state, scene, params, None, ped_tile=128,
+                                  point_tile=512, interpret=True,
+                                  analytic=True)
+    want = forces.border_force(state.pos, state.mode, state.radius,
+                               state.alive, pset, params.border)
+    got_f = np.stack([np.asarray(a) for a in got["border_force"]], axis=-1)
+    np.testing.assert_allclose(got_f, np.asarray(want), rtol=3e-4,
+                               atol=3e-5)
+
+
+def test_prepare_scene_analytic_is_lazy_and_idempotent():
+    lines, centers, lengths = _analytic_lines()
+    borders = build_border_set(lines, centers, lengths)
+    off = prepare_scene(Scene(spawn=None, borders=borders))
+    assert off.borders_seg is not None and off.borders_geom is None
+    # a scene prepared WITHOUT the tier gains the geometry on re-prepare
+    # (the geom branch must not hide behind the borders_seg-is-None check)
+    on = prepare_scene(off, analytic=True)
+    assert on.borders_geom is not None and on.borders_seg_rest is not None

@@ -733,3 +733,36 @@ def test_symmetric_half_ring_sorted_cutoff():
     got = jax.jit(fn)(pos, vel, radius, alive)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=3e-5)
+
+
+def test_symmetric_half_ring_table_bound_degrades_gracefully(monkeypatch):
+    """When the diagonal triangle table exceeds the SMEM bound, the
+    half-ring keeps its table-free sym_dense off-diagonal rotations and
+    only the diagonal degrades to a plain non-symmetric block -- results
+    still equal the single-device kernel."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.ops import pallas_forces as pf
+    from carla_social_force_model_tpu.parallel.mesh import make_mesh
+
+    n = 24 * 8
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(-25, 25, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.9)
+    p = MoussaidParams()
+    kw = dict(row_tile=8, col_tile=16, interpret=True)
+    want = pedestrian_force_pallas(pos, vel, radius, alive, p, **kw)
+
+    monkeypatch.setattr(pf, "_TRI_TABLE_MAX", 1)
+    mesh = make_mesh(n_agent_shards=8)
+    fn = jax.shard_map(
+        lambda *a: pedestrian_force_pallas(
+            *a, p, axis_name="agents", axis_comm="ring", symmetric=True,
+            **kw),
+        mesh=mesh, in_specs=(P("agents"),) * 4, out_specs=P("agents"),
+        check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=3e-5)
