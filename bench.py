@@ -98,6 +98,11 @@ def run_rollout_mode():
         cfg = dataclasses.replace(cfg, pallas_symmetric=SYM != "0")
     if ENV_ANALYTIC:
         cfg = dataclasses.replace(cfg, env_analytic=ENV_ANALYTIC != "0")
+    if os.environ.get("BENCH_VMEM"):
+        # Mosaic scoped-VMEM limit in MB; N >= ~4M needs > 32 (the
+        # symmetric launch's (1, n_cols) column accumulators scale with N)
+        cfg = dataclasses.replace(
+            cfg, pallas_vmem_mb=int(os.environ["BENCH_VMEM"]))
     run = make_rollout_fn(scene, params, cfg, STEPS, record=False)
 
     def once(s):

@@ -717,6 +717,19 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
             # row tile overflows ms survivors, and the per-pair cutoff
             # keeps the force independent of the table either way.
             from .spatial import surv_table
+            n_r_tiles_c = n_rows // tr
+            # the transposed (ms, n_row_tiles) scalar-prefetch table pads
+            # its minor dim to 128 lanes and must fit the ~1 MB v5e SMEM;
+            # fail with advice instead of the opaque AOT allocation error
+            # (observed at N=2M with the default 192-row tiles)
+            table_bytes = 4 * ms * _round_up(n_r_tiles_c, 128)
+            if not interpret and table_bytes > 1_000_000:
+                raise ValueError(
+                    f"compacted-grid survivor table ({ms} x {n_r_tiles_c} "
+                    f"row tiles = {table_bytes / 1e6:.2f} MB) exceeds the "
+                    f"~1 MB TPU SMEM: raise pallas_row_tile (e.g. "
+                    f"{_round_up(max(tr, (4 * ms * n_rows) // 950_000), 8)}"
+                    f") or lower pallas_max_surv, or disable pallas_compact")
             hits = _bbox_hits(row_bb, col_bb, float(cutoff))
             if use_sym:
                 # intersect with the (static) upper triangle: the sym
