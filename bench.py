@@ -80,6 +80,11 @@ def run_rollout_mode():
         scene, params, cfg, state = benchmark_bundle(
             N, with_borders=MODE in ("borders", "obstacles"),
             with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
+    if os.environ.get("BENCH_LAW") == "powerlaw":
+        # swap the pair-force model family: Karamouzas 2014 time-to-
+        # collision power law instead of the reference's Moussaid force
+        params = dataclasses.replace(params, enable_pedestrian=False,
+                                     enable_powerlaw=True)
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     if COMPACT:

@@ -72,6 +72,27 @@ class PedRepulsiveParams:
 
 
 @pytree_dataclass
+class PowerLawParams:
+    """Karamouzas-Skinner-Guy (PRL 2014) universal power-law interaction.
+
+    A second pedestrian-model family beyond the reference's Moussaid force:
+    the pair energy is a function of projected TIME TO COLLISION rather
+    than distance, E(tau) = k / tau^2 * exp(-tau / tau0), with tau solved
+    from the relative state of two discs (radii summed).  Measured from
+    crowd data in the paper; defaults are the paper's fit.  ``tau_max``
+    bounds the anticipation horizon (pairs whose collision lies further
+    out contribute nothing -- the paper's data supports ~3 s of
+    anticipation); ``tau_min`` guards the tau -> 0 singularity for
+    nearly-touching pairs.
+    """
+
+    k: float = 1.5
+    tau0: float = 3.0
+    tau_max: float = 20.0
+    tau_min: float = 1e-2
+
+
+@pytree_dataclass
 class SpaceRepulsiveParams:
     """Helbing-Molnar (1995) boundary repulsion U(d) = U0*exp(-d/R) from the
     nearest border point (the reference's other dead config path,
@@ -116,6 +137,11 @@ class SfmParams:
     space_repulsive: SpaceRepulsiveParams = SpaceRepulsiveParams()
     enable_ped_repulsive: bool = static_field(default=False)
     enable_space_repulsive: bool = static_field(default=False)
+    # Karamouzas et al. (2014) time-to-collision power law: an alternative
+    # pedestrian-pedestrian model family (beyond the reference's surface;
+    # typically enabled INSTEAD of pedestrian_force)
+    powerlaw: PowerLawParams = PowerLawParams()
+    enable_powerlaw: bool = static_field(default=False)
     # reproduce reference-inert config keys & first-vehicle-extent quirk
     strict_parity: bool = static_field(default=False)
 
@@ -132,8 +158,10 @@ class SfmParams:
         forces = cfg.get("forces", {})
         if strict_parity:
             # the reference crashes when these flags are enabled
-            # (pedestrian_simulation.py:49-53 references missing classes)
-            for dead in ("ped_repulsive_force", "space_repulsive_force"):
+            # (pedestrian_simulation.py:49-53 references missing classes;
+            # powerlaw_force is not a reference force name at all)
+            for dead in ("ped_repulsive_force", "space_repulsive_force",
+                         "powerlaw_force"):
                 if forces.get(dead, False):
                     raise ValueError(
                         f"strict parity: force '{dead}' is a dead config path in "
@@ -155,7 +183,15 @@ class SfmParams:
         border_cfg = cfg.get("border_force", {})
         pr = cfg.get("ped_repulsive_force", {})
         sr = cfg.get("space_repulsive_force", {})
+        pw = cfg.get("powerlaw_force", {})
         return SfmParams(
+            powerlaw=PowerLawParams(
+                k=float(pw.get("k", 1.5)),
+                tau0=float(pw.get("tau0", 3.0)),
+                tau_max=float(pw.get("tau_max", 20.0)),
+                tau_min=float(pw.get("tau_min", 1e-2))),
+            enable_powerlaw=bool(forces.get("powerlaw_force", False))
+            and not strict_parity,
             ped_repulsive=PedRepulsiveParams(
                 v0=float(pr.get("v0", 2.1)),
                 sigma=float(pr.get("sigma", 0.3)),

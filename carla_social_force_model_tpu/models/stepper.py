@@ -337,6 +337,36 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 _pos2(), _vel2(), state.radius, state.alive,
                 scene.static_obstacles, obs_vel, params.static_obstacle,
                 use_ped_radius=params.use_ped_radius))
+    if params.enable_powerlaw:
+        if cfg.use_pallas:
+            from ..ops.pallas_forces import (pedestrian_force_pallas,
+                                             pedestrian_force_pallas_sorted)
+            pw_kw = dict(
+                law="powerlaw", axis_name=axis_name,
+                symmetric=(cfg.pallas_symmetric
+                           and (axis_name is None or cfg.axis_comm == "ring")),
+                row_tile=cfg.pallas_row_tile, col_tile=cfg.pallas_col_tile,
+                interpret=cfg.pallas_interpret, planar_out=True,
+                exact_div=cfg.pallas_exact_div, vmem_mb=cfg.pallas_vmem_mb)
+            pw_args = ((state.pos_x, state.pos_y),
+                       (state.vel_x, state.vel_y),
+                       state.radius, state.alive, params.powerlaw)
+            if cfg.interaction_cutoff is not None:
+                terms["powerlaw_force"] = pedestrian_force_pallas_sorted(
+                    *pw_args, cutoff=cfg.interaction_cutoff,
+                    axis_comm=cfg.axis_comm if axis_name else "gather",
+                    spatial_order=cfg.spatial_order,
+                    compact=cfg.pallas_compact,
+                    max_surv=cfg.pallas_max_surv, **pw_kw)
+            else:
+                terms["powerlaw_force"] = pedestrian_force_pallas(
+                    *pw_args, axis_comm=cfg.axis_comm, **pw_kw)
+        else:
+            terms["powerlaw_force"] = split_xy(forces.powerlaw_force(
+                _pos2(), _vel2(), state.radius, state.alive, params.powerlaw,
+                row_block=cfg.row_block, axis_name=axis_name,
+                axis_comm=("ring" if cfg.axis_comm == "ring_kernel"
+                           else cfg.axis_comm)))
     if params.enable_ped_repulsive:
         desired, _ = vecmath.normalize(state.waypoint - _pos2())
         terms["ped_repulsive_force"] = split_xy(forces.ped_repulsive_force(

@@ -23,7 +23,8 @@ from . import vecmath
 from .geometry import closest_point_per_segment, segment_filter_mask
 from ..env.pointsets import ChunkedPointSet
 from ..models.params import (AccelerationParams, BorderParams, MoussaidParams,
-                             PedRepulsiveParams, SpaceRepulsiveParams)
+                             PedRepulsiveParams, PowerLawParams,
+                             SpaceRepulsiveParams)
 from ..models import modes
 
 
@@ -214,6 +215,124 @@ def _pedestrian_force_ring(pos, vel, radius, alive, p: MoussaidParams,
     (_, force), _ = jax.lax.scan(
         body, (init_tile, jnp.zeros_like(pos)), None, length=d)
     return force
+
+
+def _powerlaw_pair_force(diff, rad_sum, dv, p: PowerLawParams, pair_ok):
+    """Karamouzas et al. (2014) time-to-collision pair force.
+
+    Args follow :func:`_moussaid_pair_force`'s conventions: ``diff`` is the
+    raw vector from the pedestrian TOWARD the partner (x_j - x_i), ``dv``
+    the relative velocity v_i - v_j, ``rad_sum`` the summed disc radii.
+
+    The pair energy is E(tau) = k * tau^-2 * exp(-tau/tau0) where tau is
+    the first root of |x + v*t| = R (x = x_i - x_j, v = v_i - v_j, R the
+    summed radii): with a = v.v, b = x.v, c = x.x - R^2, D = b^2 - a*c,
+    tau = (-b - sqrt(D)) / a.  The force on i is -grad_{x_i} E:
+
+        F = k * exp(-tau/tau0) * (2/tau + 1/tau0) / tau^2
+              * (a*x - (sqrt(D) + b)*v) / (a*sqrt(D))
+
+    Pairs not on a collision course contribute nothing: already-overlapping
+    (c <= 0), diverging or missing (D <= 0 or tau <= 0), same-velocity
+    (a ~ 0), or colliding beyond the anticipation horizon (tau > tau_max).
+    """
+    xx = -diff[..., 0]                          # x = x_i - x_j
+    xy = -diff[..., 1]
+    vx = dv[..., 0]                             # v = v_i - v_j
+    vy = dv[..., 1]
+    a = vx * vx + vy * vy
+    b = xx * vx + xy * vy
+    c = xx * xx + xy * xy - rad_sum * rad_sum
+    disc = b * b - a * c
+    ok = pair_ok & (c > 0.0) & (disc > 0.0) & (a > 1e-8)
+    disc_safe = jnp.where(ok, disc, 1.0)
+    a_safe = jnp.where(ok, a, 1.0)
+    s = jnp.sqrt(disc_safe)
+    tau = (-b - s) / a_safe
+    ok = ok & (tau > 0.0) & (tau < p.tau_max)
+    tau = jnp.clip(tau, p.tau_min, p.tau_max)
+    mag = (p.k * jnp.exp(-tau / p.tau0)
+           * (2.0 / tau + 1.0 / p.tau0) / (tau * tau))
+    scale = jnp.where(ok, mag / (a_safe * s), 0.0)
+    fx = scale * (a * xx - (s + b) * vx)
+    fy = scale * (a * xy - (s + b) * vy)
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def powerlaw_force(pos, vel, radius, alive, p: PowerLawParams,
+                   row_block: int = 1024, axis_name: str | None = None,
+                   axis_comm: str = "gather"):
+    """Full N x N Karamouzas power-law interaction (model family beyond the
+    reference's Moussaid force; see :class:`PowerLawParams`).  Structure
+    mirrors :func:`pedestrian_force`: row-blocked ``lax.map``, and under
+    agent-sharding the column state all-gathers or ring-rotates over ICI.
+    Disc radii always participate (the law is defined on discs)."""
+    n_local = pos.shape[0]
+    dtype = pos.dtype
+
+    if axis_name is not None and axis_comm == "ring":
+        d = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+
+        def block_force(tile):
+            pos_c, vel_c, rad_c, alive_c, offset = tile
+            dxp = pos_c[None, :, :] - pos[:, None, :]
+            dv = vel[:, None, :] - vel_c[None, :, :]
+            rad_sum = radius[:, None] + rad_c[None, :]
+            row_idx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+            col_idx = offset + jnp.arange(n_local, dtype=jnp.int32)[None, :]
+            pair_ok = (alive[:, None] & alive_c[None, :]
+                       & (row_idx[:, None] != col_idx))
+            f = _powerlaw_pair_force(dxp, rad_sum, dv, p, pair_ok)
+            return jnp.sum(f, axis=1)
+
+        perm = [(i, (i + 1) % d) for i in range(d)]
+
+        def body(carry, _):
+            tile, acc = carry
+            acc = acc + block_force(tile)
+            tile = jax.lax.ppermute(tile, axis_name, perm)
+            return (tile, acc), None
+
+        init_tile = (pos, vel, radius, alive, me * n_local)
+        (_, force), _ = jax.lax.scan(
+            body, (init_tile, jnp.zeros_like(pos)), None, length=d)
+        return force
+
+    if axis_name is not None:
+        pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
+        vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
+        rad_c = jax.lax.all_gather(radius, axis_name, tiled=True)
+        alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+        row_offset = jax.lax.axis_index(axis_name) * n_local
+    else:
+        pos_c, vel_c, rad_c, alive_c = pos, vel, radius, alive
+        row_offset = 0
+    n_total = pos_c.shape[0]
+
+    def block(row_idx):
+        in_range = row_idx < n_local
+        safe_idx = jnp.minimum(row_idx, n_local - 1)
+        pos_i = pos[safe_idx]
+        vel_i = vel[safe_idx]
+        rad_i = radius[safe_idx]
+        alive_i = alive[safe_idx] & in_range
+
+        dxp = pos_c[None, :, :] - pos_i[:, None, :]       # x_j - x_i
+        dv = vel_i[:, None, :] - vel_c[None, :, :]        # v_i - v_j
+        rad_sum = rad_i[:, None] + rad_c[None, :]
+        col = jnp.arange(n_total, dtype=row_idx.dtype)[None, :]
+        not_self = (row_offset + safe_idx)[:, None] != col
+        pair_ok = alive_i[:, None] & alive_c[None, :] & not_self
+        f = _powerlaw_pair_force(dxp, rad_sum, dv, p, pair_ok)
+        return jnp.sum(f, axis=1)
+
+    if n_local <= row_block:
+        return block(jnp.arange(n_local, dtype=jnp.int32)).astype(dtype)
+    n_pad = -(-n_local // row_block) * row_block
+    rows = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, row_block)
+    out = jax.lax.map(block, rows)
+    return out.reshape(n_pad, 2)[:n_local].astype(dtype)
 
 
 def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,

@@ -156,7 +156,7 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
                  px_r, py_r, vx_r, vy_r, rad_r,
                  px_c, py_c, vx_c, vy_c, rad_c,
                  fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
-                 exact_div, alu_exp, alu_recip):
+                 exact_div, alu_exp, alu_recip, law="moussaid"):
     # prm/rbb/cbb are scalar-prefetch args (full arrays in SMEM); force
     # parameters ride in prm so they may be traced (vmap sweeps).
     # Liveness is pre-staged: dead/padded agents sit at a far sentinel, so
@@ -184,25 +184,22 @@ def _pair_kernel(prm_ref, rbb_ref, cbb_ref,
     else:
         run_tile = True
 
-    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
-    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+    tile = _tile_fn(law, prm_ref, use_radius=use_radius, tr=tr, tc=tc,
+                    cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                    alu_recip=alu_recip)
 
     @pl.when(run_tile)
     def _compute():
-        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
-                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
-                   fx_ref, fy_ref,
-                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
-                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
-                   alu_recip=alu_recip)
+        tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+             px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+             fx_ref, fy_ref)
 
 
 def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
                          px_r, py_r, vx_r, vy_r, rad_r,
                          px_c, py_c, vx_c, vy_c, rad_c,
                          fx_ref, fy_ref, *, use_radius, tr, tc, cutoff,
-                         exact_div, alu_exp, alu_recip):
+                         exact_div, alu_exp, alu_recip, law="moussaid"):
     """Compacted-grid pair kernel: grid slot (i, j) computes row tile i
     against its j-th SURVIVING column tile (``surv_ref[i, j]``, built per
     step by :func:`_bbox_hits` + ``spatial.surv_table``; -1 pads rows with
@@ -217,8 +214,9 @@ def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
         fx_ref[...] = jnp.zeros_like(fx_ref)
         fy_ref[...] = jnp.zeros_like(fy_ref)
 
-    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
-    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+    tile = _tile_fn(law, prm_ref, use_radius=use_radius, tr=tr, tc=tc,
+                    cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                    alu_recip=alu_recip)
 
     # the table rides transposed, (max_surv, n_row_tiles): SMEM pads the
     # minor dim to 128 lanes just like VMEM, and n_row_tiles is the large
@@ -226,13 +224,9 @@ def _pair_kernel_compact(prm_ref, rbb_ref, cbb_ref, surv_ref,
     # padding -- the whole v5e SMEM)
     @pl.when(surv_ref[j, i] >= 0)
     def _compute():
-        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
-                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
-                   fx_ref, fy_ref,
-                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
-                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
-                   alu_recip=alu_recip)
+        tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+             px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+             fx_ref, fy_ref)
 
 
 def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
@@ -240,7 +234,7 @@ def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
                      px_c, py_c, vx_c, vy_c, rad_c,
                      fx_ref, fy_ref, fxc_ref, fyc_ref, *,
                      use_radius, tr, tc, cutoff, exact_div, alu_exp,
-                     alu_recip):
+                     alu_recip, law="moussaid"):
     """Newton's-third-law pair kernel: each unordered pair is computed ONCE.
 
     The Moussaid pair force is exactly antisymmetric (f_ji == -f_ij in f32:
@@ -270,8 +264,9 @@ def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
         fxc_ref[...] = jnp.zeros_like(fxc_ref)
         fyc_ref[...] = jnp.zeros_like(fyc_ref)
 
-    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
-    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+    tile = _tile_fn(law, prm_ref, use_radius=use_radius, tr=tr, tc=tc,
+                    cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                    alu_recip=alu_recip)
 
     jj = surv_ref[j, i]
     run = jj >= 0
@@ -286,14 +281,9 @@ def _pair_kernel_sym(prm_ref, rbb_ref, cbb_ref, surv_ref,
 
     @pl.when(run)
     def _compute():
-        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
-                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
-                   fx_ref, fy_ref,
-                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
-                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
-                   alu_recip=alu_recip,
-                   sym=(i * tr, jj * tc, fxc_ref, fyc_ref))
+        tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+             px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+             fx_ref, fy_ref, sym=(i * tr, jj * tc, fxc_ref, fyc_ref))
 
 
 def _pair_kernel_sym_dense(prm_ref, rbb_ref, cbb_ref,
@@ -301,7 +291,7 @@ def _pair_kernel_sym_dense(prm_ref, rbb_ref, cbb_ref,
                            px_c, py_c, vx_c, vy_c, rad_c,
                            fx_ref, fy_ref, fxc_ref, fyc_ref, *,
                            use_radius, tr, tc, cutoff, exact_div, alu_exp,
-                           alu_recip):
+                           alu_recip, law="moussaid"):
     """Symmetric-accumulation kernel over a FULL block: every pair is
     computed once, +f into the row output and -f into the launch-resident
     ``(1, n_cols)`` column accumulators.  This is the off-diagonal step of
@@ -331,21 +321,17 @@ def _pair_kernel_sym_dense(prm_ref, rbb_ref, cbb_ref,
     else:
         run_tile = True
 
-    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
-    n, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+    tile = _tile_fn(law, prm_ref, use_radius=use_radius, tr=tr, tc=tc,
+                    cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
+                    alu_recip=alu_recip)
 
     @pl.when(run_tile)
     def _compute():
         # row_gid0 far below any col_gid -> the triangle mask inside
-        # _pair_tile is vacuously true (full block, no diagonal here)
-        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
-                   px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
-                   fx_ref, fy_ref,
-                   lam=lam, A=A, gamma=gamma, n=n, n_prime=n_prime,
-                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div, alu_exp=alu_exp,
-                   alu_recip=alu_recip,
-                   sym=(-(1 << 30), j * tc, fxc_ref, fyc_ref))
+        # the tile function is vacuously true (full block, no diagonal)
+        tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+             px_c[...], py_c[...], vx_c[...], vy_c[...], rad_c[...],
+             fx_ref, fy_ref, sym=(-(1 << 30), j * tc, fxc_ref, fyc_ref))
 
 
 def _triangle_table(n_row_tiles: int, n_col_tiles: int, tr: int, tc: int):
@@ -466,6 +452,85 @@ def _pair_tile(xi, yi, vxi, vyi, rad_r,
         fyc_ref[idx] -= jnp.sum(fy, axis=0, keepdims=True)
 
 
+def _pair_tile_powerlaw(xi, yi, vxi, vyi, rad_r,
+                        xj, yj, vxj, vyj, rad_c,
+                        fx_ref, fy_ref, *, k, tau0, tau_max, tau_min,
+                        use_radius, tr, tc, cutoff, exact_div,
+                        alu_exp=False, alu_recip=False, sym=None):
+    """Karamouzas et al. (2014) time-to-collision power-law pair tile (the
+    ``law="powerlaw"`` model family; see ops/forces._powerlaw_pair_force
+    for the math and models/params.PowerLawParams for the parameters).
+
+    Same (TR, 1) x (1, TC) broadcast layout and ``sym`` Newton's-third-law
+    contract as :func:`_pair_tile` (the power-law force is antisymmetric
+    sign-exactly: a/b/c/disc/tau are bit-invariant under the i<->j swap and
+    the force vector negates exactly).  Masking is explicit (the law is
+    gated on collision-course conditions, not exponential underflow):
+    dead/padded sentinels mask through tau > tau_max (live-dead) and
+    c <= 0 with zero staged radii (dead-dead/self/coincident pairs).
+    Disc radii always participate; ``use_radius``/``exact_div``/``alu_*``
+    are accepted for kernel-signature parity and ignored.
+    EUP cost: 1 rsqrt + 1 exp + 2 reciprocal per pair (vs Moussaid's 5).
+    """
+    del use_radius, exact_div, alu_exp, alu_recip
+    xx = xi - xj                       # (TR, TC), x_i - x_j
+    xy = yi - yj
+    vx = vxi - vxj                     # v_i - v_j
+    vy = vyi - vyj
+    rsum = rad_r + rad_c
+    a = vx * vx + vy * vy
+    b = xx * vx + xy * vy
+    d2 = xx * xx + xy * xy
+    c = d2 - rsum * rsum
+    disc = b * b - a * c
+    ok = (c > 0.0) & (disc > 0.0) & (a > 1e-8)
+    if cutoff is not None:
+        ok = ok & (d2 <= cutoff * cutoff)
+    if sym is not None:
+        row_gid0, col_gid0, _, _ = sym
+        row_gid = row_gid0 + jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
+        col_gid = col_gid0 + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+        ok = ok & (col_gid > row_gid)
+
+    rs = jax.lax.rsqrt(jnp.where(ok, disc, 1.0))
+    s = disc * rs                      # sqrt(disc), 0-safe via the mask
+    a_safe = jnp.where(ok, a, 1.0)
+    ra = pl.reciprocal(a_safe, approx=True)
+    ra = ra * (2.0 - a_safe * ra)      # 1 Newton step (~1e-7 rel)
+    tau = (-b - s) * ra
+    ok = ok & (tau > 0.0) & (tau < tau_max)
+    tau = jnp.clip(tau, tau_min, tau_max)
+    rtau = pl.reciprocal(tau, approx=True)
+    rtau = rtau * (2.0 - tau * rtau)
+    inv_tau0 = 1.0 / tau0              # scalar
+    mag = (k * jnp.exp(-tau * inv_tau0)) * ((2.0 * rtau + inv_tau0)
+                                            * (rtau * rtau))
+    scale = jnp.where(ok, mag * ra * rs, 0.0)
+    sb = s + b
+    fx = scale * (a * xx - sb * vx)
+    fy = scale * (a * xy - sb * vy)
+    fx_ref[...] += jnp.sum(fx, axis=1, keepdims=True)
+    fy_ref[...] += jnp.sum(fy, axis=1, keepdims=True)
+    if sym is not None:
+        _, col_gid0, fxc_ref, fyc_ref = sym
+        idx = (slice(None), pl.ds(col_gid0, tc))
+        fxc_ref[idx] -= jnp.sum(fx, axis=0, keepdims=True)
+        fyc_ref[idx] -= jnp.sum(fy, axis=0, keepdims=True)
+
+
+def _tile_fn(law, prm_ref, **kw):
+    """Bind the per-law tile function to its scalar-prefetch parameters.
+    All pair kernels go through this, so a new pair-force law needs only a
+    tile function and a :func:`_params_vec` entry."""
+    if law == "powerlaw":
+        return functools.partial(
+            _pair_tile_powerlaw, k=prm_ref[0], tau0=prm_ref[1],
+            tau_max=prm_ref[2], tau_min=prm_ref[3], **kw)
+    return functools.partial(
+        _pair_tile, lam=prm_ref[0], A=prm_ref[1], gamma=prm_ref[2],
+        n=prm_ref[3], n_prime=prm_ref[4], epsilon=prm_ref[5], **kw)
+
+
 def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             use_ped_radius: bool = False, row_tile: int = 512,
                             col_tile: int = 1024, interpret: bool = False,
@@ -479,8 +544,16 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             vmem_mb: int = 32,
                             compact: bool = False,
                             max_surv: int = 0,
-                            symmetric: bool = False):
+                            symmetric: bool = False,
+                            law: str = "moussaid"):
     """Drop-in replacement for ops.forces.pedestrian_force.
+
+    ``law``: the pair-force model family -- ``"moussaid"`` (the reference's
+    force, default) or ``"powerlaw"`` (Karamouzas et al. 2014 time-to-
+    collision law, ops/forces.powerlaw_force; ``p`` is then a
+    PowerLawParams and disc radii always participate).  Both laws are
+    exactly antisymmetric, so every launch mode incl. ``symmetric``
+    composes.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
     leaves may be traced -- parameter sweeps can vmap over them and keep the
@@ -545,13 +618,18 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
 
     call = functools.partial(
-        _slab_call, prm=_params_vec(p), use_radius=use_ped_radius, tr=tr,
-        tc=tc, cutoff=cutoff, interpret=interpret, exact_div=exact_div,
-        alu_exp=alu_exp, alu_recip=alu_recip, vmem_mb=vmem_mb)
+        _slab_call, prm=_params_vec(p, law), use_radius=use_ped_radius,
+        tr=tr, tc=tc, cutoff=cutoff, interpret=interpret,
+        exact_div=exact_div, alu_exp=alu_exp, alu_recip=alu_recip,
+        vmem_mb=vmem_mb, law=law)
 
     if axis_name is not None and axis_comm == "ring_kernel":
         # fused in-kernel RDMA ring (ops/pallas_ring.py): one pallas_call
         # rotates the column block over ICI inside the kernel
+        if law != "moussaid":
+            raise ValueError("axis_comm='ring_kernel' supports the Moussaid "
+                             "law only; use 'ring' or 'gather' for "
+                             f"law={law!r}")
         from .pallas_ring import pedestrian_force_pallas_ring
         return pedestrian_force_pallas_ring(
             pos, vel, radius, alive, p, axis_name=axis_name,
@@ -794,18 +872,20 @@ def _bboxes(staged_1d, alive, count, tile):
     return tile_bboxes(staged_1d[0], staged_1d[1], mask, tile).T
 
 
-def _params_vec(p) -> jnp.ndarray:
-    """(6,) force-parameter vector (scalar-prefetch payload); leaves may be
-    traced (parameter sweeps vmap over them)."""
-    return jnp.stack([jnp.asarray(v, jnp.float32) for v in
-                      (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)],
-                     axis=-1)
+def _params_vec(p, law: str = "moussaid") -> jnp.ndarray:
+    """Force-parameter vector (scalar-prefetch payload) for the given pair
+    law; leaves may be traced (parameter sweeps vmap over them)."""
+    if law == "powerlaw":
+        vals = (p.k, p.tau0, p.tau_max, p.tau_min)
+    else:
+        vals = (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals], axis=-1)
 
 
 def _slab_call(row_args, row_bb, col_args, col_bb, *,
                prm, use_radius, tr, tc, cutoff, interpret, exact_div=False,
                alu_exp=False, alu_recip=False, vmem_mb=32, surv=None,
-               sym=False, sym_dense=False):
+               sym=False, sym_dense=False, law="moussaid"):
     """One kernel launch over a (n_rows x n_cols) slab of staged state.
 
     ``surv=None`` runs the dense grid (every (row-tile, col-tile) pair a
@@ -861,7 +941,7 @@ def _slab_call(row_args, row_bb, col_args, col_bb, *,
         kern = _pair_kernel_sym if sym else _pair_kernel_compact
 
     kernel = functools.partial(
-        kern, use_radius=use_radius, tr=tr, tc=tc,
+        kern, law=law, use_radius=use_radius, tr=tr, tc=tc,
         cutoff=float(cutoff) if cutoff is not None else None,
         exact_div=exact_div, alu_exp=alu_exp, alu_recip=alu_recip)
 
@@ -919,7 +999,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    spatial_order: str = "hilbert",
                                    compact: bool = False,
                                    max_surv: int = 0,
-                                   symmetric: bool = False):
+                                   symmetric: bool = False,
+                                   law: str = "moussaid"):
     """Locality-sorted cutoff kernel: sort agents along a space-filling
     curve so kernel tiles are spatially tight, run the cutoff kernel,
     scatter the forces back to the original slot order.  The result equals
@@ -946,7 +1027,7 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
         alu_exp=alu_exp, alu_recip=alu_recip,
         vmem_mb=vmem_mb, compact=compact, max_surv=max_surv,
-        symmetric=symmetric)
+        symmetric=symmetric, law=law)
     if planar_out:
         fx, fy = force
         return fx[inv], fy[inv]

@@ -55,6 +55,7 @@ def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
         dynamic_obstacle=expand(params.dynamic_obstacle, "dynamic_obstacle"),
         ped_repulsive=expand(params.ped_repulsive, "ped_repulsive"),
         space_repulsive=expand(params.space_repulsive, "space_repulsive"),
+        powerlaw=expand(params.powerlaw, "powerlaw"),
         max_speed_factor=jnp.broadcast_to(
             jnp.asarray(leaf_batches.pop("max_speed_factor",
                                          params.max_speed_factor), jnp.float32),
