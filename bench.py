@@ -24,7 +24,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env: BENCH_N, BENCH_STEPS, BENCH_CUTOFF (meters; locality-sorted cutoff on
 the Pallas path), BENCH_BATCH (ensemble only), BENCH_SYM ("0" disables the
 symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES,
-BENCH_ENV_ANALYTIC ("1" enables the analytic border tier).
+BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
+("powerlaw" swaps the pair-force family to the Karamouzas-2014
+time-to-collision law; rollout modes only).
 """
 import json
 import os

@@ -45,7 +45,8 @@ import numpy as np
 
 from ..models.params import SfmParams
 from ..models.state import PedState
-from ..models.stepper import Scene, StepConfig, StepRecord, prepare_scene, rollout
+from ..models.stepper import (Scene, StepConfig, StepRecord, prepare_scene,
+                              rollout, simulation_step)
 
 #: default fit set: the Moussaid interaction parameters (the ones with the
 #: most trajectory leverage; reference forces.py:60-73)
@@ -101,7 +102,8 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
                  cfg: StepConfig, observed: StepRecord, num_steps: int,
                  fit: Sequence[str] = DEFAULT_FIT, log_space: bool = True,
                  record_stride: int = 1, vel_weight: float = 0.0,
-                 remat: bool = True) -> Callable[[dict], jnp.ndarray]:
+                 remat: bool = True,
+                 grad_horizon: int | None = None) -> Callable[[dict], jnp.ndarray]:
     """Scalar loss over the fitted parameters.
 
     Returns ``loss_fn(theta)`` where ``theta`` maps each dotted name in
@@ -111,6 +113,15 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
 
     ``observed`` must have leading dimension ``num_steps // record_stride``
     (a rollout recorded with the same stride).
+
+    ``grad_horizon=K`` truncates backpropagation to K-tick windows
+    (truncated BPTT; see :func:`~..models.stepper.rollout`).  Required in
+    practice for the Karamouzas power-law family, whose hard
+    collision-course gates make full-rollout reverse-mode gradients
+    overflow beyond ~40 ticks; K of 10-20 keeps them O(1) while the loss
+    landscape (which is well-behaved either way) still identifies the
+    parameters.  The Moussaid family's smooth exponentials tolerate full
+    BPTT at the horizons tested (~100+ ticks), so the default is off.
     """
     scene = prepare_scene(scene, analytic=cfg.env_analytic)
     if cfg.use_pallas:
@@ -127,8 +138,95 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
                   for name, v in theta.items()}
         p = replace_params(params, values)
         _, rec = rollout(state0, scene, p, cfg, num_steps, record=True,
-                         record_stride=record_stride, remat=remat)
+                         record_stride=record_stride, remat=remat,
+                         grad_horizon=grad_horizon)
         return trajectory_mse(rec, observed, vel_weight=vel_weight)
+
+    return loss_fn
+
+
+def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
+                                params: SfmParams, cfg: StepConfig,
+                                observed: StepRecord, num_steps: int,
+                                fit: Sequence[str] = DEFAULT_FIT,
+                                window: int = 8, log_space: bool = True,
+                                vel_weight: float = 0.0,
+                                ) -> Callable[[dict], jnp.ndarray]:
+    """Windowed teacher-forced loss: short-horizon prediction error.
+
+    The full-trajectory MSE of :func:`make_loss_fn` is the right objective
+    for smooth families (Moussaid), but for stiff, hard-gated dynamics
+    (the Karamouzas power law's collision-course gates) it is chaotic in
+    the parameters: a 1-ulp force change flips a gate, trajectories
+    diverge, and the landscape turns rugged while reverse-mode gradients
+    overflow (measured ~1e7 amplification per 10 ticks).  The standard
+    system-identification fix is teacher forcing / multiple shooting:
+    every ``window`` ticks the simulated state's positions/velocities are
+    RESET from the observed record (where both mark the slot alive), so
+    the loss is the mean squared ``<= window``-step prediction error --
+    no chaos amplification, smooth landscape, bounded gradients.
+
+    The reset passes the carry through ``stop_gradient``, so each window's
+    gradient is exact (not truncated -- the window simply *starts* from
+    data).  Non-observed state components (modes, waypoint progress,
+    timers) carry over from the simulation, which is also what
+    calibration against real data (where only positions are observed)
+    requires.  Requires a stride-1 ``observed`` record and a scene without
+    a reactive autopilot fleet.
+    """
+    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    if cfg.use_pallas:
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+    if scene.autopilot is not None:
+        raise NotImplementedError(
+            "teacher-forced calibration does not support reactive "
+            "autopilot scenes (the fleet state is not observable)")
+    if observed.pos.shape[0] != num_steps:
+        raise ValueError(
+            f"teacher forcing requires a stride-1 record: observed has "
+            f"{observed.pos.shape[0]} frames, num_steps={num_steps}")
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    # planar observation streams for the scan (TPU layout rule: no (N, 2))
+    obs = dict(
+        px=observed.pos[..., 0], py=observed.pos[..., 1],
+        vx=observed.vel[..., 0], vy=observed.vel[..., 1],
+        alive=observed.alive)
+
+    def loss_fn(theta: dict) -> jnp.ndarray:
+        values = {name: (jnp.exp(v) if log_space else v)
+                  for name, v in theta.items()}
+        p = replace_params(params, values)
+
+        def body(carry, inp):
+            st, acc_se, acc_w = carry
+            t, opx, opy, ovx, ovy, oal = inp
+
+            def reset(s):
+                s = jax.tree_util.tree_map(jax.lax.stop_gradient, s)
+                take = oal & s.alive
+                return dataclasses.replace(
+                    s,
+                    pos_x=jnp.where(take, opx, s.pos_x),
+                    pos_y=jnp.where(take, opy, s.pos_y),
+                    vel_x=jnp.where(take, ovx, s.vel_x),
+                    vel_y=jnp.where(take, ovy, s.vel_y))
+
+            st = jax.lax.cond((t % window) == 0, reset, lambda s: s, st)
+            new_st, rec = simulation_step(st, scene, p, cfg, t)
+            w = (rec.alive & oal).astype(rec.pos_x.dtype)
+            se = jnp.square(rec.pos_x - opx) + jnp.square(rec.pos_y - opy)
+            if vel_weight:
+                se = se + vel_weight * (jnp.square(rec.vel_x - ovx)
+                                        + jnp.square(rec.vel_y - ovy))
+            return (new_st, acc_se + jnp.sum(se * w), acc_w + jnp.sum(w)), None
+
+        steps = jnp.arange(num_steps)
+        zero = jnp.zeros((), jnp.float32)
+        (_, se, wsum), _ = jax.lax.scan(
+            body, (state0, zero, zero),
+            (steps, obs["px"], obs["py"], obs["vx"], obs["vy"], obs["alive"]))
+        return se / jnp.maximum(wsum, 1.0)
 
     return loss_fn
 
@@ -150,6 +248,8 @@ def fit_params(state0: PedState, scene: Scene, params: SfmParams,
                learning_rate: float = 0.05, optimizer=None,
                log_space: bool = True, record_stride: int = 1,
                vel_weight: float = 0.0, remat: bool = True,
+               grad_horizon: int | None = None,
+               teacher_window: int | None = None,
                callback: Callable[[int, float, dict], None] | None = None,
                ) -> CalibrationResult:
     """Fit the named parameters to ``observed`` by Adam over the rollout loss.
@@ -158,13 +258,25 @@ def fit_params(state0: PedState, scene: Scene, params: SfmParams,
     the fixed values of everything else.  ``optimizer`` overrides the
     default ``optax.adam(learning_rate)``.  ``callback(i, loss, values)``
     is invoked per iteration with the current *parameter-space* values.
+
+    ``teacher_window=W`` switches the objective to the windowed
+    teacher-forced prediction error (:func:`make_teacher_forced_loss_fn`)
+    -- use it for stiff families (the power law); ``grad_horizon`` then
+    has no effect (windows already bound the backprop depth).
     """
     import optax
 
-    loss_fn = make_loss_fn(state0, scene, params, cfg, observed, num_steps,
-                           fit=fit, log_space=log_space,
-                           record_stride=record_stride,
-                           vel_weight=vel_weight, remat=remat)
+    if teacher_window is not None:
+        loss_fn = make_teacher_forced_loss_fn(
+            state0, scene, params, cfg, observed, num_steps, fit=fit,
+            window=teacher_window, log_space=log_space,
+            vel_weight=vel_weight)
+    else:
+        loss_fn = make_loss_fn(state0, scene, params, cfg, observed,
+                               num_steps, fit=fit, log_space=log_space,
+                               record_stride=record_stride,
+                               vel_weight=vel_weight, remat=remat,
+                               grad_horizon=grad_horizon)
     init = {}
     for name in fit:
         v = jnp.asarray(get_param(params, name), jnp.float32)

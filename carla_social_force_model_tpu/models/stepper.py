@@ -544,7 +544,7 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
             num_steps: int, record: bool = True, start_step: int = 0,
             axis_name: str | None = None, record_stride: int = 1,
             autopilot_state=None, return_autopilot_state: bool = False,
-            remat: bool = False):
+            remat: bool = False, grad_horizon: int | None = None):
     """Run ``num_steps`` ticks under ``lax.scan``.
 
     ``remat=True`` wraps each tick in :func:`jax.checkpoint` so reverse-mode
@@ -553,6 +553,18 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
     activation memory in the carry size instead of in the step's pairwise
     intermediates.  Forward-only rollouts should leave it off (it forbids
     XLA from eliding recomputation it would not otherwise do).
+
+    ``grad_horizon=K`` truncates reverse-mode AD to K-step windows: the
+    scan carry is passed through :func:`jax.lax.stop_gradient` whenever
+    ``step % K == 0``, so the forward rollout is BITWISE unchanged but
+    each parameter gradient only backpropagates through at most K
+    consecutive ticks (every tick still contributes its direct parameter
+    dependence).  This is truncated BPTT -- the standard estimator for
+    stiff/chaotic dynamics whose full-rollout Jacobian products overflow
+    f32 (measured: the Karamouzas power law's hard collision-course gates
+    amplify gradients ~1e7 per 10 ticks; beyond ~40 ticks reverse-mode AD
+    returns inf/nan while the loss itself stays well-behaved).  Unused in
+    forward-only rollouts.
 
     Returns ``(final_state, StepRecord-of-(T, ...))`` when ``record`` else
     ``(final_state, None)``.  ``record_stride=k`` keeps only every k-th
@@ -612,6 +624,19 @@ def rollout(state: PedState, scene: Scene, params: SfmParams, cfg: StepConfig,
                                      speed=ap.speed, active=ap.active))
                if want_rec else None)
         return (new_state, ap), out
+
+    if grad_horizon:
+        horizon = int(grad_horizon)
+        if horizon <= 0:
+            raise ValueError(f"grad_horizon must be positive, got {horizon}")
+        step_body = body
+
+        def body(carry, t_idx, want_rec):
+            carry = jax.lax.cond(
+                (t_idx % horizon) == 0,
+                lambda c: jax.tree_util.tree_map(jax.lax.stop_gradient, c),
+                lambda c: c, carry)
+            return step_body(carry, t_idx, want_rec)
 
     if remat:
         body = jax.checkpoint(body, static_argnums=(2,))
