@@ -26,7 +26,8 @@ the Pallas path), BENCH_BATCH (ensemble only), BENCH_SYM ("0" disables the
 symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES,
 BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
 ("powerlaw" swaps the pair-force family to the Karamouzas-2014
-time-to-collision law; rollout modes only).
+time-to-collision law, "helbing" to the Helbing-Molnar-1995 elliptical
+repulsion; rollout modes only).
 """
 import json
 import os
@@ -82,11 +83,18 @@ def run_rollout_mode():
         scene, params, cfg, state = benchmark_bundle(
             N, with_borders=MODE in ("borders", "obstacles"),
             with_obstacles=MODE == "obstacles", num_steps_hint=STEPS)
-    if os.environ.get("BENCH_LAW") == "powerlaw":
+    law = os.environ.get("BENCH_LAW", "")
+    if law == "powerlaw":
         # swap the pair-force model family: Karamouzas 2014 time-to-
         # collision power law instead of the reference's Moussaid force
         params = dataclasses.replace(params, enable_pedestrian=False,
                                      enable_powerlaw=True)
+    elif law == "helbing":
+        # Helbing-Molnar 1995 elliptical repulsion (law="helbing")
+        params = dataclasses.replace(params, enable_pedestrian=False,
+                                     enable_ped_repulsive=True)
+    elif law:
+        raise SystemExit(f"BENCH_LAW must be powerlaw|helbing, got {law!r}")
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     if COMPACT:

@@ -62,6 +62,15 @@ class PedRepulsiveParams:
     working implementation of the original paper's V(b) = V0*exp(-b/sigma)
     potential with the field-of-view modulation (weight c outside the
     2*phi cone).  Defaults are the paper's values.
+
+    ``b_min`` regularizes the law's b -> 0 singularity: the force magnitude
+    scales as s/(4b), and b (the ellipse semi-minor axis) cancels to ZERO
+    for an equal-speed follower directly behind its leader (s^2 == |y|^2
+    catastrophically, so f32 rounding decides between "masked" and an
+    unbounded kick).  Clamping b at b_min saturates the potential below
+    the contact scale -- the force stays bounded and continuous (in the
+    exact-degenerate geometry the two unit vectors of grad b cancel, so
+    the clamped force tends to zero smoothly).
     """
 
     v0: float = 2.1
@@ -69,6 +78,7 @@ class PedRepulsiveParams:
     fov_phi: float = 100.0   # degrees
     fov_factor: float = 0.5
     step_width: float = 1.0  # Delta-t of the anticipation term [s]
+    b_min: float = 0.1       # semi-minor-axis floor [m] (see above)
 
 
 @pytree_dataclass
@@ -197,7 +207,8 @@ class SfmParams:
                 sigma=float(pr.get("sigma", 0.3)),
                 fov_phi=float(pr.get("fov_phi", 100.0)),
                 fov_factor=float(pr.get("fov_factor", 0.5)),
-                step_width=float(pr.get("step_width", 1.0))),
+                step_width=float(pr.get("step_width", 1.0)),
+                b_min=float(pr.get("b_min", 0.1))),
             space_repulsive=SpaceRepulsiveParams(
                 u0=float(sr.get("u0", 10.0)), r=float(sr.get("r", 0.2))),
             enable_ped_repulsive=bool(forces.get("ped_repulsive_force", False))

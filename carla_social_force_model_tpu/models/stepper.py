@@ -368,10 +368,37 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 axis_comm=("ring" if cfg.axis_comm == "ring_kernel"
                            else cfg.axis_comm)))
     if params.enable_ped_repulsive:
-        desired, _ = vecmath.normalize(state.waypoint - _pos2())
-        terms["ped_repulsive_force"] = split_xy(forces.ped_repulsive_force(
-            _pos2(), _vel2(), desired, state.alive, params.ped_repulsive,
-            row_block=cfg.row_block))
+        ex, ey, _ = vecmath.normalize_xy(state.wp_x - state.pos_x,
+                                         state.wp_y - state.pos_y)
+        if cfg.use_pallas:
+            from ..ops.pallas_forces import (pedestrian_force_pallas,
+                                             pedestrian_force_pallas_sorted)
+            hb_kw = dict(
+                law="helbing", desired=(ex, ey), axis_name=axis_name,
+                row_tile=cfg.pallas_row_tile, col_tile=cfg.pallas_col_tile,
+                interpret=cfg.pallas_interpret, planar_out=True,
+                exact_div=cfg.pallas_exact_div, vmem_mb=cfg.pallas_vmem_mb)
+            hb_args = ((state.pos_x, state.pos_y),
+                       (state.vel_x, state.vel_y),
+                       state.radius, state.alive, params.ped_repulsive)
+            if cfg.interaction_cutoff is not None:
+                terms["ped_repulsive_force"] = pedestrian_force_pallas_sorted(
+                    *hb_args, cutoff=cfg.interaction_cutoff,
+                    axis_comm=cfg.axis_comm if axis_name else "gather",
+                    spatial_order=cfg.spatial_order,
+                    compact=cfg.pallas_compact,
+                    max_surv=cfg.pallas_max_surv, **hb_kw)
+            else:
+                terms["ped_repulsive_force"] = pedestrian_force_pallas(
+                    *hb_args, axis_comm=cfg.axis_comm, **hb_kw)
+        else:
+            terms["ped_repulsive_force"] = split_xy(
+                forces.ped_repulsive_force(
+                    _pos2(), _vel2(), vecmath.stack_xy(ex, ey), state.alive,
+                    params.ped_repulsive, row_block=cfg.row_block,
+                    axis_name=axis_name,
+                    axis_comm=("ring" if cfg.axis_comm == "ring_kernel"
+                               else cfg.axis_comm)))
     if params.enable_space_repulsive and scene.borders is not None:
         if "space_repulsive_force" in fused_env:
             terms["space_repulsive_force"] = fused_env["space_repulsive_force"]

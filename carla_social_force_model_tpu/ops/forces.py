@@ -362,62 +362,121 @@ def border_force(pos, mode, radius, alive, borders: ChunkedPointSet,
     return jnp.where(crossing[:, None], 0.0, force)
 
 
+def _helbing_pair_force(pos_i, e_i, pos_c, vel_c, pair_ok,
+                        p: PedRepulsiveParams):
+    """Helbing-Molnar (1995) elliptical pair force with FoV modulation.
+
+    ``pos_i``/``e_i`` are (R, 2) row pedestrians (position, desired
+    direction), ``pos_c``/``vel_c`` (C, 2) column partners, ``pair_ok``
+    (R, C) the liveness/self mask.  V(b) = v0 * exp(-b/sigma) where 2b is
+    the minor axis of the ellipse around the partner's anticipated step
+    ``y = step_width * v_j``; the force on i is -grad V, weighted by
+    fov_factor when j lies outside i's +-fov_phi field of view around the
+    desired direction.  Note the asymmetry: the law reads v_j but never
+    v_i, so unlike Moussaid/powerlaw it is NOT antisymmetric."""
+    cos_phi = jnp.cos(jnp.deg2rad(p.fov_phi))
+    d = pos_i[:, None, :] - pos_c[None, :, :]         # r_i - r_j
+    y = p.step_width * vel_c[None, :, :]              # partner step
+    dmy = d - y
+    nd = vecmath.norm(d)
+    ndmy = vecmath.norm(dmy)
+    s = nd + ndmy
+    y2 = jnp.sum(y * y, axis=-1)
+    b2 = jnp.maximum(s * s - y2, 0.0) * 0.25
+    b = jnp.sqrt(b2)
+
+    ok = pair_ok & (b > 0.0) & (nd > 0.0) & (ndmy > 0.0)
+    nd_s = jnp.where(nd == 0.0, 1.0, nd)
+    ndmy_s = jnp.where(ndmy == 0.0, 1.0, ndmy)
+    # b_min floor: b cancels to 0 for an equal-speed follower directly
+    # behind its leader (s^2 - |y|^2 catastrophically), where the raw
+    # s/(4b) magnitude is unbounded and f32 rounding decides between
+    # "masked" and a huge kick; the clamp saturates V(b) below the contact
+    # scale (see PedRepulsiveParams.b_min) and the force stays continuous
+    # (grad b's two unit vectors cancel in the degenerate geometry)
+    b_s = jnp.maximum(jnp.where(ok, b, 1.0), p.b_min)
+    grad = (s / (4.0 * b_s))[..., None] * (d / nd_s[..., None]
+                                           + dmy / ndmy_s[..., None])
+    f = (p.v0 / p.sigma) * jnp.exp(-b_s / p.sigma)[..., None] * grad
+
+    # field-of-view modulation (Helbing eq. 7): sources behind i are
+    # felt weaker; -f points from i toward the source j
+    toward = -f
+    seen = (jnp.sum(e_i[:, None, :] * toward, axis=-1)
+            >= vecmath.norm(toward) * cos_phi)
+    w = jnp.where(seen, 1.0, p.fov_factor)
+    return jnp.where(ok[..., None], w[..., None] * f, 0.0)
+
+
 def ped_repulsive_force(pos, vel, desired_dir, alive, p: PedRepulsiveParams,
-                        row_block: int = 1024):
+                        row_block: int = 1024, axis_name: str | None = None,
+                        axis_comm: str = "gather"):
     """Helbing-Molnar (1995) elliptical pedestrian repulsion with FoV.
 
-    V(b) = v0 * exp(-b/sigma) where 2b is the minor axis of the ellipse
-    around the partner's anticipated step; the force on pedestrian i from j
-    is -grad V, weighted by fov_factor when j lies outside i's +-fov_phi
-    field of view around the desired direction.  A working implementation of
-    the force class the reference's config names but does not ship.
+    A working implementation of the force class the reference's config
+    names but does not ship (pedestrian_simulation.py:49-53); also a third
+    pair-force model family (``law="helbing"`` on the Pallas kernel).
+    Structure mirrors :func:`pedestrian_force`: row-blocked ``lax.map``,
+    and under agent-sharding the column state (positions, velocities,
+    liveness -- the law never reads the row pedestrian's own velocity)
+    all-gathers or ring-rotates over ICI.
     """
-    n = pos.shape[0]
-    dt_w = p.step_width
-    cos_phi = jnp.cos(jnp.deg2rad(p.fov_phi))
+    n_local = pos.shape[0]
+
+    if axis_name is not None and axis_comm == "ring":
+        d_ax = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+
+        def block_force(tile):
+            pos_c, vel_c, alive_c, offset = tile
+            row_idx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+            col_idx = offset + jnp.arange(n_local, dtype=jnp.int32)[None, :]
+            pair_ok = (alive[:, None] & alive_c[None, :]
+                       & (row_idx[:, None] != col_idx))
+            f = _helbing_pair_force(pos, desired_dir, pos_c, vel_c,
+                                    pair_ok, p)
+            return jnp.sum(f, axis=1)
+
+        perm = [(i, (i + 1) % d_ax) for i in range(d_ax)]
+
+        def body(carry, _):
+            tile, acc = carry
+            acc = acc + block_force(tile)
+            tile = jax.lax.ppermute(tile, axis_name, perm)
+            return (tile, acc), None
+
+        init_tile = (pos, vel, alive, me * n_local)
+        (_, force), _ = jax.lax.scan(
+            body, (init_tile, jnp.zeros_like(pos)), None, length=d_ax)
+        return force
+
+    if axis_name is not None:
+        pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
+        vel_c = jax.lax.all_gather(vel, axis_name, tiled=True)
+        alive_c = jax.lax.all_gather(alive, axis_name, tiled=True)
+        row_offset = jax.lax.axis_index(axis_name) * n_local
+    else:
+        pos_c, vel_c, alive_c = pos, vel, alive
+        row_offset = 0
+    n_total = pos_c.shape[0]
 
     def block(row_idx):
-        in_range = row_idx < n
-        safe_idx = jnp.minimum(row_idx, n - 1)
-        pos_i = pos[safe_idx]
-        e_i = desired_dir[safe_idx]
+        in_range = row_idx < n_local
+        safe_idx = jnp.minimum(row_idx, n_local - 1)
+        col = jnp.arange(n_total, dtype=row_idx.dtype)[None, :]
+        not_self = (row_offset + safe_idx)[:, None] != col
         alive_i = alive[safe_idx] & in_range
-
-        d = pos_i[:, None, :] - pos[None, :, :]           # r_i - r_j
-        y = dt_w * vel[None, :, :]                        # partner step
-        dmy = d - y
-        nd = vecmath.norm(d)
-        ndmy = vecmath.norm(dmy)
-        s = nd + ndmy
-        y2 = jnp.sum(y * y, axis=-1)
-        b2 = jnp.maximum(s * s - y2, 0.0) * 0.25
-        b = jnp.sqrt(b2)
-
-        not_self = safe_idx[:, None] != jnp.arange(n)[None, :]
-        ok = (alive_i[:, None] & alive[None, :] & not_self
-              & (b > 0.0) & (nd > 0.0) & (ndmy > 0.0))
-        nd_s = jnp.where(nd == 0.0, 1.0, nd)
-        ndmy_s = jnp.where(ndmy == 0.0, 1.0, ndmy)
-        b_s = jnp.where(ok, b, 1.0)
-        grad = (s / (4.0 * b_s))[..., None] * (d / nd_s[..., None]
-                                               + dmy / ndmy_s[..., None])
-        f = (p.v0 / p.sigma) * jnp.exp(-b / p.sigma)[..., None] * grad
-
-        # field-of-view modulation (Helbing eq. 7): sources behind i are
-        # felt weaker; -f points from i toward the source j
-        toward = -f
-        seen = (jnp.sum(e_i[:, None, :] * toward, axis=-1)
-                >= vecmath.norm(toward) * cos_phi)
-        w = jnp.where(seen, 1.0, p.fov_factor)
-        f = jnp.where(ok[..., None], w[..., None] * f, 0.0)
+        pair_ok = alive_i[:, None] & alive_c[None, :] & not_self
+        f = _helbing_pair_force(pos[safe_idx], desired_dir[safe_idx],
+                                pos_c, vel_c, pair_ok, p)
         return jnp.sum(f, axis=1)
 
-    if n <= row_block:
-        return block(jnp.arange(n, dtype=jnp.int32))
-    n_pad = -(-n // row_block) * row_block
+    if n_local <= row_block:
+        return block(jnp.arange(n_local, dtype=jnp.int32))
+    n_pad = -(-n_local // row_block) * row_block
     rows = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, row_block)
     out = jax.lax.map(block, rows)
-    return out.reshape(n_pad, 2)[:n]
+    return out.reshape(n_pad, 2)[:n_local]
 
 
 def space_repulsive_force(pos, mode, alive, borders: ChunkedPointSet,

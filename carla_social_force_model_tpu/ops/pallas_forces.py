@@ -1,4 +1,11 @@
-"""Fused Pallas TPU kernel for the N x N Moussaid pedestrian force.
+"""Fused Pallas TPU kernels for the N x N pedestrian pair forces.
+
+Three model families ride one launch machinery (tile grids, cutoff bbox
+skipping, compacted survivor tables, ring/gather sharding) through the
+per-law tile dispatch (:func:`_tile_fn`): ``law="moussaid"`` (the
+reference's force, below), ``law="powerlaw"`` (Karamouzas et al. 2014
+time-to-collision), and ``law="helbing"`` (Helbing-Molnar 1995 elliptical
+repulsion with field-of-view).
 
 The jnp formulation (ops/forces.pedestrian_force) is HBM-bound: XLA
 materializes multiple (rows, N) pairwise intermediates per row block.  This
@@ -518,6 +525,86 @@ def _pair_tile_powerlaw(xi, yi, vxi, vyi, rad_r,
         fyc_ref[idx] -= jnp.sum(fy, axis=0, keepdims=True)
 
 
+def _pair_tile_helbing(xi, yi, exi, eyi, rad_r,
+                       xj, yj, vxj, vyj, rad_c,
+                       fx_ref, fy_ref, *, v0, sigma, cos_phi, fov_factor,
+                       dt_w, b_min, use_radius, tr, tc, cutoff, exact_div,
+                       alu_exp=False, alu_recip=False, sym=None):
+    """Helbing-Molnar (1995) elliptical-repulsion pair tile (the
+    ``law="helbing"`` model family; see ops/forces.ped_repulsive_force for
+    the math and models/params.PedRepulsiveParams for the parameters).
+
+    The law reads the partner's velocity but never the pedestrian's own
+    (the ellipse anticipates the PARTNER's step ``y = dt_w * v_j``), and it
+    needs the pedestrian's desired direction ``e_i`` for the field-of-view
+    modulation -- so the ROW velocity planes carry ``e_i`` instead of
+    ``v_i`` (staged by :func:`pedestrian_force_pallas` ``desired=...``)
+    while the column planes carry the real ``v_j``.  Same (TR, 1) x
+    (1, TC) broadcast layout as :func:`_pair_tile`.
+
+    NOT antisymmetric (b depends on ``v_j`` only; swapping i<->j changes
+    the ellipse), so the Newton's-third-law ``sym`` contract does not
+    apply -- :func:`pedestrian_force_pallas` forces ``symmetric=False``
+    for this law.  EUP cost: 4 rsqrt + 1 exp per pair.
+    """
+    del use_radius, exact_div, alu_exp, alu_recip
+    if sym is not None:
+        raise ValueError("law='helbing' is not antisymmetric; symmetric "
+                         "launches do not apply")
+    dx = xi - xj                       # (TR, TC), d = r_i - r_j
+    dy = yi - yj
+    yx = dt_w * vxj                    # partner's anticipated step
+    yy = dt_w * vyj
+    mx = dx - yx                       # d - y
+    my = dy - yy
+    d2 = dx * dx + dy * dy
+    m2 = mx * mx + my * my
+    rd = jax.lax.rsqrt(d2 + _TINY)
+    rm = jax.lax.rsqrt(m2 + _TINY)
+    nd = d2 * rd
+    nm = m2 * rm
+    s = nd + nm
+    y2 = yx * yx + yy * yy
+    b2 = jnp.maximum(s * s - y2, 0.0) * 0.25
+    rb = jax.lax.rsqrt(b2 + _TINY)
+    b = b2 * rb                        # ellipse semi-minor axis
+
+    # mask: self/coincident/dead-dead sentinel pairs (d2 == 0) and
+    # degenerate geometry (b == 0: partner steps exactly through the
+    # pedestrian), matching ops/forces.ped_repulsive_force's ok mask.
+    # Dead-live pairs zero naturally: the sentinel distance underflows the
+    # exp (positions stay < ~1e6 m, so b/sigma > 3e6 >> 88).
+    ok = (d2 > 0.0) & (m2 > 0.0) & (b2 > 0.0)
+    if cutoff is not None:
+        ok = ok & (d2 <= cutoff * cutoff)
+
+    # b_min floor (see PedRepulsiveParams.b_min / ops/forces.
+    # _helbing_pair_force): b cancels to 0 for the equal-speed follower
+    # geometry where s/(4b) is unbounded; bc = max(b, b_min) and
+    # 1/bc = min(1/b, 1/b_min) reuse the rsqrt already computed
+    bc = jnp.maximum(b, b_min)
+    rbc = jnp.minimum(rb, 1.0 / b_min)
+
+    # -grad_d V scaled: grad = (s / 4b) * (d/nd + dmy/ndmy); fold the unit
+    # vectors' reciprocals via the rsqrts already computed
+    gx = dx * rd + mx * rm
+    gy = dy * rd + my * rm
+    mag = jnp.where(ok, (v0 / sigma) * jnp.exp(-bc * (1.0 / sigma))
+                    * (0.25 * s * rbc), 0.0)
+    fx = mag * gx
+    fy = mag * gy
+
+    # field-of-view modulation (Helbing eq. 7): the source j is "seen" when
+    # -f (from i toward j's influence) lies within +-phi of e_i; -f and
+    # -grad are positive multiples, so the test uses grad directly
+    g2 = gx * gx + gy * gy
+    gn = g2 * jax.lax.rsqrt(g2 + _TINY)
+    seen = -(exi * gx + eyi * gy) >= gn * cos_phi
+    w = jnp.where(seen, 1.0, fov_factor)
+    fx_ref[...] += jnp.sum(w * fx, axis=1, keepdims=True)
+    fy_ref[...] += jnp.sum(w * fy, axis=1, keepdims=True)
+
+
 def _tile_fn(law, prm_ref, **kw):
     """Bind the per-law tile function to its scalar-prefetch parameters.
     All pair kernels go through this, so a new pair-force law needs only a
@@ -526,6 +613,11 @@ def _tile_fn(law, prm_ref, **kw):
         return functools.partial(
             _pair_tile_powerlaw, k=prm_ref[0], tau0=prm_ref[1],
             tau_max=prm_ref[2], tau_min=prm_ref[3], **kw)
+    if law == "helbing":
+        return functools.partial(
+            _pair_tile_helbing, v0=prm_ref[0], sigma=prm_ref[1],
+            cos_phi=prm_ref[2], fov_factor=prm_ref[3], dt_w=prm_ref[4],
+            b_min=prm_ref[5], **kw)
     return functools.partial(
         _pair_tile, lam=prm_ref[0], A=prm_ref[1], gamma=prm_ref[2],
         n=prm_ref[3], n_prime=prm_ref[4], epsilon=prm_ref[5], **kw)
@@ -545,15 +637,22 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
                             compact: bool = False,
                             max_surv: int = 0,
                             symmetric: bool = False,
-                            law: str = "moussaid"):
+                            law: str = "moussaid",
+                            desired=None):
     """Drop-in replacement for ops.forces.pedestrian_force.
 
     ``law``: the pair-force model family -- ``"moussaid"`` (the reference's
-    force, default) or ``"powerlaw"`` (Karamouzas et al. 2014 time-to-
+    force, default), ``"powerlaw"`` (Karamouzas et al. 2014 time-to-
     collision law, ops/forces.powerlaw_force; ``p`` is then a
-    PowerLawParams and disc radii always participate).  Both laws are
-    exactly antisymmetric, so every launch mode incl. ``symmetric``
-    composes.
+    PowerLawParams and disc radii always participate), or ``"helbing"``
+    (Helbing-Molnar 1995 elliptical repulsion with field-of-view,
+    ops/forces.ped_repulsive_force; ``p`` is a PedRepulsiveParams and
+    ``desired`` -- planar ``(ex, ey)`` unit desired directions -- is
+    required: the law's row planes carry ``e_i`` in the velocity slots,
+    see :func:`_pair_tile_helbing`).  Moussaid and powerlaw are exactly
+    antisymmetric, so every launch mode incl. ``symmetric`` composes;
+    helbing is NOT (the ellipse anticipates the partner's step), so
+    ``symmetric`` is ignored for it.
 
     Force parameters ship to the kernel as scalar-prefetch values, so ``p``'s
     leaves may be traced -- parameter sweeps can vmap over them and keep the
@@ -612,8 +711,21 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
     n = px.shape[0]
     tr, tc = row_tile, col_tile
 
+    if law == "helbing":
+        if desired is None:
+            raise ValueError("law='helbing' needs desired=(ex, ey) planes "
+                             "(the FoV modulation reads the desired "
+                             "direction; see _pair_tile_helbing)")
+        symmetric = False      # not antisymmetric: no Newton's-third-law
+        row_vx, row_vy = desired
+    elif desired is not None:
+        raise ValueError(f"desired planes only apply to law='helbing', "
+                         f"got law={law!r}")
+    else:
+        row_vx, row_vy = vx, vy
+
     n_rows = _round_up(max(n, tr), tr)
-    row_1d = _stage(px, py, vx, vy, radius, alive, n_rows)
+    row_1d = _stage(px, py, row_vx, row_vy, radius, alive, n_rows)
     row_bb = _bboxes(row_1d, alive, n, tr)
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
 
@@ -877,6 +989,9 @@ def _params_vec(p, law: str = "moussaid") -> jnp.ndarray:
     law; leaves may be traced (parameter sweeps vmap over them)."""
     if law == "powerlaw":
         vals = (p.k, p.tau0, p.tau_max, p.tau_min)
+    elif law == "helbing":
+        vals = (p.v0, p.sigma, jnp.cos(jnp.deg2rad(p.fov_phi)),
+                p.fov_factor, p.step_width, p.b_min)
     else:
         vals = (p.lambda_, p.A, p.gamma, p.n, p.n_prime, p.epsilon)
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals], axis=-1)
@@ -1000,7 +1115,8 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
                                    compact: bool = False,
                                    max_surv: int = 0,
                                    symmetric: bool = False,
-                                   law: str = "moussaid"):
+                                   law: str = "moussaid",
+                                   desired=None):
     """Locality-sorted cutoff kernel: sort agents along a space-filling
     curve so kernel tiles are spatially tight, run the cutoff kernel,
     scatter the forces back to the original slot order.  The result equals
@@ -1017,9 +1133,13 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
     from .vecmath import split_xy
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
-    (spx, spy, svx, svy, srad, salive), inv = morton_sort(
-        (px, py), alive, (px, py, vx, vy, radius, alive),
-        order=spatial_order)
+    operands = [px, py, vx, vy, radius, alive]
+    if desired is not None:
+        operands += list(desired)
+    sorted_ops, inv = morton_sort((px, py), alive, tuple(operands),
+                                  order=spatial_order)
+    spx, spy, svx, svy, srad, salive = sorted_ops[:6]
+    sdesired = tuple(sorted_ops[6:]) if desired is not None else None
     force = pedestrian_force_pallas(
         (spx, spy), (svx, svy), srad, salive, p,
         use_ped_radius=use_ped_radius, row_tile=row_tile, col_tile=col_tile,
@@ -1027,7 +1147,7 @@ def pedestrian_force_pallas_sorted(pos, vel, radius, alive, p: MoussaidParams,
         axis_comm=axis_comm, planar_out=planar_out, exact_div=exact_div,
         alu_exp=alu_exp, alu_recip=alu_recip,
         vmem_mb=vmem_mb, compact=compact, max_surv=max_surv,
-        symmetric=symmetric, law=law)
+        symmetric=symmetric, law=law, desired=sdesired)
     if planar_out:
         fx, fy = force
         return fx[inv], fy[inv]

@@ -124,9 +124,11 @@ def obstacle_force(pos, vel, radius, alive, outlines, centers, obstacle_vel,
 
 
 def ped_repulsive_force(pos, vel, desired_dir, alive, v0, sigma, fov_phi_deg,
-                        fov_factor, step_width):
+                        fov_factor, step_width, b_min=0.1):
     """Helbing-Molnar 1995 elliptical repulsion + field-of-view weight,
-    derived directly from the paper (eqs. 3, 4, 7)."""
+    derived directly from the paper (eqs. 3, 4, 7).  ``b_min`` clamps the
+    ellipse semi-minor axis (the b -> 0 equal-speed-follower singularity;
+    see PedRepulsiveParams.b_min)."""
     cnt = pos.shape[0]
     out = np.zeros((cnt, 2))
     cos_phi = np.cos(np.deg2rad(fov_phi_deg))
@@ -145,6 +147,7 @@ def ped_repulsive_force(pos, vel, desired_dir, alive, v0, sigma, fov_phi_deg,
             b = np.sqrt(b2)
             if b == 0.0 or nd == 0.0 or ndmy == 0.0:
                 continue
+            b = max(b, b_min)
             grad = s / (4.0 * b) * (d / nd + dmy / ndmy)
             f = (v0 / sigma) * np.exp(-b / sigma) * grad
             toward = -f
