@@ -101,6 +101,7 @@ def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpe
             crossing_speed_factor=float(sp.get("crossing_speed_factor", 1.5)),
             crossing_safety_margin=float(sp.get("crossing_safety_margin", 1.5)),
             radius=float(sp.get("radius", walker.get("default_radius", 0.3))),
+            group_size=int(sp.get("group_size", 0)),
         ))
     return specs
 
@@ -504,10 +505,15 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         import jax.numpy as jnp
         static_vel = jnp.zeros((static_obstacles.num_segments, 2), jnp.float32)
 
+    groups = None
+    if schedule.group_id is not None:
+        from ..models.groups import build_groups
+        groups = build_groups(np.asarray(schedule.group_id))
+
     scene = Scene(spawn=schedule, borders=borders,
                   static_obstacles=static_obstacles,
                   static_obstacle_vel=static_vel, vehicles=vehicles,
-                  autopilot=autopilot)
+                  autopilot=autopilot, groups=groups)
     return ScenarioBundle(
         scene=scene, cfg=cfg, params=params,
         initial_state=PedState.empty(schedule.capacity),

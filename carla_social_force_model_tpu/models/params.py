@@ -112,6 +112,33 @@ class SpaceRepulsiveParams:
     r: float = 0.2
 
 
+@pytree_dataclass
+class GroupParams:
+    """Moussaid et al. (2010) social-group forces (PLoS ONE 5(4): e10047,
+    "The walking behaviour of pedestrian social groups").
+
+    Three terms act on members of the same social group (models/groups.py):
+
+    * gaze   f_vis = -beta_vis * alpha * v_i, where alpha [rad] is the head
+      rotation needed to keep the other members' centroid in view (the
+      angle between the member's desired direction and the direction to
+      that centroid) -- groups slow down to keep sight of each other;
+    * attraction f_att = beta_att * U_i toward the others' centroid when
+      the member trails more than (M-1)/2 m behind it (the paper's
+      group-size-dependent threshold);
+    * repulsion  f_rep = beta_rep * W_ik away from each member k closer
+      than ``rep_distance`` -- members keep social comfort spacing.
+
+    Defaults are the paper's fitted values (beta1=4, beta2=3, beta3=1);
+    ``rep_distance`` follows the PySocialForce convention (0.55 m).
+    """
+
+    beta_vis: float = 4.0
+    beta_att: float = 3.0
+    beta_rep: float = 1.0
+    rep_distance: float = 0.55
+
+
 def _moussaid_from_dict(section: dict, default_threshold: float) -> MoussaidParams:
     return MoussaidParams(
         lambda_=float(section.get("lambda", 2.0)),
@@ -152,6 +179,10 @@ class SfmParams:
     # typically enabled INSTEAD of pedestrian_force)
     powerlaw: PowerLawParams = PowerLawParams()
     enable_powerlaw: bool = static_field(default=False)
+    # Moussaid et al. (2010) social-group forces (beyond the reference's
+    # surface; needs group assignments -- `group_size` on a ped spawner)
+    group: GroupParams = GroupParams()
+    enable_group: bool = static_field(default=False)
     # reproduce reference-inert config keys & first-vehicle-extent quirk
     strict_parity: bool = static_field(default=False)
 
@@ -171,13 +202,13 @@ class SfmParams:
             # (pedestrian_simulation.py:49-53 references missing classes;
             # powerlaw_force is not a reference force name at all)
             for dead in ("ped_repulsive_force", "space_repulsive_force",
-                         "powerlaw_force"):
+                         "powerlaw_force", "group_force"):
                 if forces.get(dead, False):
                     raise ValueError(
-                        f"strict parity: force '{dead}' is a dead config path in "
-                        "the reference (enabling it crashes init_forces with an "
-                        "AttributeError); disable strict_parity to use the "
-                        "working Helbing-1995 implementation")
+                        f"strict parity: force '{dead}' is a dead config path "
+                        "in the reference (enabling it crashes init_forces "
+                        "with an AttributeError); disable strict_parity to "
+                        "use this framework's working implementation")
 
         goal = cfg.get("goal_force", {})
         accel = cfg.get("acceleration_force", {})
@@ -194,7 +225,15 @@ class SfmParams:
         pr = cfg.get("ped_repulsive_force", {})
         sr = cfg.get("space_repulsive_force", {})
         pw = cfg.get("powerlaw_force", {})
+        gr = cfg.get("group_force", {})
         return SfmParams(
+            group=GroupParams(
+                beta_vis=float(gr.get("beta_vis", 4.0)),
+                beta_att=float(gr.get("beta_att", 3.0)),
+                beta_rep=float(gr.get("beta_rep", 1.0)),
+                rep_distance=float(gr.get("rep_distance", 0.55))),
+            enable_group=bool(forces.get("group_force", False))
+            and not strict_parity,
             powerlaw=PowerLawParams(
                 k=float(pw.get("k", 1.5)),
                 tau0=float(pw.get("tau0", 3.0)),

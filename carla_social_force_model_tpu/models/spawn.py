@@ -52,6 +52,10 @@ class SpawnerSpec:
     crossing_speed_factor: float = 1.5
     crossing_safety_margin: float = 1.5
     radius: float = 0.3                 # headless substitute for CARLA bbox
+    #: social-group size (Moussaid-2010 group forces, models/groups.py):
+    #: consecutive walkers of this spawner form groups of this many members
+    #: (0/1 = no groups).  Beyond-reference capability.
+    group_size: int = 0
 
 
 @pytree_dataclass
@@ -76,6 +80,11 @@ class SpawnSchedule:
     fwp_x: jnp.ndarray           # (N,) first waypoint
     fwp_y: jnp.ndarray
     routes: RouteBuffer
+    #: (N,) int32 social-group id per slot, -1 = ungrouped (spawner
+    #: ``group_size`` chunks; models/groups.py).  HOST-side metadata: the
+    #: device-consumed structure is the GroupSet member table the scenario
+    #: builder derives from it (build_groups) BEFORE any capacity padding.
+    group_id: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -170,6 +179,20 @@ def build_spawn_schedule(
     ped_seed = pedestrian_seed
     spawner_speed = [float(s.speed) for s in spawners]  # mutated cumulatively
 
+    # social-group assignment (models/groups.py): a spawner with
+    # group_size > 1 chunks ITS walkers, in spawn order, into consecutive
+    # groups; ids are globally unique across spawners.  A trailing
+    # partial chunk (including a singleton) keeps its id -- the group
+    # force masks <2-member groups to zero.
+    group_arr = np.full((n,), -1, np.int32)
+    spawn_counter = [0] * len(spawners)
+    group_base = [0] * len(spawners)
+    next_base = 0
+    for si, s in enumerate(spawners):
+        group_base[si] = next_base
+        if s.group_size > 1:
+            next_base += -(-len(per_spawner[si]) // s.group_size)
+
     for slot, (step, si) in enumerate(events):
         s = spawners[si]
         rng = random.Random()
@@ -201,6 +224,10 @@ def build_spawn_schedule(
         first_wp[slot] = wps[0]
         routes.append(wps)
         crossings.append(flags if flags else [False] * len(wps))
+        if s.group_size > 1:
+            group_arr[slot] = (group_base[si]
+                               + spawn_counter[si] // s.group_size)
+        spawn_counter[si] += 1
 
     route_buffer = build_route_buffer(routes, crossings, capacity=n)
     return SpawnSchedule(
@@ -212,6 +239,7 @@ def build_spawn_schedule(
         initial_mode=jnp.asarray(initial_mode),
         fwp_x=jnp.asarray(first_wp[:, 0]), fwp_y=jnp.asarray(first_wp[:, 1]),
         routes=route_buffer,
+        group_id=(jnp.asarray(group_arr) if (group_arr >= 0).any() else None),
     )
 
 

@@ -65,6 +65,13 @@ class Scene:
     # populated by prepare_scene
     borders_geom: object | None = None
     borders_seg_rest: object | None = None
+    # Moussaid-2010 social groups (models/groups.GroupSet): the global
+    # member-slot table consumed by the group force when
+    # params.enable_group; replicated under sharding (global slot ids --
+    # the force all-gathers the planes it needs, like the autopilot's
+    # hazard check).  Built by the scenario builder from spawner
+    # group_size chunks (spawn.SpawnSchedule.group_id)
+    groups: object | None = None
 
 
 def prepare_scene(scene: Scene, analytic: bool = False) -> Scene:
@@ -399,6 +406,13 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                     axis_name=axis_name,
                     axis_comm=("ring" if cfg.axis_comm == "ring_kernel"
                                else cfg.axis_comm)))
+    if params.enable_group and scene.groups is not None:
+        from .groups import group_force
+        gex, gey, _ = vecmath.normalize_xy(state.wp_x - state.pos_x,
+                                           state.wp_y - state.pos_y)
+        terms["group_force"] = group_force(
+            state.pos_x, state.pos_y, state.vel_x, state.vel_y, gex, gey,
+            state.alive, scene.groups, params.group, axis_name=axis_name)
     if params.enable_space_repulsive and scene.borders is not None:
         if "space_repulsive_force" in fused_env:
             terms["space_repulsive_force"] = fused_env["space_repulsive_force"]

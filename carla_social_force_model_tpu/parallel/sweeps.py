@@ -56,6 +56,7 @@ def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
         ped_repulsive=expand(params.ped_repulsive, "ped_repulsive"),
         space_repulsive=expand(params.space_repulsive, "space_repulsive"),
         powerlaw=expand(params.powerlaw, "powerlaw"),
+        group=expand(params.group, "group"),
         max_speed_factor=jnp.broadcast_to(
             jnp.asarray(leaf_batches.pop("max_speed_factor",
                                          params.max_speed_factor), jnp.float32),

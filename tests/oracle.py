@@ -223,3 +223,38 @@ def _seg_intersect(p0, p1, q0, q1):
     if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
         return True, p0 + t * r
     return False, np.zeros(2)
+
+
+def group_force(pos, vel, desired, alive, group_id, beta_vis=4.0,
+                beta_att=3.0, beta_rep=1.0, rep_distance=0.55):
+    """Moussaid et al. 2010 social-group forces (PLoS ONE 5(4):e10047),
+    loop-based f64: gaze f_vis = -beta1*alpha*v_i toward the OTHER alive
+    members' centroid, attraction beta2*U beyond the (M-1)/2 m threshold,
+    within-group repulsion beta3*W under rep_distance.  ``group_id``: -1 =
+    ungrouped."""
+    cnt = pos.shape[0]
+    out = np.zeros((cnt, 2))
+    for i in range(cnt):
+        if not alive[i] or group_id[i] < 0:
+            continue
+        members = [j for j in range(cnt)
+                   if alive[j] and group_id[j] == group_id[i]]
+        m = len(members)
+        if m < 2:
+            continue
+        others = [j for j in members if j != i]
+        c = np.mean(pos[others], axis=0)
+        d = c - pos[i]
+        dist = np.linalg.norm(d)
+        if dist > 0:
+            e = desired[i]
+            alpha = abs(np.arctan2(e[0] * d[1] - e[1] * d[0], e @ d))
+            out[i] += -beta_vis * alpha * vel[i]
+        if dist > (m - 1) / 2.0:
+            out[i] += beta_att * d / dist
+        for j in others:
+            r = pos[i] - pos[j]
+            nr = np.linalg.norm(r)
+            if 0 < nr < rep_distance:
+                out[i] += beta_rep * r / nr
+    return out
