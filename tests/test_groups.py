@@ -186,3 +186,40 @@ def test_strict_parity_rejects_group_force():
     params = SfmParams.from_dict({"forces": {"group_force": True},
                                   "group_force": {"beta_vis": 5.0}})
     assert params.enable_group and params.group.beta_vis == 5.0
+
+
+def test_group_params_calibratable():
+    """group.beta_att is recoverable by gradient descent through the
+    rollout (api/calibrate.py generic dotted-path machinery)."""
+    from carla_social_force_model_tpu.api.calibrate import (
+        fit_params, get_param, replace_params)
+    from carla_social_force_model_tpu.api.scenario import build_scenario
+    from carla_social_force_model_tpu.models.stepper import make_rollout_fn
+    scenario = {
+        "step_length": 0.05,
+        "walker": {"despawn_on_arrival": False, "waypoint_threshold": 1,
+                   "variate_speed": 0.3, "pedestrian_seed": 4,
+                   "ped_spawner": [
+                       {"spawn_location": [-6.0, 0.0, 1.0],
+                        "destination": [80.0, 0.0, 0.0], "speed": 1.3,
+                        "quantity": 4, "spawn_interval": 0.25,
+                        "group_size": 4}]},
+    }
+    sfm = {"forces": {"acceleration_force": True, "pedestrian_force": True,
+                      "group_force": True}}
+    steps = 300
+    b = build_scenario(scenario, sfm, steps)
+    _, observed = make_rollout_fn(b.scene, b.params, b.cfg, steps)(
+        b.initial_state)
+    start = replace_params(b.params, {"group.beta_att": 0.5})
+    # the windowed teacher-forced objective (built for the power law's
+    # hard gates) also makes the group force's q_att gate calibratable:
+    # full-trajectory MSE has its minimum at the truth but gate flips make
+    # mid-range gradients unreliable (measured sign error at beta=1.5);
+    # teacher forcing recovers beta_att to <1% from a 6x-off start
+    res = fit_params(b.initial_state, b.scene, start, b.cfg, observed, steps,
+                     fit=("group.beta_att",), iters=150, learning_rate=0.1,
+                     teacher_window=8, vel_weight=4.0)
+    assert res.final_loss < res.initial_loss * 1e-3, \
+        (res.initial_loss, res.final_loss)
+    assert abs(res.fitted["group.beta_att"] - 3.0) / 3.0 < 0.05, res.fitted
