@@ -27,7 +27,9 @@ symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES,
 BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
 ("powerlaw" swaps the pair-force family to the Karamouzas-2014
 time-to-collision law, "helbing" to the Helbing-Molnar-1995 elliptical
-repulsion; rollout modes only).
+repulsion; rollout modes only), BENCH_GROUPS ("<frac>:<size>", e.g.
+"0.5:4" -- assign that fraction of the crowd into social parties of that
+size and enable the Moussaid-2010 group force; rollout modes only).
 """
 import json
 import os
@@ -41,7 +43,13 @@ MODE = os.environ.get("BENCH_MODE", "ped")
 if MODE not in MODES:
     raise SystemExit(f"BENCH_MODE must be one of {'|'.join(MODES)}, got {MODE!r}")
 N = int(os.environ.get("BENCH_N", 1_000 if MODE == "ensemble" else 10_000))
-STEPS = int(os.environ.get("BENCH_STEPS", 100))
+#: default 1000 for single-rollout modes: one jitted run() dispatch through
+#: the axon remote runtime costs ~40 ms regardless of content (BENCH.md), so
+#: a 100-step N=10k rollout would charge ~20% dispatch overhead to the
+#: simulator; 1000 steps amortizes it below 2.5%.  The ensemble mode's
+#: per-launch step is ~7 ms, so 100 steps already amortizes there.
+STEPS = int(os.environ.get("BENCH_STEPS",
+                           100 if MODE == "ensemble" else 1_000))
 #: optional interaction cutoff in meters (see BENCH.md; >= the f32-exact
 #: threshold it is NOT an approximation); unset/empty = exact all-pairs
 CUTOFF = os.environ.get("BENCH_CUTOFF", "")
@@ -95,6 +103,19 @@ def run_rollout_mode():
                                      enable_ped_repulsive=True)
     elif law:
         raise SystemExit(f"BENCH_LAW must be powerlaw|helbing, got {law!r}")
+    if os.environ.get("BENCH_GROUPS"):
+        # Moussaid-2010 social parties on top of the pair force: the cost
+        # is O(grouped members) gathers/scatter + (G, M) math
+        import numpy as np
+        from carla_social_force_model_tpu.models.groups import build_groups
+        frac, size = os.environ["BENCH_GROUPS"].split(":")
+        cap = scene.spawn.capacity
+        k = int(float(frac) * cap)
+        gid = np.full(cap, -1, np.int32)
+        gid[:k] = np.arange(k) // int(size)
+        scene = dataclasses.replace(
+            scene, groups=build_groups(gid, max_members=int(size)))
+        params = dataclasses.replace(params, enable_group=True)
     if CUTOFF:
         cfg = dataclasses.replace(cfg, interaction_cutoff=float(CUTOFF))
     if COMPACT:

@@ -162,7 +162,8 @@ def test_group_scenario_end_to_end():
     sfm_off = {"forces": {"acceleration_force": True,
                           "pedestrian_force": True}}
     b0 = build_scenario(scenario, sfm_off, steps)
-    assert b0.scene.groups is None or True   # groups built but force off
+    # group STRUCTURE is still built from group_size; only the force is off
+    assert b0.scene.groups is not None and not b0.params.enable_group
     _, rec0 = Simulation(b0).run()
     pos0 = np.asarray(rec0.pos)
 
