@@ -77,6 +77,16 @@ def replace_params(params: SfmParams, values: Mapping[str, object]) -> SfmParams
     return params
 
 
+def _check_theta(theta: Mapping[str, object], fit: Sequence[str]) -> None:
+    """Guard: a theta dict whose keys don't match ``fit`` means a typo'd
+    dotted name -- without this, the stray entry would silently fit the
+    wrong parameter set (replace_params would raise only on names that
+    don't exist at all)."""
+    if set(theta) != set(fit):
+        raise ValueError(
+            f"theta keys {sorted(theta)} do not match fit={sorted(fit)}")
+
+
 def trajectory_mse(rec: StepRecord, observed: StepRecord,
                    vel_weight: float = 0.0) -> jnp.ndarray:
     """Masked mean squared error between two recorded rollouts.
@@ -134,6 +144,7 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
             f"{num_steps // record_stride} (= num_steps/record_stride)")
 
     def loss_fn(theta: dict) -> jnp.ndarray:
+        _check_theta(theta, fit)
         values = {name: (jnp.exp(v) if log_space else v)
                   for name, v in theta.items()}
         p = replace_params(params, values)
@@ -194,6 +205,7 @@ def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
         alive=observed.alive)
 
     def loss_fn(theta: dict) -> jnp.ndarray:
+        _check_theta(theta, fit)
         values = {name: (jnp.exp(v) if log_space else v)
                   for name, v in theta.items()}
         p = replace_params(params, values)
