@@ -224,9 +224,14 @@ def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
                     vel_x=jnp.where(take, ovx, s.vel_x),
                     vel_y=jnp.where(take, ovy, s.vel_y))
 
-            st = jax.lax.cond((t % window) == 0, reset, lambda s: s, st)
+            is_reset = (t % window) == 0
+            st = jax.lax.cond(is_reset, reset, lambda s: s, st)
             new_st, rec = simulation_step(st, scene, p, cfg, t)
-            w = (rec.alive & oal).astype(rec.pos_x.dtype)
+            # the record snapshots the pre-integration state, so a reset
+            # tick's "error" is identically zero by construction -- counting
+            # it would deflate the reported loss by ~(W-1)/W
+            w = ((rec.alive & oal & ~is_reset)
+                 .astype(rec.pos_x.dtype))
             se = jnp.square(rec.pos_x - opx) + jnp.square(rec.pos_y - opy)
             if vel_weight:
                 se = se + vel_weight * (jnp.square(rec.vel_x - ovx)

@@ -508,7 +508,13 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     groups = None
     if schedule.group_id is not None:
         from ..models.groups import build_groups
-        groups = build_groups(np.asarray(schedule.group_id))
+        gid = np.asarray(schedule.group_id)
+        # size the member table to the largest configured party: a spawner
+        # with group_size > 8 must work from TOML, where build_groups'
+        # "raise max_members" advice is not actionable
+        biggest = (int(np.bincount(gid[gid >= 0]).max())
+                   if (gid >= 0).any() else 0)
+        groups = build_groups(gid, max_members=max(8, biggest))
 
     scene = Scene(spawn=schedule, borders=borders,
                   static_obstacles=static_obstacles,

@@ -133,23 +133,35 @@ def group_force(pos_x, pos_y, vel_x, vel_y, ex, ey, alive, groups: GroupSet,
     dx = ocx - mpx                                # member -> others' centroid
     dy = ocy - mpy
     d2 = dx * dx + dy * dy
-    dist = jnp.sqrt(d2)
-    inv = jnp.where(d2 == 0.0, 0.0, 1.0 / jnp.sqrt(jnp.where(d2 == 0.0, 1.0,
-                                                             d2)))
+    use = act & (d2 > 0.0)
+    # every d2 == 0 operand is re-based before the singular op (sqrt at 0,
+    # arctan2 at (0,0)): the masked-out lanes would otherwise poison
+    # reverse-mode AD with 0-cotangent * inf = NaN -- systematic for
+    # fully-dead groups parked at the zero-initialized origin (the same
+    # VJP hazard the pair forces guard against)
+    d2s = jnp.where(use, d2, 1.0)
+    dist = jnp.sqrt(d2s)
+    inv = jnp.where(use, 1.0 / dist, 0.0)
     ux = dx * inv
     uy = dy * inv
 
     # gaze: alpha = |angle(e_i, direction to others' centroid)|; the term
     # damps the velocity in proportion to how far the member must turn
     # their head (paper eq. f_vis = -beta1 * alpha * v_i)
-    alpha = jnp.abs(jnp.arctan2(mex * dy - mey * dx, mex * dx + mey * dy))
-    aw = jnp.where(act & (d2 > 0.0), p.beta_vis * alpha, 0.0)
+    cross = jnp.where(use, mex * dy - mey * dx, 0.0)
+    dot = jnp.where(use, mex * dx + mey * dy, 1.0)
+    # a zero gaze vector (a member standing exactly on its waypoint) still
+    # reaches arctan2 as (0, 0) on a USED lane -- rebase to alpha = 0 so
+    # the VJP (which divides by cross^2 + dot^2) stays finite
+    dot = jnp.where((cross == 0.0) & (dot == 0.0), 1.0, dot)
+    alpha = jnp.abs(jnp.arctan2(cross, dot))
+    aw = jnp.where(use, p.beta_vis * alpha, 0.0)
     fx = -aw * mvx
     fy = -aw * mvy
 
     # attraction toward the others' centroid beyond the size-dependent
     # threshold (M-1)/2 m (paper's q_A gate, M = alive group size)
-    q_att = act & (dist > (cnt - 1.0) * 0.5)
+    q_att = use & (dist > (cnt - 1.0) * 0.5)
     fx = fx + jnp.where(q_att, p.beta_att * ux, 0.0)
     fy = fy + jnp.where(q_att, p.beta_att * uy, 0.0)
 

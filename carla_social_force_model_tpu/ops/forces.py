@@ -179,21 +179,42 @@ def pedestrian_force(pos, vel, radius, alive, p: MoussaidParams,
     return out.reshape(n_pad, 2)[:n_local].astype(dtype)
 
 
+
+def _ring_force(axis_name, cols0, offset0, acc0, block_force):
+    """Shared ppermute-ring schedule for the jnp pair forces.
+
+    Rotates the column tile (``cols0`` planes plus its global slot
+    ``offset0``) one hop per ring step, accumulating
+    ``block_force(cols, offset)`` into ``acc0``; after D steps every
+    (local row, column shard) pair has been computed exactly once.  XLA
+    lowers the ppermute to an async collective permute, overlapping each
+    transfer with the next block's compute.  One implementation so a
+    schedule fix cannot silently miss a force family.
+    """
+    d = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def body(carry, _):
+        tile, acc = carry
+        acc = acc + block_force(tile[:-1], tile[-1])
+        tile = jax.lax.ppermute(tile, axis_name, perm)
+        return (tile, acc), None
+
+    (_, force), _ = jax.lax.scan(
+        body, ((*cols0, offset0), acc0), None, length=d)
+    return force
+
+
 def _pedestrian_force_ring(pos, vel, radius, alive, p: MoussaidParams,
                            use_ped_radius: bool, axis_name: str):
-    """Ring-rotated column tiles over ICI (see :func:`pedestrian_force`).
-
-    Each of the D ring steps computes the local row block against one
-    remote column tile and ppermutes the tile to the next device; after D
-    steps every pair has been accumulated exactly once.
-    """
+    """Ring-rotated column tiles over ICI (see :func:`pedestrian_force`
+    and :func:`_ring_force`)."""
     n_local = pos.shape[0]
-    d = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     row_idx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
 
-    def block_force(tile):
-        pos_c, vel_c, rad_c, alive_c, offset = tile
+    def block_force(cols, offset):
+        pos_c, vel_c, rad_c, alive_c = cols
         dx = pos_c[None, :, :] - pos[:, None, :]
         dv = vel[:, None, :] - vel_c[None, :, :]
         radius_sub = (radius[:, None] + rad_c[None, :]) if use_ped_radius else 0.0
@@ -203,18 +224,8 @@ def _pedestrian_force_ring(pos, vel, radius, alive, p: MoussaidParams,
         f = _moussaid_pair_force(dx, radius_sub, dv, p, pair_ok)
         return jnp.sum(f, axis=1)
 
-    perm = [(i, (i + 1) % d) for i in range(d)]
-
-    def body(carry, _):
-        tile, acc = carry
-        acc = acc + block_force(tile)
-        tile = jax.lax.ppermute(tile, axis_name, perm)
-        return (tile, acc), None
-
-    init_tile = (pos, vel, radius, alive, me * n_local)
-    (_, force), _ = jax.lax.scan(
-        body, (init_tile, jnp.zeros_like(pos)), None, length=d)
-    return force
+    return _ring_force(axis_name, (pos, vel, radius, alive), me * n_local,
+                       jnp.zeros_like(pos), block_force)
 
 
 def _powerlaw_pair_force(diff, rad_sum, dv, p: PowerLawParams, pair_ok):
@@ -271,11 +282,10 @@ def powerlaw_force(pos, vel, radius, alive, p: PowerLawParams,
     dtype = pos.dtype
 
     if axis_name is not None and axis_comm == "ring":
-        d = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
 
-        def block_force(tile):
-            pos_c, vel_c, rad_c, alive_c, offset = tile
+        def block_force(cols, offset):
+            pos_c, vel_c, rad_c, alive_c = cols
             dxp = pos_c[None, :, :] - pos[:, None, :]
             dv = vel[:, None, :] - vel_c[None, :, :]
             rad_sum = radius[:, None] + rad_c[None, :]
@@ -286,18 +296,8 @@ def powerlaw_force(pos, vel, radius, alive, p: PowerLawParams,
             f = _powerlaw_pair_force(dxp, rad_sum, dv, p, pair_ok)
             return jnp.sum(f, axis=1)
 
-        perm = [(i, (i + 1) % d) for i in range(d)]
-
-        def body(carry, _):
-            tile, acc = carry
-            acc = acc + block_force(tile)
-            tile = jax.lax.ppermute(tile, axis_name, perm)
-            return (tile, acc), None
-
-        init_tile = (pos, vel, radius, alive, me * n_local)
-        (_, force), _ = jax.lax.scan(
-            body, (init_tile, jnp.zeros_like(pos)), None, length=d)
-        return force
+        return _ring_force(axis_name, (pos, vel, radius, alive),
+                           me * n_local, jnp.zeros_like(pos), block_force)
 
     if axis_name is not None:
         pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)
@@ -424,11 +424,10 @@ def ped_repulsive_force(pos, vel, desired_dir, alive, p: PedRepulsiveParams,
     n_local = pos.shape[0]
 
     if axis_name is not None and axis_comm == "ring":
-        d_ax = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
 
-        def block_force(tile):
-            pos_c, vel_c, alive_c, offset = tile
+        def block_force(cols, offset):
+            pos_c, vel_c, alive_c = cols
             row_idx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
             col_idx = offset + jnp.arange(n_local, dtype=jnp.int32)[None, :]
             pair_ok = (alive[:, None] & alive_c[None, :]
@@ -437,18 +436,8 @@ def ped_repulsive_force(pos, vel, desired_dir, alive, p: PedRepulsiveParams,
                                     pair_ok, p)
             return jnp.sum(f, axis=1)
 
-        perm = [(i, (i + 1) % d_ax) for i in range(d_ax)]
-
-        def body(carry, _):
-            tile, acc = carry
-            acc = acc + block_force(tile)
-            tile = jax.lax.ppermute(tile, axis_name, perm)
-            return (tile, acc), None
-
-        init_tile = (pos, vel, alive, me * n_local)
-        (_, force), _ = jax.lax.scan(
-            body, (init_tile, jnp.zeros_like(pos)), None, length=d_ax)
-        return force
+        return _ring_force(axis_name, (pos, vel, alive), me * n_local,
+                           jnp.zeros_like(pos), block_force)
 
     if axis_name is not None:
         pos_c = jax.lax.all_gather(pos, axis_name, tiled=True)

@@ -297,8 +297,9 @@ def _moussaid_kernel(prm_ref, bb_ref, circ_ref, *args, gs, kk, use_radius,
 def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref, *args,
                         gs, kk, use_radius, analytic=False):
     """Compacted-grid exp kernel: grid slot (j, i) computes the i-th
-    SURVIVING point tile of ped tile j (``surv_ref[j, i]``, built per step
-    by :func:`_tile_hits`; -1 pads rows with fewer survivors).  Point and
+    SURVIVING point tile of ped tile j (``surv_ref[i, j]`` -- the table
+    rides transposed (max_surv, J) for SMEM minor-dim padding -- built per
+    step by :func:`_tile_hits`; -1 pads with fewer survivors).  Point and
     segment-metadata blocks arrive via surv-indexed index maps, so the
     kernel never touches skipped tiles -- the per-segment filter mask in
     the tilework keeps the semantics exact."""
@@ -315,7 +316,7 @@ def _exp_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref, *args,
         fx_ref[...] = jnp.zeros_like(fx_ref)
         fy_ref[...] = jnp.zeros_like(fy_ref)
 
-    @pl.when(surv_ref[j, i] >= 0)
+    @pl.when(surv_ref[i, j] >= 0)
     def _():
         _exp_tilework(prm_ref, pt, cxg[...], cyg[...], r2g[...],
                       px, py, prad, fx_ref, fy_ref,
@@ -339,7 +340,7 @@ def _moussaid_kernel_compact(prm_ref, bb_ref, circ_ref, surv_ref, *args,
         fx_ref[...] = jnp.zeros_like(fx_ref)
         fy_ref[...] = jnp.zeros_like(fy_ref)
 
-    @pl.when(surv_ref[j, i] >= 0)
+    @pl.when(surv_ref[i, j] >= 0)
     def _():
         _moussaid_tilework(prm_ref, pt, cxg[...], cyg[...], r2g[...],
                            ovxg[...], ovyg[...], px, py, pvx, pvy, prad,
@@ -376,19 +377,19 @@ def _tile_hits(bb, circ, gs, n_seg_tiles):
     return hit_seg.reshape(j, n_seg_tiles, gs).any(axis=2)
 
 
-# shared with the pairwise kernel's compacted grid (ops/spatial.surv_table)
-_surv_table = surv_table
-
-
 def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
                     ped_planes, bb, circ, *, gs, kk, tc, n_pad,
                     use_radius, interpret, surv=None, analytic=False):
     """One fused kernel launch; returns (fx, fy) of shape (1, n_pad).
 
     ``surv=None`` runs the dense grid (every (ped-tile, point-tile) pair a
-    grid step, skipped in-kernel by the bbox/circle test); a (J, max_surv)
-    int32 ``surv`` runs the compacted grid over surviving tiles only, with
-    point/segment blocks fetched through surv-indexed index maps.
+    grid step, skipped in-kernel by the bbox/circle test); a TRANSPOSED
+    (max_surv, J) int32 ``surv`` runs the compacted grid over surviving
+    tiles only, with point/segment blocks fetched through surv-indexed
+    index maps.  The transpose matters: scalar-prefetch arrays pad their
+    minor dimension to 128 lanes in SMEM (same rule as the pairwise
+    kernel's table, ops/pallas_forces._pair_kernel_compact), so the large
+    J = n_pad/tc dimension must be minor.
 
     ``analytic``: ``seg_points`` holds 5 line-segment planes (ax, ay, ux,
     uy, inv_len2; ``kk`` segments per section) instead of 2 sampled-point
@@ -414,13 +415,13 @@ def _env_force_call(kind, prm, seg_points, circ_planes, obs_vel_planes,
                                 memory_space=pltpu.VMEM)
         kern_exp, kern_mou = _exp_kernel, _moussaid_kernel
     else:
-        grid = (n_pad // tc, surv.shape[1])
+        grid = (n_pad // tc, surv.shape[0])
         num_prefetch = 4
         prefetch = (prm, bb, circ, surv)
 
         def _surv_map(j, i, prm_r, bb_r, circ_r, surv_r):
             # padded slots (-1) fetch tile 0; the kernel skips their compute
-            return (jnp.maximum(surv_r[j, i], 0), 0)
+            return (jnp.maximum(surv_r[i, j], 0), 0)
 
         pt_spec = pl.BlockSpec((gs * kk, 1), _surv_map,
                                memory_space=pltpu.VMEM)
@@ -645,9 +646,22 @@ def fused_environment_terms(state, scene, params, veh_snap,
                 analytic=is_analytic)
 
         if use_compact:
+            # the transposed (ms, J) scalar-prefetch table pads its minor
+            # dim to 128 lanes and must fit the ~1 MB v5e SMEM; fail with
+            # advice instead of the opaque AOT allocation error (the same
+            # guard the pairwise compacted grid carries)
+            j_tiles = n_pad // tc
+            table_bytes = 4 * ms * _round_up(j_tiles, 128)
+            if not interpret and table_bytes > 1_000_000:
+                raise ValueError(
+                    f"compacted env-kernel survivor table ({ms} x {j_tiles} "
+                    f"ped tiles = {table_bytes / 1e6:.2f} MB) exceeds the "
+                    f"~1 MB TPU SMEM: raise env_ped_tile, lower "
+                    f"env_max_surv, or disable env_compact")
             staged_c = stage(gs_c)
             hits = _tile_hits(bb, staged_c[3], gs_c, staged_c[4] // gs_c)
-            surv, fits = _surv_table(hits, ms)
+            surv, fits = surv_table(hits, ms)
+            surv = surv.T  # (ms, J): SMEM minor-dim padding (see call)
             # the overflow fallback runs the dense grid at the SAME gs_c
             # granularity: both cond branches then accumulate segment
             # groups in identical ascending order, so a compact-mode run

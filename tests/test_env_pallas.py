@@ -259,8 +259,8 @@ def test_compact_grid_matches_dense():
     """The compacted surv-indexed grid equals the dense grid bitwise (same
     ascending accumulation order), and the auto gate actually engages the
     compact branch on this geometry."""
-    from carla_social_force_model_tpu.ops.pallas_env import (_surv_table,
-                                                             _tile_hits)
+    from carla_social_force_model_tpu.ops.pallas_env import _tile_hits
+    from carla_social_force_model_tpu.ops.spatial import surv_table
     borders = _grid_borders()
     scene = prepare_scene(Scene(spawn=None, borders=borders))
     assert scene.borders_seg is not None
@@ -306,7 +306,7 @@ def test_compact_grid_matches_dense():
                           -1.0, s_pad)], axis=1).T
     hits = _tile_hits(bb, circ, 8, s_pad // 8)
     ms = min(s_pad // 8, max(8, -(-(s_pad // 8) // 3)))
-    _, fits = _surv_table(hits, ms)
+    _, fits = surv_table(hits, ms)
     assert bool(fits), "expected the compact branch to run (no overflow)"
 
 

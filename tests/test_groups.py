@@ -224,3 +224,58 @@ def test_group_params_calibratable():
     assert res.final_loss < res.initial_loss * 1e-3, \
         (res.initial_loss, res.final_loss)
     assert abs(res.fitted["group.beta_att"] - 3.0) / 3.0 < 0.05, res.fitted
+
+
+def test_fully_dead_group_grads_finite():
+    """Reverse-mode AD regression: a group whose members are all dead at
+    the zero-initialized origin (every pre-spawn party) used to poison
+    gradients via arctan2(0, 0) / sqrt(0) VJPs (0-cotangent * inf = NaN),
+    breaking differentiable calibration for any scenario where a party
+    spawns after t = 0."""
+    n = 12
+    pos = np.zeros((n, 2), np.float32)         # dead slots parked at origin
+    vel = np.zeros((n, 2), np.float32)
+    desired = np.zeros((n, 2), np.float32)
+    alive = np.zeros(n, bool)
+    alive[8:] = True                           # some unrelated live slots
+    pos[8:] = RNG.uniform(-3, 3, (4, 2)).astype(np.float32)
+    gid = np.full(n, -1, np.int32)
+    gid[:4] = 0                                # the fully-dead party
+    gid[8:] = 1                                # and a live one
+    groups = build_groups(gid)
+    p = GroupParams()
+
+    def loss(px):
+        fx, fy = group_force(
+            px, jnp.asarray(pos[:, 1]), jnp.asarray(vel[:, 0]),
+            jnp.asarray(vel[:, 1]), jnp.asarray(desired[:, 0]),
+            jnp.asarray(desired[:, 1]), jnp.asarray(alive), groups, p)
+        return jnp.sum(fx * fx + fy * fy)
+
+    g = jax.grad(loss)(jnp.asarray(pos[:, 0]))
+    assert np.isfinite(np.asarray(g)).all(), g
+
+    # and through a rollout whose party spawns late (the calibration path)
+    from carla_social_force_model_tpu.api.scenario import build_scenario
+    from carla_social_force_model_tpu.api.calibrate import fit_params
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    scenario = {
+        "scenario_name": "late_party", "step_length": 0.05,
+        "walker": {"ped_spawner": [
+            {"spawn_location": [0.0, 0.0, 1.0], "destination": [30.0, 0.0, 0.0],
+             "speed": 1.3, "quantity": 2, "spawn_interval": 0.1},
+            {"spawn_location": [-5.0, 2.0, 1.0], "destination": [30.0, 2.0, 0.0],
+             "speed": 1.3, "quantity": 3, "spawn_interval": 0.1,
+             "spawn_time": 1.0, "group_size": 3},
+        ]},
+    }
+    sfm = {"forces": {"acceleration_force": True, "pedestrian_force": True,
+                      "group_force": True}}
+    b = build_scenario(scenario, sfm, 40)
+    _, observed = Simulation(b).run()
+    from carla_social_force_model_tpu.models.state import PedState
+    res = fit_params(PedState.empty(b.scene.spawn.capacity), b.scene,
+                     b.params, b.cfg, observed, 40,
+                     fit=("group.beta_att",), iters=3)
+    assert np.isfinite(res.losses).all(), res.losses
+    assert np.isfinite(res.fitted["group.beta_att"])
