@@ -68,33 +68,16 @@ def corridor_counterflow(n=320, length=120.0, width=WIDTH, seed=0):
 
 
 def band_index(pos, dirs, x_win=32.0, width=WIDTH, bins=8, slices=6):
-    """Lane (band) order parameter: per x-slice, per lateral y-bin
-    direction purity ``Y = sum_b w_b * ((n_+ - n_-) / (n_+ + n_-))^2``,
-    averaged over populated x-slices.  1.0 = every y-bin is single-
-    direction (perfect lanes); the mixed-crowd expectation is ~1/k for
-    k pedestrians per bin.  Lateral-only, so pure downstream transport
-    (which separates the directions in x) cannot inflate it."""
-    out = []
-    edges_x = np.linspace(-x_win, x_win, slices + 1)
-    edges_y = np.linspace(-width / 2, width / 2, bins + 1)
-    for si in range(slices):
-        m = (pos[:, 0] >= edges_x[si]) & (pos[:, 0] < edges_x[si + 1])
-        if m.sum() < 10:
-            continue
-        yb = np.clip(np.digitize(pos[m, 1], edges_y) - 1, 0, bins - 1)
-        d = dirs[m]
-        num = 0.0
-        den = 0.0
-        for b in range(bins):
-            mb = yb == b
-            nb = int(mb.sum())
-            if nb == 0:
-                continue
-            num += nb * (d[mb].sum() / nb) ** 2
-            den += nb
-        out.append(num / den)
-    assert out, "no populated x-slice"
-    return float(np.mean(out))
+    """Lane (band) order parameter -- the packaged
+    utils.metrics.lane_order_parameter (its docstring has the definition),
+    so the physics suite exercises the shipped implementation."""
+    from carla_social_force_model_tpu.utils.metrics import (
+        lane_order_parameter)
+    y = lane_order_parameter(pos, dirs,
+                             (-x_win, x_win, -width / 2, width / 2),
+                             bins=bins, slices=slices)
+    assert np.isfinite(y), "no populated x-slice"
+    return y
 
 
 def band_excess(pos, dirs, seed=1, shuffles=30, **kw):
