@@ -102,6 +102,8 @@ def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpe
             crossing_safety_margin=float(sp.get("crossing_safety_margin", 1.5)),
             radius=float(sp.get("radius", walker.get("default_radius", 0.3))),
             group_size=int(sp.get("group_size", 0)),
+            interaction_scale=float(sp.get("interaction_scale", 1.0)),
+            variate_interaction=float(sp.get("variate_interaction", 0.0)),
         ))
     return specs
 

@@ -56,6 +56,17 @@ class SpawnerSpec:
     #: consecutive walkers of this spawner form groups of this many members
     #: (0/1 = no groups).  Beyond-reference capability.
     group_size: int = 0
+    #: per-agent pair-interaction sensitivity (beyond-reference crowd
+    #: heterogeneity): scales the pedestrian-interaction force each walker
+    #: FEELS (row-wise F_i *= s_i after the pairwise sum, so it composes
+    #: exactly with every kernel path incl. the Newton's-third-law and
+    #: ring launches).  0 = oblivious (others still avoid it), 1 =
+    #: reference behavior.
+    interaction_scale: float = 1.0
+    #: uniform +-jitter half-width on interaction_scale, drawn per walker
+    #: from a DEDICATED seeded stream (never perturbs the reference's
+    #: blueprint/speed draw parity)
+    variate_interaction: float = 0.0
 
 
 @pytree_dataclass
@@ -85,6 +96,11 @@ class SpawnSchedule:
     #: device-consumed structure is the GroupSet member table the scenario
     #: builder derives from it (build_groups) BEFORE any capacity padding.
     group_id: jnp.ndarray | None = None
+    #: (N,) f32 per-agent pair-interaction sensitivity (None = homogeneous
+    #: 1.0 -- the reference behavior; see SpawnerSpec.interaction_scale).
+    #: Slot-static, so it lives in scene data, not the scan carry; shards
+    #: with the slots.
+    pair_scale: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -185,6 +201,12 @@ def build_spawn_schedule(
     # partial chunk (including a singleton) keeps its id -- the group
     # force masks <2-member groups to zero.
     group_arr = np.full((n,), -1, np.int32)
+    # per-agent interaction sensitivity: jitter draws come from a DEDICATED
+    # stream (np Generator, not the reference-parity random.Random chain)
+    # so enabling heterogeneity never shifts the seeded blueprint/speed
+    # draw order the parity tests pin
+    scale_arr = np.ones((n,), dtype)
+    scale_rng = np.random.default_rng(pedestrian_seed)
     spawn_counter = [0] * len(spawners)
     group_base = [0] * len(spawners)
     next_base = 0
@@ -227,6 +249,10 @@ def build_spawn_schedule(
         if s.group_size > 1:
             group_arr[slot] = (group_base[si]
                                + spawn_counter[si] // s.group_size)
+        scale_arr[slot] = s.interaction_scale
+        if s.variate_interaction != 0.0:
+            scale_arr[slot] += scale_rng.uniform(-s.variate_interaction,
+                                                 s.variate_interaction)
         spawn_counter[si] += 1
 
     route_buffer = build_route_buffer(routes, crossings, capacity=n)
@@ -240,6 +266,8 @@ def build_spawn_schedule(
         fwp_x=jnp.asarray(first_wp[:, 0]), fwp_y=jnp.asarray(first_wp[:, 1]),
         routes=route_buffer,
         group_id=(jnp.asarray(group_arr) if (group_arr >= 0).any() else None),
+        pair_scale=(jnp.asarray(scale_arr) if (scale_arr != 1.0).any()
+                    else None),
     )
 
 

@@ -431,6 +431,19 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 _pos2(), _vel2(), state.radius, state.alive, vset, vvel,
                 params.dynamic_obstacle,
                 use_ped_radius=params.use_ped_radius, obstacle_active=vact))
+    # per-agent pair-interaction sensitivity (SpawnSchedule.pair_scale,
+    # beyond-reference heterogeneity): F_i = s_i * sum_j g_ij is exact as a
+    # row-wise post-scale of the summed term, so it composes with every
+    # kernel path -- Newton's-third-law / half-ring launches compute the
+    # UNSCALED antisymmetric g and assemble the full per-row sum first.
+    # Scales the agent-to-agent families only (not borders/obstacles/group).
+    ps = getattr(scene.spawn, "pair_scale", None) if scene.spawn is not None \
+        else None
+    if ps is not None:
+        for k in ("pedestrian_force", "powerlaw_force", "ped_repulsive_force"):
+            if k in terms:
+                fx_k, fy_k = terms[k]
+                terms[k] = (fx_k * ps, fy_k * ps)
     return terms
 
 
