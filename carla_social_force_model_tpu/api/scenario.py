@@ -104,6 +104,7 @@ def extract_ped_spawners(scenario: dict, route_provider=None) -> list[SpawnerSpe
             group_size=int(sp.get("group_size", 0)),
             interaction_scale=float(sp.get("interaction_scale", 1.0)),
             variate_interaction=float(sp.get("variate_interaction", 0.0)),
+            pair_force=sp.get("pair_force"),
         ))
     return specs
 
@@ -506,6 +507,22 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
     if static_obstacles is not None:
         import jax.numpy as jnp
         static_vel = jnp.zeros((static_obstacles.num_segments, 2), jnp.float32)
+
+    if schedule.law_id is not None:
+        # a spawner's pair_force only works if its family's force flag is
+        # on -- fail at build time with the flag name, not silently at run
+        from ..models.spawn import LAW_IDS
+        enabled = {0: params.enable_pedestrian, 1: params.enable_powerlaw,
+                   2: params.enable_ped_repulsive}
+        flags = {0: "pedestrian_force", 1: "powerlaw_force",
+                 2: "ped_repulsive_force"}
+        names = {v: k for k, v in LAW_IDS.items()}
+        for fid in np.unique(np.asarray(schedule.law_id)):
+            if fid >= 0 and not enabled[int(fid)]:
+                raise ValueError(
+                    f"a ped_spawner sets pair_force = "
+                    f"{names[int(fid)]!r} but [forces] "
+                    f"{flags[int(fid)]} is not enabled")
 
     groups = None
     if schedule.group_id is not None:

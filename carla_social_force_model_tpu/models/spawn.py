@@ -25,6 +25,10 @@ from ..utils.pytree import pytree_dataclass
 from . import modes
 from .routes import RouteBuffer, build_route_buffer
 from ..ops.vecmath import stack_xy
+
+#: pair-force model families selectable per spawner (``pair_force`` key);
+#: ids index SpawnSchedule.law_id and the stepper's family row masks
+LAW_IDS = {"moussaid": 0, "powerlaw": 1, "helbing": 2}
 from .state import PedState
 
 # Size of CARLA 0.9.13's walker blueprint library (walker.pedestrian.0001 ..
@@ -67,6 +71,13 @@ class SpawnerSpec:
     #: from a DEDICATED seeded stream (never perturbs the reference's
     #: blueprint/speed draw parity)
     variate_interaction: float = 0.0
+    #: per-agent pair-force model family (mixed-model crowds): "moussaid",
+    #: "powerlaw", or "helbing" restricts THIS spawner's walkers to
+    #: perceiving the crowd through that one family (the family must be
+    #: enabled in ``[forces]``); None (default) = the walker feels every
+    #: enabled family, the homogeneous behavior.  Row-masked after the
+    #: pairwise sum, so it composes with every kernel path.
+    pair_force: str | None = None
 
 
 @pytree_dataclass
@@ -101,6 +112,10 @@ class SpawnSchedule:
     #: Slot-static, so it lives in scene data, not the scan carry; shards
     #: with the slots.
     pair_scale: jnp.ndarray | None = None
+    #: (N,) int32 per-agent pair-force family (LAW_IDS; -1 = every enabled
+    #: family -- the homogeneous default).  None when no spawner sets
+    #: ``pair_force``.  Slot-static scene data like pair_scale.
+    law_id: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -207,6 +222,12 @@ def build_spawn_schedule(
     # draw order the parity tests pin
     scale_arr = np.ones((n,), dtype)
     scale_rng = np.random.default_rng(pedestrian_seed)
+    law_arr = np.full((n,), -1, np.int32)
+    for s in spawners:
+        if s.pair_force is not None and s.pair_force not in LAW_IDS:
+            raise ValueError(
+                f"pair_force must be one of {sorted(LAW_IDS)}, "
+                f"got {s.pair_force!r}")
     spawn_counter = [0] * len(spawners)
     group_base = [0] * len(spawners)
     next_base = 0
@@ -253,6 +274,8 @@ def build_spawn_schedule(
         if s.variate_interaction != 0.0:
             scale_arr[slot] += scale_rng.uniform(-s.variate_interaction,
                                                  s.variate_interaction)
+        if s.pair_force is not None:
+            law_arr[slot] = LAW_IDS[s.pair_force]
         spawn_counter[si] += 1
 
     route_buffer = build_route_buffer(routes, crossings, capacity=n)
@@ -268,6 +291,7 @@ def build_spawn_schedule(
         group_id=(jnp.asarray(group_arr) if (group_arr >= 0).any() else None),
         pair_scale=(jnp.asarray(scale_arr) if (scale_arr != 1.0).any()
                     else None),
+        law_id=(jnp.asarray(law_arr) if (law_arr >= 0).any() else None),
     )
 
 

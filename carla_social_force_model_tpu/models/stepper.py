@@ -431,19 +431,32 @@ def force_terms(state: PedState, scene: Scene, params: SfmParams,
                 _pos2(), _vel2(), state.radius, state.alive, vset, vvel,
                 params.dynamic_obstacle,
                 use_ped_radius=params.use_ped_radius, obstacle_active=vact))
-    # per-agent pair-interaction sensitivity (SpawnSchedule.pair_scale,
-    # beyond-reference heterogeneity): F_i = s_i * sum_j g_ij is exact as a
-    # row-wise post-scale of the summed term, so it composes with every
+    # per-agent pair-interaction heterogeneity (SpawnSchedule.pair_scale /
+    # law_id, beyond-reference): F_i = s_i * sum_j g_ij is exact as a
+    # row-wise post-scale of the summed term, so both compose with every
     # kernel path -- Newton's-third-law / half-ring launches compute the
     # UNSCALED antisymmetric g and assemble the full per-row sum first.
+    # law_id row-masks each family to the agents that perceive the crowd
+    # through it (mixed-model crowds; -1 = every enabled family); an agent
+    # i's force always sums over ALL partners j through i's own law.
     # Scales the agent-to-agent families only (not borders/obstacles/group).
+    _FAMILY_ID = {"pedestrian_force": 0, "powerlaw_force": 1,
+                  "ped_repulsive_force": 2}
     ps = getattr(scene.spawn, "pair_scale", None) if scene.spawn is not None \
         else None
-    if ps is not None:
-        for k in ("pedestrian_force", "powerlaw_force", "ped_repulsive_force"):
-            if k in terms:
-                fx_k, fy_k = terms[k]
-                terms[k] = (fx_k * ps, fy_k * ps)
+    law = getattr(scene.spawn, "law_id", None) if scene.spawn is not None \
+        else None
+    if ps is not None or law is not None:
+        for k, fid in _FAMILY_ID.items():
+            if k not in terms:
+                continue
+            fx_k, fy_k = terms[k]
+            if law is not None:
+                m = ((law < 0) | (law == fid)).astype(fx_k.dtype)
+                fx_k, fy_k = fx_k * m, fy_k * m
+            if ps is not None:
+                fx_k, fy_k = fx_k * ps, fy_k * ps
+            terms[k] = (fx_k, fy_k)
     return terms
 
 

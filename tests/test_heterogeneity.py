@@ -130,3 +130,70 @@ def test_toml_surface_and_draw_parity():
     from carla_social_force_model_tpu.api.simulation import Simulation
     _, rec = Simulation(het).run()
     assert np.isfinite(np.asarray(rec.pos)).all()
+
+
+def test_mixed_model_crowd_matches_row_masked_families():
+    """law_id: a half-Moussaid / half-powerlaw crowd equals the two
+    single-family runs row-masked together."""
+    scene, params, cfg, _ = _bundle()
+    st = _live_state(scene)
+    cap = scene.spawn.capacity
+    law = np.full(cap, -1, np.int32)
+    law[: cap // 2] = 0                      # Moussaid rows
+    law[cap // 2:] = 1                       # power-law rows
+    spawn = dataclasses.replace(scene.spawn, law_id=jnp.asarray(law))
+    scene_m = dataclasses.replace(scene, spawn=spawn)
+    p_both = dataclasses.replace(params, enable_powerlaw=True)
+
+    mixed = force_terms(st, scene_m, p_both, cfg, None)
+    mou = force_terms(st, scene, params, cfg, None)["pedestrian_force"]
+    pl_only = dataclasses.replace(params, enable_pedestrian=False,
+                                  enable_powerlaw=True)
+    pwr = force_terms(st, scene, pl_only, cfg, None)["powerlaw_force"]
+
+    m0 = (law == 0).astype(np.float32)
+    m1 = (law == 1).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(mixed["pedestrian_force"][0]),
+                                  np.asarray(mou[0]) * m0)
+    np.testing.assert_array_equal(np.asarray(mixed["powerlaw_force"][0]),
+                                  np.asarray(pwr[0]) * m1)
+    # -1 rows (none here) would feel both; each agent sums over ALL
+    # partners through its own law, so the Moussaid rows' force is the
+    # full-crowd Moussaid row sum, not a within-family one
+    assert np.abs(np.asarray(mou[0]) * m0).max() > 0
+
+
+def test_mixed_model_toml_and_validation():
+    from carla_social_force_model_tpu.api.scenario import build_scenario
+    import pytest
+
+    def scenario(pair_force=None):
+        extra = {"pair_force": pair_force} if pair_force else {}
+        return {
+            "scenario_name": "mixed", "step_length": 0.05,
+            "walker": {"ped_spawner": [
+                {"spawn_location": [0.0, 0.0, 1.0],
+                 "destination": [20.0, 0.0, 0.0], "speed": 1.3,
+                 "quantity": 3, "spawn_interval": 0.3},
+                {"spawn_location": [20.0, 1.0, 1.0],
+                 "destination": [-20.0, 1.0, 0.0], "speed": 1.3,
+                 "quantity": 3, "spawn_interval": 0.3, **extra}]},
+        }
+
+    sfm = {"forces": {"acceleration_force": True, "pedestrian_force": True,
+                      "powerlaw_force": True}}
+    b = build_scenario(scenario("powerlaw"), sfm, 60)
+    law = np.asarray(b.scene.spawn.law_id)
+    assert set(np.unique(law)) == {-1, 1}
+    from carla_social_force_model_tpu.api.simulation import Simulation
+    _, rec = Simulation(b).run()
+    assert np.isfinite(np.asarray(rec.pos)).all()
+
+    # requesting a disabled family fails at build time with the flag name
+    sfm_no = {"forces": {"acceleration_force": True,
+                         "pedestrian_force": True}}
+    with pytest.raises(ValueError, match="powerlaw_force"):
+        build_scenario(scenario("powerlaw"), sfm_no, 60)
+    # unknown family name fails in the schedule builder
+    with pytest.raises(ValueError, match="pair_force must be one of"):
+        build_scenario(scenario("orca"), sfm, 60)
