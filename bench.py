@@ -27,7 +27,8 @@ symmetric launch for pre-symmetric A/B), BENCH_COMPACT, BENCH_TILES,
 BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
 ("powerlaw" swaps the pair-force family to the Karamouzas-2014
 time-to-collision law, "helbing" to the Helbing-Molnar-1995 elliptical
-repulsion; rollout modes only), BENCH_GROUPS ("<frac>:<size>", e.g.
+repulsion, "orca" to the van-den-Berg-2011 reciprocal-collision-avoidance
+velocity law; rollout modes only), BENCH_GROUPS ("<frac>:<size>", e.g.
 "0.5:4" -- assign that fraction of the crowd into social parties of that
 size and enable the Moussaid-2010 group force; rollout modes only).
 """
@@ -101,8 +102,14 @@ def run_rollout_mode():
         # Helbing-Molnar 1995 elliptical repulsion (law="helbing")
         params = dataclasses.replace(params, enable_pedestrian=False,
                                      enable_ped_repulsive=True)
+    elif law == "orca":
+        # ORCA reciprocal collision avoidance (a velocity-projection law,
+        # ops/orca.py): windowed Hilbert-band neighbors + exact LP
+        params = dataclasses.replace(params, enable_pedestrian=False,
+                                     enable_orca=True)
     elif law:
-        raise SystemExit(f"BENCH_LAW must be powerlaw|helbing, got {law!r}")
+        raise SystemExit(
+            f"BENCH_LAW must be powerlaw|helbing|orca, got {law!r}")
     if os.environ.get("BENCH_GROUPS"):
         # Moussaid-2010 social parties on top of the pair force: the cost
         # is O(grouped members) gathers/scatter + (G, M) math

@@ -513,9 +513,9 @@ def build_scenario(scenario_config, sfm_config, num_steps: int,
         # on -- fail at build time with the flag name, not silently at run
         from ..models.spawn import LAW_IDS
         enabled = {0: params.enable_pedestrian, 1: params.enable_powerlaw,
-                   2: params.enable_ped_repulsive}
+                   2: params.enable_ped_repulsive, 3: params.enable_orca}
         flags = {0: "pedestrian_force", 1: "powerlaw_force",
-                 2: "ped_repulsive_force"}
+                 2: "ped_repulsive_force", 3: "orca_law"}
         names = {v: k for k, v in LAW_IDS.items()}
         for fid in np.unique(np.asarray(schedule.law_id)):
             if fid >= 0 and not enabled[int(fid)]:

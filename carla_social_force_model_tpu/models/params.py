@@ -103,6 +103,32 @@ class PowerLawParams:
 
 
 @pytree_dataclass
+class OrcaParams:
+    """ORCA (van den Berg et al., ISRR 2011) reciprocal collision
+    avoidance -- a velocity-projection law, not a force (ops/orca.py).
+
+    ``tau``: avoidance horizon [s] for non-colliding pairs (colliding
+    pairs resolve over one step).  ``neighbor_dist``: perception radius
+    [m].  ``max_neighbors``: K nearest agents constrain the LP (RVO2's
+    knob of the same name).  ``window``: Hilbert-sorted candidate band
+    the K nearest are drawn from (0 = exact full-crowd selection; only
+    viable for small N -- the band is exact whenever the true K nearest
+    are within +-window/2 sorted positions, which a 64-wide band
+    guarantees in practice at K=10).  ``max_vehicles``: nearest vehicles
+    constraining the LP as non-reciprocating bounding discs.
+
+    ``tau``/``neighbor_dist`` are pytree leaves (sweepable/calibratable);
+    the integer shape knobs are static.
+    """
+
+    tau: float = 2.0
+    neighbor_dist: float = 15.0
+    max_neighbors: int = static_field(default=10)
+    window: int = static_field(default=64)
+    max_vehicles: int = static_field(default=4)
+
+
+@pytree_dataclass
 class SpaceRepulsiveParams:
     """Helbing-Molnar (1995) boundary repulsion U(d) = U0*exp(-d/R) from the
     nearest border point (the reference's other dead config path,
@@ -183,6 +209,14 @@ class SfmParams:
     # surface; needs group assignments -- `group_size` on a ped spawner)
     group: GroupParams = GroupParams()
     enable_group: bool = static_field(default=False)
+    # ORCA reciprocal collision avoidance (beyond the reference's surface):
+    # a velocity-projection law layered on the force pipeline -- the
+    # force-integrated velocity becomes the *preferred* velocity and ORCA
+    # projects it onto the collision-free half-plane intersection
+    # (ops/orca.py).  Applies to all agents, or per-spawner via
+    # pair_force = "orca" (mixed crowds)
+    orca: OrcaParams = OrcaParams()
+    enable_orca: bool = static_field(default=False)
     # reproduce reference-inert config keys & first-vehicle-extent quirk
     strict_parity: bool = static_field(default=False)
 
@@ -202,7 +236,7 @@ class SfmParams:
             # (pedestrian_simulation.py:49-53 references missing classes;
             # powerlaw_force is not a reference force name at all)
             for dead in ("ped_repulsive_force", "space_repulsive_force",
-                         "powerlaw_force", "group_force"):
+                         "powerlaw_force", "group_force", "orca_law"):
                 if forces.get(dead, False):
                     raise ValueError(
                         f"strict parity: force '{dead}' is a dead config path "
@@ -226,7 +260,16 @@ class SfmParams:
         sr = cfg.get("space_repulsive_force", {})
         pw = cfg.get("powerlaw_force", {})
         gr = cfg.get("group_force", {})
+        oc = cfg.get("orca_law", {})
         return SfmParams(
+            orca=OrcaParams(
+                tau=float(oc.get("tau", 2.0)),
+                neighbor_dist=float(oc.get("neighbor_dist", 15.0)),
+                max_neighbors=int(oc.get("max_neighbors", 10)),
+                window=int(oc.get("window", 64)),
+                max_vehicles=int(oc.get("max_vehicles", 4))),
+            enable_orca=bool(forces.get("orca_law", False))
+            and not strict_parity,
             group=GroupParams(
                 beta_vis=float(gr.get("beta_vis", 4.0)),
                 beta_att=float(gr.get("beta_att", 3.0)),

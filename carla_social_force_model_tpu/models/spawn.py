@@ -28,7 +28,7 @@ from ..ops.vecmath import stack_xy
 
 #: pair-force model families selectable per spawner (``pair_force`` key);
 #: ids index SpawnSchedule.law_id and the stepper's family row masks
-LAW_IDS = {"moussaid": 0, "powerlaw": 1, "helbing": 2}
+LAW_IDS = {"moussaid": 0, "powerlaw": 1, "helbing": 2, "orca": 3}
 from .state import PedState
 
 # Size of CARLA 0.9.13's walker blueprint library (walker.pedestrian.0001 ..

@@ -531,6 +531,29 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
     vx = jnp.where(alive, vx, zero)
     vy = jnp.where(alive, vy, zero)
 
+    # ORCA velocity projection (beyond-reference law, ops/orca.py): the
+    # force-integrated capped velocity above is the *preferred* velocity
+    # (goal seeking + walls already shaped it; pair-force families are
+    # row-masked off for ORCA agents by the law_id machinery in
+    # force_terms), and ORCA replaces it with the closest velocity that
+    # provably avoids every neighbor for params.orca.tau seconds.  Applies
+    # to agents whose spawner set pair_force = "orca", or to the whole
+    # crowd when no law_id column exists (homogeneous ORCA).
+    if params.enable_orca:
+        from ..ops.orca import orca_velocities
+        ovx, ovy = orca_velocities(
+            (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),
+            state.radius, alive, (vx, vy),
+            state.max_speed(params.max_speed_factor), params.orca, cfg.dt,
+            veh_snap=veh_snap, axis_name=axis_name,
+            spatial_order=cfg.spatial_order)
+        law = getattr(scene.spawn, "law_id", None) \
+            if scene.spawn is not None else None
+        from .spawn import LAW_IDS
+        om = alive if law is None else alive & (law == LAW_IDS["orca"])
+        vx = jnp.where(om, ovx, vx)
+        vy = jnp.where(om, ovy, vy)
+
     # 8. waypoint arrival (2-D distance, run_simulation.py:118 +
     #    pedestrian_simulation.py:88-97)
     dist_wp = vecmath.norm_xy(state.wp_x - state.pos_x,

@@ -194,6 +194,10 @@ def test_mixed_model_toml_and_validation():
                          "pedestrian_force": True}}
     with pytest.raises(ValueError, match="powerlaw_force"):
         build_scenario(scenario("powerlaw"), sfm_no, 60)
-    # unknown family name fails in the schedule builder
+    # unknown family name fails in the schedule builder ("orca" used to be
+    # the example here until it became a real family, ops/orca.py)
     with pytest.raises(ValueError, match="pair_force must be one of"):
+        build_scenario(scenario("boids"), sfm, 60)
+    # a real but disabled velocity-law family also names its flag
+    with pytest.raises(ValueError, match="orca_law"):
         build_scenario(scenario("orca"), sfm, 60)
