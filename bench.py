@@ -28,9 +28,13 @@ BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
 ("powerlaw" swaps the pair-force family to the Karamouzas-2014
 time-to-collision law, "helbing" to the Helbing-Molnar-1995 elliptical
 repulsion, "orca" to the van-den-Berg-2011 reciprocal-collision-avoidance
-velocity law; rollout modes only), BENCH_GROUPS ("<frac>:<size>", e.g.
-"0.5:4" -- assign that fraction of the crowd into social parties of that
-size and enable the Moussaid-2010 group force; rollout modes only).
+velocity law; rollout modes only), BENCH_MIX ("moussaid,powerlaw,orca" --
+a MIXED-MODEL crowd: the slots split into equal contiguous chunks, each
+perceiving the crowd through its own family via SpawnSchedule.law_id;
+rollout modes only, mutually exclusive with BENCH_LAW), BENCH_GROUPS
+("<frac>:<size>", e.g. "0.5:4" -- assign that fraction of the crowd into
+social parties of that size and enable the Moussaid-2010 group force;
+rollout modes only).
 """
 import json
 import os
@@ -110,6 +114,31 @@ def run_rollout_mode():
     elif law:
         raise SystemExit(
             f"BENCH_LAW must be powerlaw|helbing|orca, got {law!r}")
+    mix = os.environ.get("BENCH_MIX", "")
+    if mix:
+        # mixed-model heterogeneous crowd: equal contiguous slot chunks,
+        # one pair-force family each (models/spawn.LAW_IDS row masks)
+        if law:
+            raise SystemExit("BENCH_MIX and BENCH_LAW are mutually exclusive")
+        import numpy as np
+        from carla_social_force_model_tpu.models.spawn import LAW_IDS
+        fams = [f.strip() for f in mix.split(",") if f.strip()]
+        bad = [f for f in fams if f not in LAW_IDS]
+        if bad or not fams:
+            raise SystemExit(
+                f"BENCH_MIX entries must be in {sorted(LAW_IDS)}, got {mix!r}")
+        cap = scene.spawn.capacity
+        law_arr = np.full(cap, -1, np.int32)
+        for fam, chunk in zip(fams, np.array_split(np.arange(cap), len(fams))):
+            law_arr[chunk] = LAW_IDS[fam]
+        scene = dataclasses.replace(
+            scene, spawn=dataclasses.replace(scene.spawn, law_id=law_arr))
+        params = dataclasses.replace(
+            params,
+            enable_pedestrian="moussaid" in fams,
+            enable_powerlaw="powerlaw" in fams,
+            enable_ped_repulsive="helbing" in fams,
+            enable_orca="orca" in fams)
     if os.environ.get("BENCH_GROUPS"):
         # Moussaid-2010 social parties on top of the pair force: the cost
         # is O(grouped members) gathers/scatter + (G, M) math
@@ -155,11 +184,16 @@ def run_rollout_mode():
 
     once(state)  # warmup / compile
     best = min(_timed(once, state) for _ in range(3))
-    return N * STEPS / best, ""
+    tag = f"_{law}" if law else (f"_mix{len(fams)}" if mix else "")
+    return N * STEPS / best, tag
 
 
 def run_ensemble_mode():
     import dataclasses
+    for knob in ("BENCH_LAW", "BENCH_MIX", "BENCH_GROUPS"):
+        if os.environ.get(knob):
+            # refuse rather than silently benchmark something else
+            raise SystemExit(f"{knob} applies to rollout modes only")
     from carla_social_force_model_tpu.api.synthetic import (batched_crowds,
                                                             benchmark_bundle)
     from carla_social_force_model_tpu.parallel.sweeps import (

@@ -38,6 +38,10 @@ def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
     def expand(section_params, section_name):
         updates = {}
         for f in dataclasses.fields(section_params):
+            if f.metadata.get("static", False):
+                # static metadata (e.g. OrcaParams.max_neighbors) is not a
+                # pytree leaf: it must stay unbatched (and unsweepable)
+                continue
             key = f"{section_name}_{f.name}".rstrip("_")
             if key in leaf_batches:
                 updates[f.name] = jnp.asarray(leaf_batches.pop(key), jnp.float32)
@@ -57,6 +61,7 @@ def batch_params(params: SfmParams, **leaf_batches) -> SfmParams:
         space_repulsive=expand(params.space_repulsive, "space_repulsive"),
         powerlaw=expand(params.powerlaw, "powerlaw"),
         group=expand(params.group, "group"),
+        orca=expand(params.orca, "orca"),
         max_speed_factor=jnp.broadcast_to(
             jnp.asarray(leaf_batches.pop("max_speed_factor",
                                          params.max_speed_factor), jnp.float32),

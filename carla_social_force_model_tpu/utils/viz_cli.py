@@ -6,6 +6,12 @@ Subcommands:
   trajectories  render a simulation run's CSV output to a PNG
   animate       render a run's CSV output as a GIF/MP4 animation
                 (mode-colored peds, trails, vehicle rectangles)
+  metrics       crowd-analysis report (utils/metrics.py definitions) from a
+                run's pedestrian.csv -- this framework's or the
+                reference's (output_generator.py:32-51) -- as ONE JSON
+                object: population/speed summaries, evacuation time,
+                optional gate flow (--gate) and window density/fundamental-
+                diagram samples (--region)
 
 Examples:
   python -m carla_social_force_model_tpu.utils.viz_cli graph \
@@ -184,6 +190,56 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_metrics(args) -> int:
+    import json
+    import os
+    from . import metrics
+    from .csvout import read_pedestrian_csv
+
+    rec, dt_est = read_pedestrian_csv(
+        os.path.join(args.csv_dir, "pedestrian.csv"))
+    dt = args.dt if args.dt is not None else (dt_est or 0.05)
+    alive = np.asarray(rec.alive)
+    speeds = metrics.mean_speed(rec)
+    spd = np.linalg.norm(np.asarray(rec.vel), axis=-1)
+    report = {
+        "csv_dir": args.csv_dir,
+        "dt": dt,
+        "frames": int(alive.shape[0]),
+        "duration_s": float(alive.shape[0] * dt),
+        "pedestrians": int(alive.any(axis=0).sum()),
+        "peak_population": int(alive.sum(axis=1).max(initial=0)),
+        "mean_speed": (float(np.nanmean(speeds))
+                       if np.isfinite(speeds).any() else None),
+        "peak_speed": float(np.where(alive, spd, 0.0).max(initial=0.0)),
+    }
+    evac = metrics.evacuation_time(rec, dt)
+    if np.isfinite(evac):
+        report["evacuation_time_s"] = float(evac)
+    if args.gate:
+        a, b = np.asarray([float(v) for v in args.gate.split(",")],
+                          np.float64).reshape(2, 2)
+        report["gate"] = {"a": list(a), "b": list(b),
+                          **metrics.flow_rate(rec, a, b, dt)}
+    if args.region:
+        region = tuple(float(v) for v in args.region.split(","))
+        rho = metrics.region_density(rec, region)
+        rv = metrics.mean_speed(rec, region)
+        rho_c, v_m, counts = metrics.fundamental_diagram(rec, region, dt)
+        report["region"] = {
+            "bounds": list(region),
+            "mean_density": float(rho.mean()),
+            "peak_density": float(rho.max(initial=0.0)),
+            "mean_speed": (float(np.nanmean(rv))
+                           if np.isfinite(rv).any() else None),
+            "fundamental_diagram": [
+                {"density": float(r), "speed": float(v), "frames": int(c)}
+                for r, v, c in zip(rho_c, v_m, counts) if np.isfinite(v)],
+        }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(levelname)s: %(message)s", level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
@@ -216,6 +272,19 @@ def main(argv=None) -> int:
     a.add_argument("--fps", type=int, default=20)
     a.add_argument("--trail", type=int, default=40)
     a.set_defaults(fn=_cmd_animate)
+
+    m = sub.add_parser("metrics", help="crowd-analysis JSON report from a "
+                       "run's pedestrian.csv (flow, density, speeds, "
+                       "evacuation)")
+    m.add_argument("--csv-dir", type=str, required=True)
+    m.add_argument("--dt", type=float, default=None,
+                   help="override the dt estimated from the time column")
+    m.add_argument("--gate", type=str, default=None, metavar="X1,Y1,X2,Y2",
+                   help="gate segment for flow/specific-flow")
+    m.add_argument("--region", type=str, default=None,
+                   metavar="XMIN,XMAX,YMIN,YMAX",
+                   help="analysis window for density + fundamental diagram")
+    m.set_defaults(fn=_cmd_metrics)
 
     args = p.parse_args(argv)
     return args.fn(args)

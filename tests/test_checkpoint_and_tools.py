@@ -162,6 +162,36 @@ def test_viz_cli_animate_from_csv(tmp_path):
     assert os.path.getsize(gif) > 2000
 
 
+def test_viz_cli_metrics_report(tmp_path, capsys):
+    """`viz_cli metrics` emits one JSON crowd-analysis report from a run's
+    pedestrian.csv (utils/metrics.py definitions): population/speed
+    summaries plus gate flow and window density when asked."""
+    import json
+    from carla_social_force_model_tpu.utils.csvout import write_pedestrian_csv
+    from carla_social_force_model_tpu.utils.viz_cli import main as viz_main
+    n, steps = 16, 220
+    scene, params, cfg, state = benchmark_bundle(n, extent=8.0)
+    run = make_rollout_fn(scene, params, cfg, steps, record=True)
+    _, recs = run(state)
+    csv_dir = tmp_path / "run"
+    csv_dir.mkdir()
+    write_pedestrian_csv(str(csv_dir / "pedestrian.csv"), recs, cfg.dt)
+    assert viz_main(["metrics", "--csv-dir", str(csv_dir),
+                     "--gate", "0,-12,0,12",
+                     "--region=-8,8,-8,8"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["pedestrians"] == n
+    assert report["frames"] == steps
+    assert abs(report["dt"] - cfg.dt) < 1e-6
+    assert 0.0 < report["mean_speed"] <= report["peak_speed"] < 4.0
+    # the antipodal benchmark crowd converges on the center: the full
+    # population crosses the x=0 gate at least once
+    assert report["gate"]["total"] >= n // 2
+    assert report["gate"]["rate"] > 0
+    assert report["region"]["mean_density"] > 0
+    assert report["region"]["fundamental_diagram"]
+
+
 def test_plot_outputs(tmp_path):
     from carla_social_force_model_tpu.utils.visualize import (
         plot_nav_graph, plot_trajectories)
