@@ -184,7 +184,9 @@ def run_rollout_mode():
 
     once(state)  # warmup / compile
     best = min(_timed(once, state) for _ in range(3))
-    tag = f"_{law}" if law else (f"_mix{len(fams)}" if mix else "")
+    # mixed runs encode the family NAMES (not just arity) so different
+    # mixes of the same size produce distinct metric records
+    tag = f"_{law}" if law else (f"_mix-{'-'.join(fams)}" if mix else "")
     return N * STEPS / best, tag
 
 

@@ -30,6 +30,27 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _csv_floats(label: str, n: int):
+    """argparse type: exactly ``n`` comma-separated floats.
+
+    Values starting with a negative number (e.g. ``-5,0,5,0``) look like an
+    option to argparse -- use the ``--gate=X1,Y1,X2,Y2`` form for those.
+    Malformed input raises a clean argparse error instead of a reshape
+    traceback."""
+    def parse(s: str):
+        try:
+            vals = tuple(float(v) for v in s.split(","))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"{label} must be {n} comma-separated numbers, got {s!r}")
+        if len(vals) != n:
+            raise argparse.ArgumentTypeError(
+                f"{label} needs exactly {n} comma-separated numbers, "
+                f"got {len(vals)} in {s!r}")
+        return vals
+    return parse
+
+
 def _cmd_graph(args) -> int:
     from ..routing.graph import NavGraph
     if args.npz:
@@ -217,12 +238,11 @@ def _cmd_metrics(args) -> int:
     if np.isfinite(evac):
         report["evacuation_time_s"] = float(evac)
     if args.gate:
-        a, b = np.asarray([float(v) for v in args.gate.split(",")],
-                          np.float64).reshape(2, 2)
+        a, b = np.asarray(args.gate, np.float64).reshape(2, 2)
         report["gate"] = {"a": list(a), "b": list(b),
                           **metrics.flow_rate(rec, a, b, dt)}
     if args.region:
-        region = tuple(float(v) for v in args.region.split(","))
+        region = tuple(args.region)
         rho = metrics.region_density(rec, region)
         rv = metrics.mean_speed(rec, region)
         rho_c, v_m, counts = metrics.fundamental_diagram(rec, region, dt)
@@ -279,11 +299,14 @@ def main(argv=None) -> int:
     m.add_argument("--csv-dir", type=str, required=True)
     m.add_argument("--dt", type=float, default=None,
                    help="override the dt estimated from the time column")
-    m.add_argument("--gate", type=str, default=None, metavar="X1,Y1,X2,Y2",
-                   help="gate segment for flow/specific-flow")
-    m.add_argument("--region", type=str, default=None,
+    m.add_argument("--gate", type=_csv_floats("--gate", 4), default=None,
+                   metavar="X1,Y1,X2,Y2",
+                   help="gate segment for flow/specific-flow (write "
+                        "--gate=X1,Y1,X2,Y2 when X1 is negative)")
+    m.add_argument("--region", type=_csv_floats("--region", 4), default=None,
                    metavar="XMIN,XMAX,YMIN,YMAX",
-                   help="analysis window for density + fundamental diagram")
+                   help="analysis window for density + fundamental diagram "
+                        "(write --region=XMIN,... when XMIN is negative)")
     m.set_defaults(fn=_cmd_metrics)
 
     args = p.parse_args(argv)
