@@ -117,15 +117,26 @@ class OrcaParams:
     guarantees in practice at K=10).  ``max_vehicles``: nearest vehicles
     constraining the LP as non-reciprocating bounding discs.
 
-    ``tau``/``neighbor_dist`` are pytree leaves (sweepable/calibratable);
-    the integer shape knobs are static.
+    ``max_statics``: nearest static wall features (per point set: borders
+    and static obstacles each) constraining the LP as half-planes --
+    0 disables.  For a straight wall at body gap ``g`` the permitted set
+    ``{v : v . n >= -g/tau_static}`` is EXACT (a velocity collides with
+    the wall within ``tau_static`` iff its wall-ward component exceeds
+    ``g/tau_static``), so unlike the reference's soft exponential border
+    force (forces.py:138-179) the projection cannot select a wall-crossing
+    velocity; penetrating rows (``g < 0``) resolve over one step.
+
+    ``tau``/``neighbor_dist``/``tau_static`` are pytree leaves
+    (sweepable/calibratable); the integer shape knobs are static.
     """
 
     tau: float = 2.0
     neighbor_dist: float = 15.0
+    tau_static: float = 2.0
     max_neighbors: int = static_field(default=10)
     window: int = static_field(default=64)
     max_vehicles: int = static_field(default=4)
+    max_statics: int = static_field(default=3)
 
 
 @pytree_dataclass
@@ -265,9 +276,11 @@ class SfmParams:
             orca=OrcaParams(
                 tau=float(oc.get("tau", 2.0)),
                 neighbor_dist=float(oc.get("neighbor_dist", 15.0)),
+                tau_static=float(oc.get("tau_static", 2.0)),
                 max_neighbors=int(oc.get("max_neighbors", 10)),
                 window=int(oc.get("window", 64)),
-                max_vehicles=int(oc.get("max_vehicles", 4))),
+                max_vehicles=int(oc.get("max_vehicles", 4)),
+                max_statics=int(oc.get("max_statics", 3))),
             enable_orca=bool(forces.get("orca_law", False))
             and not strict_parity,
             group=GroupParams(

@@ -541,12 +541,19 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
     # crowd when no law_id column exists (homogeneous ORCA).
     if params.enable_orca:
         from ..ops.orca import orca_velocities
+        # road-crossing modes are exempt from the static wall constraints
+        # (they must step over curb borders -- the border force's own
+        # crossing-mode deactivation rule, reference forces.py:176-177)
+        crossing_now = ((state.mode == modes.CROSSING_ROAD)
+                        | (state.mode == modes.ROAD_TO_SIDEWALK))
         ovx, ovy = orca_velocities(
             (state.pos_x, state.pos_y), (state.vel_x, state.vel_y),
             state.radius, alive, (vx, vy),
             state.max_speed(params.max_speed_factor), params.orca, cfg.dt,
             veh_snap=veh_snap, axis_name=axis_name,
-            spatial_order=cfg.spatial_order)
+            spatial_order=cfg.spatial_order,
+            borders=scene.borders, obstacles=scene.static_obstacles,
+            static_exempt=crossing_now)
         law = getattr(scene.spawn, "law_id", None) \
             if scene.spawn is not None else None
         from .spawn import LAW_IDS

@@ -41,7 +41,10 @@ designed for the TPU instead:
 Agents reciprocate (each takes u/2); vehicles do not (the walker takes the
 full correction -- a car will not yield), mirroring how the reference's
 dynamic-obstacle force treats vehicles as non-negotiating obstacles
-(/root/reference/forces.py:233-270).
+(/root/reference/forces.py:233-270).  Static geometry (borders, parked
+obstacles) enters as hard half-planes against the nearest wall features
+(:func:`_static_constraints`), covering the role of the reference's border
+force (forces.py:138-179) with a guarantee instead of a soft repulsion.
 
 Everything is plain jnp on x/y coordinate planes (the TPU size-2-minor
 layout rule): the arithmetic is a few hundred VPU flops per agent per
@@ -444,9 +447,54 @@ def _vehicle_constraints(ex, ey, evx, evy, er, veh_snap, k, neigh_dist,
     return ptx, pty, nx_, ny_, valid
 
 
+def _static_constraints(ex, ey, er, exempt, pset, k, tau_static, dt,
+                        neigh_dist):
+    """Half-plane constraints against the ``k`` nearest static wall
+    features (one closest point per border/obstacle segment, the same
+    nearest-feature machinery the reference's border force reduces over,
+    /root/reference/forces.py:138-179 -- but as HARD constraints on the
+    velocity program instead of a soft exponential force).
+
+    For a straight wall at body gap ``g = d - r`` the set of velocities
+    that stay clear for ``tau_static`` seconds is exactly
+    ``{v : v . n >= -g / tau_static}`` with ``n`` the unit normal away
+    from the wall: the wall-ward speed may never exceed the gap over the
+    horizon, so (unlike a soft force, which crowd pressure can overpower)
+    the projection can never select a wall-crossing velocity.  Penetrating
+    rows (``g < 0``, e.g. a spawn inside geometry) get the one-step
+    push-out plane ``v . n >= -g / dt`` instead -- the same collision
+    resolution the pair half-planes use.  Corners are covered by taking
+    the ``k`` nearest *distinct segments'* closest points.
+
+    ``exempt`` rows (road-crossing modes -- they must step over the curb
+    border, mirroring the border force's crossing-mode deactivation,
+    forces.py:176-177) produce no constraints.
+
+    Ego planes ``(..., N)``; returns constraint planes ``(..., N, k)``
+    plus validity.
+    """
+    from .geometry import closest_point_per_segment
+    pos = jnp.stack([ex, ey], axis=-1)
+    dist, point, has = closest_point_per_segment(pos, pset)   # (S, N)
+    d = jnp.swapaxes(dist, -2, -1)                            # (N, S)
+    wx = jnp.swapaxes(point[..., 0], -2, -1)
+    wy = jnp.swapaxes(point[..., 1], -2, -1)
+    ok = (jnp.swapaxes(has, -2, -1) & (d <= neigh_dist)
+          & ~exempt[..., None])
+    d2 = jnp.where(ok, d * d, jnp.inf)
+    (swx, swy, sd), valid = _k_nearest(
+        d2, (wx, wy, d), min(k, pset.num_segments))
+    nx, ny, _ = _safe_unit(ex[..., None] - swx, ey[..., None] - swy)
+    gap = sd - er[..., None]
+    horizon = jnp.where(gap >= 0.0, tau_static, dt)
+    rhs = -gap / horizon            # constraint: v . n >= rhs
+    return rhs * nx, rhs * ny, nx, ny, valid
+
+
 def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
                     veh_snap=None, axis_name=None,
-                    spatial_order: str = "hilbert"):
+                    spatial_order: str = "hilbert",
+                    borders=None, obstacles=None, static_exempt=None):
     """New velocities for every agent under ORCA.
 
     ``pos``/``vel``/``pref``: (x, y) plane tuples (N,); ``radius``/``vmax``
@@ -456,6 +504,20 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
     ORCA guarantees the collision-avoidance projection on top (a hybrid
     richer than classic goal-directed ORCA; with only the acceleration
     force enabled it reduces to the classic form up to the relaxation).
+
+    ``borders`` / ``obstacles`` (optional ChunkedPointSets) add HARD
+    half-plane constraints against the ``params.max_statics`` nearest
+    static wall features each (:func:`_static_constraints`) -- the
+    projection then provably cannot pick a wall-crossing velocity, a
+    guarantee the reference's soft border force cannot give under crowd
+    pressure.  ``static_exempt`` (bool (N,), optional) marks rows the wall
+    constraints skip -- road-crossing modes, which must step over curb
+    borders (the border force's own crossing-mode deactivation rule).
+    When the full program is infeasible the minimax fallback relaxes all
+    constraints jointly, walls included (RVO2 keeps obstacle lines hard in
+    its fallback; with walls-only programs always feasible -- ``v = 0``
+    satisfies every wall plane with non-negative gap -- the difference
+    only matters for agents simultaneously crushed by neighbors AND walls).
 
     Under agent-sharding (``axis_name``), the planes are all-gathered and
     every device computes its local rows from the global crowd (the same
@@ -467,6 +529,10 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
     px, py = pos
     vx, vy = vel
     prx, pry = pref
+    use_statics = ((borders is not None or obstacles is not None)
+                   and params.max_statics > 0)
+    exm = (static_exempt if static_exempt is not None
+           else jnp.zeros_like(alive))
 
     if axis_name is not None:
         g = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)  # noqa: E731
@@ -474,6 +540,7 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
         px, py, vx, vy = g(px), g(py), g(vx), g(vy)
         radius, alive = g(radius), g(alive)
         prx, pry, vmax = g(prx), g(pry), g(vmax)
+        exm = g(exm)
 
     n = px.shape[-1]
     k = params.max_neighbors
@@ -484,15 +551,16 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
         nx_, ny_, nvx, nvy, nr, valid = _full_neighbors(
             px, py, vx, vy, radius, alive, k, params.neighbor_dist)
         ex, ey, evx, evy, er = px, py, vx, vy, radius
-        eprx, epry, evmax = prx, pry, vmax
+        eprx, epry, evmax, eexm = prx, pry, vmax, exm
         inv = None
     else:
         planes = (px, py, vx, vy, radius, prx, pry, vmax,
-                  alive.astype(jnp.uint8))
+                  alive.astype(jnp.uint8), exm.astype(jnp.uint8))
         sorted_planes, inv = morton_sort((px, py), alive, planes,
                                          order=spatial_order)
-        (ex, ey, evx, evy, er, eprx, epry, evmax, sa) = sorted_planes
+        (ex, ey, evx, evy, er, eprx, epry, evmax, sa, se) = sorted_planes
         salive = sa.astype(bool)
+        eexm = se.astype(bool)
         nx_, ny_, nvx, nvy, nr, valid = _window_neighbors(
             ex, ey, evx, evy, er, salive, window, k, params.neighbor_dist)
 
@@ -513,6 +581,19 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
         hx = jnp.concatenate([hx, vnx], axis=-1)
         hy = jnp.concatenate([hy, vny], axis=-1)
         valid = jnp.concatenate([valid, vvalid], axis=-1)
+
+    if use_statics:
+        for pset in (borders, obstacles):
+            if pset is None:
+                continue
+            sptx, spty, snx, sny, svalid = _static_constraints(
+                ex, ey, er, eexm, pset, params.max_statics,
+                params.tau_static, dt, params.neighbor_dist)
+            ptx = jnp.concatenate([ptx, sptx], axis=-1)
+            pty = jnp.concatenate([pty, spty], axis=-1)
+            hx = jnp.concatenate([hx, snx], axis=-1)
+            hy = jnp.concatenate([hy, sny], axis=-1)
+            valid = jnp.concatenate([valid, svalid], axis=-1)
 
     ovx, ovy = solve_orca_lp(eprx, epry, ptx, pty, hx, hy, valid, evmax)
 

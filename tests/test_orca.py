@@ -378,6 +378,122 @@ def test_orca_dodges_scripted_vehicle():
     assert min_d >= 2.6  # cleared the disc (small dt slack)
 
 
+def _wall_pset(start, end, resolution=0.1):
+    from carla_social_force_model_tpu.env.borders import (build_border_set,
+                                                          sample_borderline)
+    lines = [sample_borderline(start, end, resolution)]
+    return build_border_set(lines, [lines[0][len(lines[0]) // 2]],
+                            [len(lines[0]) * resolution])
+
+
+def _multi_wall_pset(segs, resolution=0.1):
+    from carla_social_force_model_tpu.env.borders import (build_border_set,
+                                                          sample_borderline)
+    lines = [sample_borderline(s, e, resolution) for s, e in segs]
+    return build_border_set(lines, [ln[len(ln) // 2] for ln in lines],
+                            [len(ln) * resolution for ln in lines])
+
+
+def test_wall_halfplane_bounds_approach_rate():
+    """The static constraint is the exact straight-wall rule: the wall-ward
+    velocity component can never exceed gap / tau_static (and crossing is
+    impossible a fortiori).  Agents sit exactly below wall samples (normal
+    exactly (0, 1)) and far enough apart that no pair plane binds, so the
+    bound is sharp."""
+    pset = _wall_pset([-10.0, 2.0], [10.0, 2.0])
+    wall_x = np.asarray(pset.points[..., 0]).reshape(-1)
+    wall_v = np.asarray(pset.valid).reshape(-1)
+    xs = np.sort(wall_x[wall_v])[[5, 30, 55, 80, 105, 130, 155, 180]]
+    rng = np.random.default_rng(7)
+    n = len(xs)
+    px = jnp.asarray(xs, jnp.float32)
+    py = jnp.asarray(rng.uniform(-1.0, 1.6, n), jnp.float32)
+    z = jnp.zeros((n,), jnp.float32)
+    r = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.ones((n,), bool)
+    # everyone prefers to charge straight at the wall at full speed
+    pref = (z, jnp.full((n,), 1.8, jnp.float32))
+    vmax = jnp.full((n,), 2.0, jnp.float32)
+    p = OrcaParams(tau_static=2.0)
+    ovx, ovy = orca_velocities((px, py), (z, z), r, alive, pref, vmax, p,
+                               DT, borders=pset)
+    ovx, ovy = np.asarray(ovx), np.asarray(ovy)
+    gap = (2.0 - np.asarray(py)) - 0.3
+    assert (ovy <= gap / 2.0 + 1e-3).all()
+    # exempt rows keep the raw preference (crossing-mode semantics);
+    # checked with a lone agent so no pair plane can bind either
+    one = slice(0, 1)
+    evx, evy = orca_velocities(
+        (px[one], py[one]), (z[one], z[one]), r[one], alive[one],
+        (pref[0][one], pref[1][one]), vmax[one], p, DT, borders=pset,
+        static_exempt=jnp.ones((1,), bool))
+    np.testing.assert_allclose(np.asarray(evy), 1.8, atol=1e-5)
+
+
+def test_goal_behind_wall_is_blocked_only_with_statics():
+    """An ORCA agent whose waypoint lies BEYOND a wall: without static
+    constraints the projection happily selects the wall-crossing preferred
+    velocity (the round-3 gap this feature closes); with them the agent
+    provably never penetrates."""
+    steps = 200
+    specs = _orca_specs([(0.0, 0.0, 0.0, 6.0)], radius=0.3)
+    schedule = build_spawn_schedule(specs, DT, steps)
+    scene = Scene(spawn=schedule, borders=_wall_pset([-10, 2.0], [10, 2.0]))
+    cfg = StepConfig(dt=DT, waypoint_threshold=0.2,
+                     despawn_on_arrival=False)
+
+    def max_y(params):
+        run = make_rollout_fn(scene, params, cfg, steps)
+        _, recs = run(PedState.empty(schedule.capacity))
+        y = np.asarray(recs.pos)[..., 1]
+        return np.where(np.asarray(recs.alive), y, -np.inf).max()
+
+    # no statics: walks straight through the wall toward the goal
+    p_off = sfm_orca(max_statics=0)
+    assert max_y(p_off) > 2.5
+    # statics on (default): body never crosses; center stays <= 2 - r
+    p_on = sfm_orca()
+    assert max_y(p_on) <= 2.0 - 0.3 + 0.01
+
+
+def test_orca_corridor_counterflow_zero_wall_penetration():
+    """Dense ORCA counterflow in a walled corridor with the border FORCE
+    off (nothing soft pushes agents away from the walls -- only the hard
+    half-planes): no agent's body may ever penetrate a wall, and the
+    crowd must still make it through (the constraints don't deadlock)."""
+    walls = _multi_wall_pset([([-12.0, 2.0], [12.0, 2.0]),
+                              ([-12.0, -2.0], [12.0, -2.0])])
+    lanes = [-1.2, -0.45, 0.45, 1.2]
+    sg, waves = [], []
+    for wave in range(2):
+        for y in lanes:
+            sg.append((-8.0, y, 8.0, y))
+            waves.append(2.5 * wave)
+        for y in lanes:
+            sg.append((8.0, y + 0.11, -8.0, y + 0.11))
+            waves.append(2.5 * wave + 1.1)
+    specs = _orca_specs(sg, radius=0.3)
+    for s, t0 in zip(specs, waves):
+        s.spawn_time = t0
+    steps = 640
+    schedule = build_spawn_schedule(specs, DT, steps)
+    scene = Scene(spawn=schedule, borders=walls)
+    cfg = StepConfig(dt=DT, waypoint_threshold=0.8)
+    run = make_rollout_fn(scene, sfm_orca(), cfg, steps)
+    final, recs = run(PedState.empty(schedule.capacity))
+    alive = np.asarray(recs.alive)
+    y = np.asarray(recs.pos)[..., 1]
+    # zero wall penetration vs the TRUE wall lines y = +-2 (0.01 slack =
+    # the 0.05 m sample half-spacing chord correction, see
+    # ops/orca._static_constraints)
+    assert np.where(alive, np.abs(y), 0.0).max() <= 2.0 - 0.3 + 0.01
+    # and no deadlock: everyone still arrived (despawned)
+    assert not np.asarray(final.alive).any()
+    # agents never touched each other either (the pair guarantee holds
+    # alongside the wall constraints)
+    assert _min_pairwise_dist(recs) >= 0.6 - 0.06
+
+
 def test_mixed_crowd_orca_rows_skip_pair_families():
     """pair_force='orca' rows must not feel the Moussaid force (the law_id
     machinery masks families), while moussaid rows still do."""
