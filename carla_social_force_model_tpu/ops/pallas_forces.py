@@ -737,17 +737,17 @@ def pedestrian_force_pallas(pos, vel, radius, alive, p: MoussaidParams,
 
     if axis_name is not None and axis_comm == "ring_kernel":
         # fused in-kernel RDMA ring (ops/pallas_ring.py): one pallas_call
-        # rotates the column block over ICI inside the kernel
-        if law != "moussaid":
-            raise ValueError("axis_comm='ring_kernel' supports the Moussaid "
-                             "law only; use 'ring' or 'gather' for "
-                             f"law={law!r}")
+        # rotates the column block over ICI inside the kernel.  All three
+        # force families ride it via the shared tile registry (round 4);
+        # the Newton's-third-law halving does not apply (no return channel
+        # for the mirrored row), matching the "gather" comm semantics.
         from .pallas_ring import pedestrian_force_pallas_ring
         return pedestrian_force_pallas_ring(
             pos, vel, radius, alive, p, axis_name=axis_name,
             use_ped_radius=use_ped_radius, row_tile=tr, col_tile=tc,
             interpret=interpret, cutoff=cutoff, planar_out=planar_out,
-            exact_div=exact_div, vmem_mb=max(vmem_mb, 64))
+            exact_div=exact_div, vmem_mb=max(vmem_mb, 64), law=law,
+            desired=desired if law == "helbing" else None)
     if axis_name is not None and axis_comm == "ring":
         n_dev = jax.lax.psum(1, axis_name)
         perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]

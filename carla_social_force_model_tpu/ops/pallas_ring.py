@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_forces import (_bboxes, _pair_tile, _params_vec, _round_up,
-                            _stage)
+from .pallas_forces import (_bboxes, _params_vec, _round_up, _stage,
+                            _tile_fn)
 
 #: distinct from any other collective in the program (barrier semaphore id)
 _COLLECTIVE_ID = 11
@@ -69,7 +69,8 @@ def _ring_kernel(prm_ref, rbb_ref,
                  comm_ref, commbb_ref, bbs_ref,
                  send_c, recv_c, send_b, recv_b, credit, mirror_sem,
                  *, n_dev, n_tr, n_tc, tr, tc, use_radius, cutoff,
-                 exact_div, axis_name, flow_control, single_axis):
+                 exact_div, axis_name, flow_control, single_axis,
+                 law="moussaid"):
     k = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -152,19 +153,20 @@ def _ring_kernel(prm_ref, rbb_ref,
     else:
         run_tile = True
 
-    lam, A, gamma = prm_ref[0], prm_ref[1], prm_ref[2]
-    n_, n_prime, epsilon = prm_ref[3], prm_ref[4], prm_ref[5]
+    # per-law tile dispatch (same registry as every other pair launch,
+    # ops/pallas_forces._tile_fn); for law="helbing" the ROW velocity
+    # planes carry the desired directions (staged by the caller), the
+    # rotating column block always carries true velocities
+    tile = _tile_fn(law, prm_ref, use_radius=use_radius, tr=tr, tc=tc,
+                    cutoff=cutoff, exact_div=exact_div, alu_exp=False,
+                    alu_recip=False)
 
     @pl.when(run_tile)
     def _compute():
         block = comm_ref[s, :, pl.ds(j * tc, tc)]       # (5, tc) VMEM load
-        _pair_tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
-                   block[0:1], block[1:2], block[2:3], block[3:4],
-                   block[4:5],
-                   fx_ref, fy_ref,
-                   lam=lam, A=A, gamma=gamma, n=n_, n_prime=n_prime,
-                   epsilon=epsilon, use_radius=use_radius, tr=tr, tc=tc,
-                   cutoff=cutoff, exact_div=exact_div)
+        tile(px_r[...], py_r[...], vx_r[...], vy_r[...], rad_r[...],
+             block[0:1], block[1:2], block[2:3], block[3:4], block[4:5],
+             fx_ref, fy_ref)
 
     @pl.when((i == n_tr - 1) & (j == n_tc - 1))
     def _drain():
@@ -195,15 +197,34 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
                                  cutoff: float | None = None,
                                  planar_out: bool = False,
                                  exact_div: bool = False,
-                                 vmem_mb: int = 64):
+                                 vmem_mb: int = 64,
+                                 law: str = "moussaid",
+                                 desired=None):
     """In-kernel-ring drop-in for ``pedestrian_force_pallas`` under
     shard_map with rows sharded over ``axis_name`` (see module docstring).
+
+    ``law`` selects the pair-force family through the shared tile registry
+    (ops/pallas_forces._tile_fn): ``"moussaid"`` (default), ``"powerlaw"``
+    (PowerLawParams), or ``"helbing"`` (PedRepulsiveParams; ``desired`` --
+    planar ``(ex, ey)`` unit desired directions -- is then required and
+    rides in the row velocity planes, exactly as in the non-ring
+    launches).  The rotating column block is law-independent (positions,
+    true velocities, radii), so the ring schedule is unchanged.
     """
     from .vecmath import split_xy
     px, py = split_xy(pos)
     vx, vy = split_xy(vel)
     n = px.shape[0]
     tr, tc = row_tile, col_tile
+    if law == "helbing":
+        if desired is None:
+            raise ValueError("law='helbing' needs desired=(ex, ey) planes")
+        row_vx, row_vy = desired
+    elif desired is not None:
+        raise ValueError(f"desired planes only apply to law='helbing', "
+                         f"got law={law!r}")
+    else:
+        row_vx, row_vy = vx, vy
     if not interpret and tc % 128:
         raise ValueError(
             f"ring_kernel col_tile must be a multiple of 128 lanes on "
@@ -216,7 +237,7 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
     n_tr = n_rows // tr
     n_tc = n_cols // tc
 
-    row_1d = _stage(px, py, vx, vy, radius, alive, n_rows)
+    row_1d = _stage(px, py, row_vx, row_vy, radius, alive, n_rows)
     row_bb = _bboxes(row_1d, alive, n, tr)          # (4, n_tr) SMEM
     row_args = [a.reshape(n_rows, 1) for a in row_1d]
     col_1d = _stage(px, py, vx, vy, radius, alive, n_cols)
@@ -252,7 +273,8 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
         use_radius=use_ped_radius,
         cutoff=float(cutoff) if cutoff is not None else None,
         exact_div=exact_div, axis_name=axis_name,
-        flow_control=flow_control, single_axis=_single_named_axis())
+        flow_control=flow_control, single_axis=_single_named_axis(),
+        law=law)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -283,7 +305,7 @@ def pedestrian_force_pallas_ring(pos, vel, radius, alive, p,
             collective_id=_COLLECTIVE_ID if flow_control else None,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(_params_vec(p), row_bb, *row_args, cols, col_bb)
+    )(_params_vec(p, law), row_bb, *row_args, cols, col_bb)
 
     if planar_out:
         return fx[:n, 0].astype(px.dtype), fy[:n, 0].astype(py.dtype)

@@ -377,6 +377,48 @@ def test_in_kernel_ring_matches_single_device(cutoff):
     assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
 
 
+@pytest.mark.parametrize("law", ["powerlaw", "helbing"])
+def test_in_kernel_ring_other_families(law):
+    """round 4: the in-kernel RDMA ring rides the shared per-law tile
+    registry -- powerlaw / helbing under ring_kernel == the single-device
+    kernel (helbing's desired-direction row planes shard with the rows)."""
+    import jax
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+    from carla_social_force_model_tpu.models.params import (
+        PedRepulsiveParams, PowerLawParams)
+
+    n = 8 * 32
+    pos = jnp.asarray(RNG.uniform(-40, 40, (n, 2)), jnp.float32)
+    vel = jnp.asarray(RNG.uniform(-2, 2, (n, 2)), jnp.float32)
+    radius = jnp.full((n,), 0.3, jnp.float32)
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.85)
+    kw = dict(row_tile=8, col_tile=128, interpret=True, cutoff=25.0)
+    if law == "powerlaw":
+        p, extra = PowerLawParams(), ()
+    else:
+        p = PedRepulsiveParams()
+        gxy = jnp.asarray(RNG.uniform(-1, 1, (n, 2)), jnp.float32)
+        nrm = jnp.linalg.norm(gxy, axis=-1, keepdims=True) + 1e-9
+        gxy = gxy / nrm
+        extra = (gxy[:, 0], gxy[:, 1])
+
+    want = pedestrian_force_pallas(pos, vel, radius, alive, p, law=law,
+                                   desired=extra or None, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("agents",))
+    fn = jax.shard_map(
+        lambda pos_, vel_, rad_, al_, *d: pedestrian_force_pallas(
+            pos_, vel_, rad_, al_, p, axis_name="agents",
+            axis_comm="ring_kernel", law=law,
+            desired=(d if d else None), **kw),
+        mesh=mesh, in_specs=(P("agents"),) * (4 + len(extra)),
+        out_specs=P("agents"), check_vma=False)
+    got = jax.jit(fn)(pos, vel, radius, alive, *extra)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got)[~np.asarray(alive)] == 0.0)
+
+
 def test_in_kernel_ring_matches_jnp_ring_sorted():
     """Morton-sorted cutoff path with the in-kernel ring == the jnp
     ppermute ring (both under shard_map)."""
