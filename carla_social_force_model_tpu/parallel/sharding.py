@@ -53,7 +53,8 @@ def prepare_sharded_scene(scene: Scene, n_shards: int):
 
 
 def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
-                         num_steps: int, record: bool = False):
+                         num_steps: int, record: bool = False,
+                         start_step: int = 0):
     """Jitted rollout with pedestrian slots sharded over ``mesh``'s agents axis.
 
     Usage::
@@ -62,6 +63,12 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
         scene, cap = prepare_sharded_scene(scene, 8)
         run = make_sharded_rollout(mesh, scene, params, cfg, steps)
         final, recs = run(PedState.empty(cap))
+
+    ``start_step`` offsets the tick index (spawn timing, FSM clocks) --
+    the sharded analogue of utils/checkpoint.run_segmented's resume: save
+    the final state of one segment (utils/checkpoint.save_state handles
+    sharded pytrees through np.asarray), reload, and continue with the
+    next segment's ``start_step``.
     """
     from ..models.stepper import prepare_scene
     scene = prepare_scene(scene, analytic=cfg.env_analytic)
@@ -75,7 +82,7 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
 
     def body(state, scn):
         return rollout(state, scn, params, cfg, num_steps, record=record,
-                       axis_name=AGENT_AXIS)
+                       start_step=start_step, axis_name=AGENT_AXIS)
 
     if record:
         # StepRecord is a 4-tuple of (T, N, ...) arrays; a reactive fleet's
