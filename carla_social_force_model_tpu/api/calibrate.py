@@ -19,7 +19,15 @@ Typical uses:
 * sensitivity analysis: ``jax.grad`` of any trajectory statistic with
   respect to any parameter;
 * scenario tuning: pick parameters that reproduce a target flow rate or
-  evacuation time.
+  evacuation time;
+* PER-AGENT heterogeneity fitting (round 4): ``fit`` names prefixed
+  ``"scene."`` select Scene leaves instead of SfmParams leaves --
+  ``"scene.spawn.pair_scale"`` fits each pedestrian's individual
+  interaction sensitivity (a (capacity,) vector theta; optax updates
+  pytrees, so the machinery is unchanged), recovering who in an observed
+  crowd was distracted/oblivious vs hypersensitive.  Group betas
+  (``"group.beta_vis"`` etc.) are ordinary SfmParams leaves and fit the
+  same way.
 
 The observation format is :class:`~..models.stepper.StepRecord` -- exactly
 what a recorded rollout returns, so "simulate with true params, perturb,
@@ -52,6 +60,16 @@ from ..models.stepper import (Scene, StepConfig, StepRecord, prepare_scene,
 #: most trajectory leverage; reference forces.py:60-73)
 DEFAULT_FIT = ("pedestrian.A", "pedestrian.gamma", "pedestrian.lambda_")
 
+#: prefix selecting SCENE leaves instead of SfmParams leaves in a ``fit``
+#: name -- e.g. ``"scene.spawn.pair_scale"`` fits the per-agent
+#: interaction-sensitivity VECTOR (crowd heterogeneity, SpawnSchedule.
+#: pair_scale): theta entries may be arrays, the gradient machinery is
+#: identical (optax updates pytrees), and the per-agent scale is the
+#: cheap-gradient case -- it post-multiplies the summed pair force row-wise
+#: (models/stepper.py force_terms), so d loss / d s_i needs no extra
+#: pairwise work.
+SCENE_PREFIX = "scene."
+
 
 def get_param(params: SfmParams, name: str):
     """Fetch a parameter by dotted path, e.g. ``"pedestrian.A"`` or
@@ -60,6 +78,24 @@ def get_param(params: SfmParams, name: str):
     for part in name.split("."):
         obj = getattr(obj, part)
     return obj
+
+
+def _apply_theta(params: SfmParams, scene: Scene, theta: Mapping[str, object],
+                 log_space: bool):
+    """Substitute theta (possibly log-space, possibly vector-valued) into
+    the params / scene pair."""
+    pvals, svals = {}, {}
+    for name, v in theta.items():
+        v = jnp.exp(v) if log_space else v
+        if name.startswith(SCENE_PREFIX):
+            svals[name[len(SCENE_PREFIX):]] = v
+        else:
+            pvals[name] = v
+    if pvals:
+        params = replace_params(params, pvals)
+    for name, v in svals.items():
+        scene = replace_param(scene, name, v)
+    return params, scene
 
 
 def replace_param(params, name: str, value):
@@ -145,10 +181,8 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
 
     def loss_fn(theta: dict) -> jnp.ndarray:
         _check_theta(theta, fit)
-        values = {name: (jnp.exp(v) if log_space else v)
-                  for name, v in theta.items()}
-        p = replace_params(params, values)
-        _, rec = rollout(state0, scene, p, cfg, num_steps, record=True,
+        p, sc = _apply_theta(params, scene, theta, log_space)
+        _, rec = rollout(state0, sc, p, cfg, num_steps, record=True,
                          record_stride=record_stride, remat=remat,
                          grad_horizon=grad_horizon)
         return trajectory_mse(rec, observed, vel_weight=vel_weight)
@@ -206,9 +240,7 @@ def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
 
     def loss_fn(theta: dict) -> jnp.ndarray:
         _check_theta(theta, fit)
-        values = {name: (jnp.exp(v) if log_space else v)
-                  for name, v in theta.items()}
-        p = replace_params(params, values)
+        p, sc = _apply_theta(params, scene, theta, log_space)
 
         def body(carry, inp):
             st, acc_se, acc_w = carry
@@ -226,7 +258,7 @@ def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
 
             is_reset = (t % window) == 0
             st = jax.lax.cond(is_reset, reset, lambda s: s, st)
-            new_st, rec = simulation_step(st, scene, p, cfg, t)
+            new_st, rec = simulation_step(st, sc, p, cfg, t)
             # the record snapshots the pre-integration state, so a reset
             # tick's "error" is identically zero by construction -- counting
             # it would deflate the reported loss by ~(W-1)/W
@@ -253,10 +285,14 @@ class CalibrationResult:
     """Outcome of :func:`fit_params`."""
 
     params: SfmParams           #: params with the fitted values substituted
-    fitted: dict                 #: {dotted-name: fitted value (float)}
+    fitted: dict                 #: {dotted-name: float, or np.ndarray for
+                                 #: vector-valued (per-agent) parameters}
     losses: np.ndarray           #: per-iteration loss curve
     initial_loss: float
     final_loss: float
+    #: scene with fitted ``scene.``-prefixed leaves substituted (None when
+    #: no scene leaves were fit)
+    scene: Scene | None = None
 
 
 def fit_params(state0: PedState, scene: Scene, params: SfmParams,
@@ -296,11 +332,23 @@ def fit_params(state0: PedState, scene: Scene, params: SfmParams,
                                grad_horizon=grad_horizon)
     init = {}
     for name in fit:
-        v = jnp.asarray(get_param(params, name), jnp.float32)
-        if log_space and float(v) <= 0.0:
+        if name.startswith(SCENE_PREFIX):
+            v = get_param(scene, name[len(SCENE_PREFIX):])
+            if v is None and name == "scene.spawn.pair_scale":
+                # homogeneous crowds store None; start the per-agent fit
+                # at the reference behavior (all ones)
+                v = jnp.ones((scene.spawn.capacity,), jnp.float32)
+            elif v is None:
+                raise ValueError(
+                    f"{name!r} is None on this scene; set an initial "
+                    f"array before fitting it")
+        else:
+            v = get_param(params, name)
+        v = jnp.asarray(v, jnp.float32)
+        if log_space and bool((v <= 0.0).any()):
             raise ValueError(
-                f"log_space fit requires a positive initial value for "
-                f"{name!r} (got {float(v)}); pass log_space=False")
+                f"log_space fit requires positive initial value(s) for "
+                f"{name!r}; pass log_space=False")
         init[name] = jnp.log(v) if log_space else v
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
@@ -322,9 +370,7 @@ def fit_params(state0: PedState, scene: Scene, params: SfmParams,
         if loss < best_loss:
             best_theta, best_loss = theta, loss
         if callback is not None:
-            vals = {k: float(jnp.exp(v) if log_space else v)
-                    for k, v in theta.items()}
-            callback(i, loss, vals)
+            callback(i, loss, _theta_values(theta, log_space))
         theta = new_theta
     # the loss at theta_i is reported before the i-th update, so evaluate
     # the final iterate too and keep the best seen
@@ -332,10 +378,28 @@ def fit_params(state0: PedState, scene: Scene, params: SfmParams,
     if final_loss < best_loss:
         best_theta, best_loss = theta, final_loss
 
-    fitted = {k: float(jnp.exp(v) if log_space else v)
-              for k, v in best_theta.items()}
+    fitted = _theta_values(best_theta, log_space)
+    pfit = {k: v for k, v in fitted.items()
+            if not k.startswith(SCENE_PREFIX)}
+    sfit = {k[len(SCENE_PREFIX):]: v for k, v in fitted.items()
+            if k.startswith(SCENE_PREFIX)}
+    out_scene = None
+    if sfit:
+        out_scene = scene
+        for name, v in sfit.items():
+            out_scene = replace_param(out_scene, name,
+                                      jnp.asarray(v, jnp.float32))
     return CalibrationResult(
-        params=replace_params(params, fitted), fitted=fitted,
+        params=replace_params(params, pfit), fitted=fitted,
         losses=np.asarray(losses, np.float64),
         initial_loss=float(losses[0]) if losses else float("nan"),
-        final_loss=best_loss)
+        final_loss=best_loss, scene=out_scene)
+
+
+def _theta_values(theta: Mapping[str, object], log_space: bool) -> dict:
+    """Parameter-space values: floats for scalars, np arrays for vectors."""
+    out = {}
+    for k, v in theta.items():
+        v = jnp.exp(v) if log_space else v
+        out[k] = float(v) if jnp.ndim(v) == 0 else np.asarray(v)
+    return out

@@ -99,6 +99,39 @@ def main():
     print("\nfitted params drop straight into the Pallas production config:")
     print(f"  pedestrian.A = {get_param(result.params, 'pedestrian.A'):.4f}")
 
+    # ---- stage 2: PER-AGENT heterogeneity ("scene."-prefixed fit names) --
+    # recover each pedestrian's individual interaction sensitivity
+    # (SpawnSchedule.pair_scale) from the observed crowd: theta is a
+    # (capacity,) VECTOR, fitted by the same machinery.
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n2 = 24
+    scene2, params2, cfg2, state2 = benchmark_bundle(n2, extent=8.0,
+                                                     use_pallas=False)
+    true_scale = jnp.asarray(rng.uniform(0.3, 1.7, n2), jnp.float32)
+    scene2_true = dataclasses.replace(
+        scene2, spawn=dataclasses.replace(scene2.spawn,
+                                          pair_scale=true_scale))
+    _, observed2 = make_rollout_fn(scene2_true, params2, cfg2, 80)(state2)
+    print(f"\nstage 2: fitting {n2} per-agent interaction scales "
+          f"(scene.spawn.pair_scale) from homogeneous start ...")
+    t0 = time.time()
+    res2 = fit_params(state2, scene2, params2, cfg2, observed2, 80,
+                      fit=("scene.spawn.pair_scale",), iters=300,
+                      learning_rate=0.05)
+    got = np.asarray(res2.fitted["scene.spawn.pair_scale"])
+    err = np.abs(got - np.asarray(true_scale))
+    print(f"done in {time.time() - t0:.1f}s  (loss {res2.initial_loss:.3e} "
+          f"-> {res2.final_loss:.3e})")
+    print(f"per-agent scale error: max {err.max():.3f}, "
+          f"mean {err.mean():.3f}  (scales span 0.3-1.7)")
+    # identifiability: an agent that rarely interacts in the observed
+    # window contributes almost no gradient to its OWN scale, so the max
+    # error is dominated by the least-observed agent; the mean is the
+    # honest recovery figure here
+    assert err.mean() < 0.1, "per-agent scales not recovered"
+    print("res2.scene carries the fitted vector, ready to simulate with")
+
 
 if __name__ == "__main__":
     main()

@@ -170,6 +170,72 @@ def test_csv_roundtrip_feeds_calibration(tmp_path):
 
 
 # --------------------------------------------------------------------------
+# per-agent heterogeneity fitting ("scene."-prefixed fit names; round 4):
+# the pair_scale vector post-multiplies each agent's summed pair force
+# (models/stepper.py force_terms), so its per-agent gradient is cheap and
+# each s_i is identified by agent i's own trajectory response.
+
+def test_recover_per_agent_scales():
+    rng = np.random.default_rng(3)
+    scene, params, cfg, state = benchmark_bundle(24, extent=8.0,
+                                                 use_pallas=False)
+    true_scale = jnp.asarray(rng.uniform(0.3, 1.7, 24), jnp.float32)
+    scene_true = dataclasses.replace(
+        scene, spawn=dataclasses.replace(scene.spawn,
+                                         pair_scale=true_scale))
+    _, observed = make_rollout_fn(scene_true, params, cfg, 80)(state)
+
+    # fit from the homogeneous default (scene.pair_scale=None auto-inits
+    # to ones); physics params stay fixed at truth
+    result = fit_params(state, scene, params, cfg, observed, 80,
+                        fit=("scene.spawn.pair_scale",), iters=300,
+                        learning_rate=0.05)
+    got = np.asarray(result.fitted["scene.spawn.pair_scale"])
+    assert got.shape == (24,)
+    assert result.final_loss < result.initial_loss * 1e-2, \
+        (result.initial_loss, result.final_loss)
+    np.testing.assert_allclose(got, np.asarray(true_scale),
+                               rtol=0.05, atol=0.03)
+    # the fitted scene carries the vector; params are returned untouched
+    assert result.scene is not None
+    np.testing.assert_allclose(
+        np.asarray(result.scene.spawn.pair_scale), got, rtol=1e-6)
+    assert get_param(result.params, "pedestrian.A") == 4.5
+
+
+def test_recover_group_beta():
+    """Group-force betas are ordinary SfmParams leaves -- recoverable from
+    an observed grouped crowd through the same machinery."""
+    from carla_social_force_model_tpu.models.groups import build_groups
+    scene, params, cfg, state = benchmark_bundle(24, extent=8.0,
+                                                 use_pallas=False)
+    gid = np.arange(24) // 4          # six 4-member parties
+    scene = dataclasses.replace(scene, groups=build_groups(gid,
+                                                           max_members=4))
+    params = dataclasses.replace(params, enable_group=True)
+    _, observed = make_rollout_fn(scene, params, cfg, 80)(state)
+
+    start = replace_params(params, {"group.beta_att": 1.0,
+                                    "group.beta_vis": 1.5})
+    result = fit_params(state, scene, start, cfg, observed, 80,
+                        fit=("group.beta_att", "group.beta_vis"),
+                        iters=200, learning_rate=0.05)
+    assert result.final_loss < result.initial_loss * 5e-2, \
+        (result.initial_loss, result.final_loss)
+    assert abs(result.fitted["group.beta_att"] - 3.0) / 3.0 < 0.2, \
+        result.fitted
+    assert abs(result.fitted["group.beta_vis"] - 4.0) / 4.0 < 0.2, \
+        result.fitted
+
+
+def test_scene_fit_requires_initial_array():
+    scene, params, cfg, state, observed = _bundle(n=8, steps=10)
+    with pytest.raises(ValueError, match="initial"):
+        fit_params(state, scene, params, cfg, observed, 10,
+                   fit=("scene.spawn.law_id",), iters=1)
+
+
+# --------------------------------------------------------------------------
 # power-law family (models/params.PowerLawParams; a model family the
 # reference does not have).  Full-trajectory MSE is chaotic in the
 # parameters for this stiff, hard-gated law (collision-course gates flip on
