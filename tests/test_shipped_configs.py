@@ -10,10 +10,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFM = os.path.join(REPO, "configs", "sfm.toml")
 SCEN_DIR = os.path.join(REPO, "configs", "scenarios")
 
+#: scenarios that need a non-default SFM parameter set (their spawners
+#: request model families the default config does not enable)
+SFM_FOR = {"mixed_crossing.toml": "sfm_mixed.toml",
+           "grouped_crossing.toml": "sfm_groups.toml"}
+
 
 @pytest.mark.parametrize("name", sorted(os.listdir(SCEN_DIR)))
 def test_shipped_scenario_runs(name):
-    sim = Simulation.from_config(os.path.join(SCEN_DIR, name), SFM,
+    sfm = os.path.join(REPO, "configs", SFM_FOR.get(name, "sfm.toml"))
+    sim = Simulation.from_config(os.path.join(SCEN_DIR, name), sfm,
                                  duration=12.0)
     final, recs = sim.run()
     alive = np.asarray(recs.alive)
