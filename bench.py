@@ -108,9 +108,16 @@ def run_rollout_mode():
                                      enable_ped_repulsive=True)
     elif law == "orca":
         # ORCA reciprocal collision avoidance (a velocity-projection law,
-        # ops/orca.py): windowed Hilbert-band neighbors + exact LP
+        # ops/orca.py): windowed Hilbert-band neighbors + exact LP.
+        # BENCH_ORCA="<window>:<max_neighbors>" overrides the neighbor
+        # knobs (window 0 or >= N selects the exact full-N neighbor pass).
         params = dataclasses.replace(params, enable_pedestrian=False,
                                      enable_orca=True)
+        if os.environ.get("BENCH_ORCA"):
+            w, k = (int(v) for v in os.environ["BENCH_ORCA"].split(":"))
+            params = dataclasses.replace(
+                params, orca=dataclasses.replace(
+                    params.orca, window=w, max_neighbors=k))
     elif law:
         raise SystemExit(
             f"BENCH_LAW must be powerlaw|helbing|orca, got {law!r}")
@@ -185,8 +192,11 @@ def run_rollout_mode():
     once(state)  # warmup / compile
     best = min(_timed(once, state) for _ in range(3))
     # mixed runs encode the family NAMES (not just arity) so different
-    # mixes of the same size produce distinct metric records
+    # mixes of the same size produce distinct metric records; ORCA
+    # neighbor-knob overrides are tagged the same way
     tag = f"_{law}" if law else (f"_mix-{'-'.join(fams)}" if mix else "")
+    if law == "orca" and os.environ.get("BENCH_ORCA"):
+        tag += "-w" + os.environ["BENCH_ORCA"].replace(":", "k")
     return N * STEPS / best, tag
 
 
