@@ -158,6 +158,12 @@ def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
             quantity=int(sp.get("quantity", 1)),
             loop=bool(sp.get("loop", False)),
             blueprint=sp.get("blueprint"),
+            overtake=bool(sp.get("overtake", False)),
+            lane_width=float(sp.get("lane_width", 3.5)),
+            overtake_speed_gain=float(sp.get("overtake_speed_gain", 0.5)),
+            overtake_clear_ahead=float(sp.get("overtake_clear_ahead", 40.0)),
+            overtake_clear_behind=float(sp.get("overtake_clear_behind", 8.0)),
+            lane_change_rate=float(sp.get("lane_change_rate", 1.75)),
         ))
     return specs
 

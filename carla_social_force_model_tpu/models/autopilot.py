@@ -19,6 +19,19 @@ jitted ``lax.scan`` as part of the rollout carry --
   (mirroring ``traffic_manager.ignore_lights_percentage``,
   vehicle_spawner.py:125-130; headless lights are timed red/green
   stop-points -- see TrafficLightSpec and PARITY.md),
+* brakes for other fleet vehicles ahead in its lane (car following -- the
+  TM/BehaviorAgent collision-avoidance equivalent; CARLA vehicles never
+  rear-end each other regardless of the ignore-walkers knob),
+* optionally overtakes a slower leader through the adjacent (left) lane
+  when ``overtake = true``: blocked behind a leader slower than its own
+  target speed, it waits for the passing lane to be clear (including a
+  closing-speed-extended window against oncoming traffic), side-steps by
+  ``lane_width`` at ``lane_change_rate``, passes, and merges back once the
+  original lane is clear -- the BehaviorAgent overtake maneuver
+  (/root/reference/vehicle_spawner.py:131-138) as branchless (V, V)
+  vector math in the rollout carry.  Overtake *legality* is
+  scenario-declared (the ``overtake``/``lane_width`` keys), not derived
+  from map lane markings -- see PARITY.md,
 * optionally loops its route (TrafficManager vehicles drive indefinitely).
 
 Unlike the scripted teleport timelines (models/vehicles.py, the reference's
@@ -61,6 +74,11 @@ from .vehicles import VehicleSnapshot, VehicleStates, ellipse_template
 VEHICLE_BLUEPRINT_COUNT = 38
 VEHICLE_BLUEPRINT_COUNT_NO_BIKES = 31
 
+# Seconds of travel an oncoming vehicle is projected forward when judging
+# whether the passing lane is clear (BehaviorAgent uses a comparable
+# time-headway test before lane changes).
+_PASS_HORIZON = 5.0
+
 
 @dataclass
 class AutopilotSpec:
@@ -82,6 +100,14 @@ class AutopilotSpec:
     deceleration: float = 4.5           # m/s^2 braking
     brake_margin: float = 4.0           # m kept clear ahead of the bumper
     lateral_margin: float = 1.0         # m beyond the half-width
+    # -- overtaking (BehaviorAgent-style maneuver; legality is declared
+    #    here, not derived from map lane markings) --
+    overtake: bool = False              # may pass through the left lane
+    lane_width: float = 3.5             # lateral offset of the passing lane
+    overtake_speed_gain: float = 0.5    # m/s the leader must be slower by
+    overtake_clear_ahead: float = 40.0  # m of clear passing lane required
+    overtake_clear_behind: float = 8.0  # m of clear lane behind required
+    lane_change_rate: float = 1.75      # m/s lateral side-step speed
 
 
 @dataclass
@@ -106,6 +132,8 @@ class AutopilotState:
     speed: jnp.ndarray     # (V,)
     wp_idx: jnp.ndarray    # (V,) int32 current route target
     active: jnp.ndarray    # (V,) bool
+    lane_off: jnp.ndarray  # (V,) current lateral offset off the route [m]
+    overtaking: jnp.ndarray  # (V,) bool: committed to the passing lane
 
 
 @pytree_dataclass
@@ -122,6 +150,12 @@ class AutopilotFleet:
     decel: jnp.ndarray          # (V,)
     brake_margin: jnp.ndarray   # (V,)
     lateral_margin: jnp.ndarray  # (V,)
+    overtake: jnp.ndarray       # (V,) bool: may use the passing lane
+    lane_width: jnp.ndarray     # (V,)
+    ot_speed_gain: jnp.ndarray  # (V,)
+    ot_clear_ahead: jnp.ndarray  # (V,)
+    ot_clear_behind: jnp.ndarray  # (V,)
+    lane_rate: jnp.ndarray      # (V,) lateral m/s
     extent: jnp.ndarray         # (V, 2)
     template: jnp.ndarray       # (V, P, 2) local ellipse outline
     template_valid: jnp.ndarray  # (V, P)
@@ -149,6 +183,8 @@ class AutopilotFleet:
             speed=jnp.zeros((v,), self.route.dtype),
             wp_idx=jnp.ones((v,), jnp.int32),   # index 0 is the spawn point
             active=jnp.zeros((v,), bool),
+            lane_off=jnp.zeros((v,), self.route.dtype),
+            overtaking=jnp.zeros((v,), bool),
         )
 
 
@@ -205,6 +241,12 @@ def build_autopilot_fleet(
     decel = np.zeros((v,), dtype)
     brake_margin = np.zeros((v,), dtype)
     lateral_margin = np.zeros((v,), dtype)
+    overtake = np.zeros((v,), bool)
+    lane_width = np.zeros((v,), dtype)
+    ot_speed_gain = np.zeros((v,), dtype)
+    ot_clear_ahead = np.zeros((v,), dtype)
+    ot_clear_behind = np.zeros((v,), dtype)
+    lane_rate = np.zeros((v,), dtype)
     extent = np.zeros((v, 2), dtype)
     templates = []
 
@@ -240,6 +282,12 @@ def build_autopilot_fleet(
         decel[vi] = s.deceleration
         brake_margin[vi] = s.brake_margin
         lateral_margin[vi] = s.lateral_margin
+        overtake[vi] = s.overtake
+        lane_width[vi] = s.lane_width
+        ot_speed_gain[vi] = s.overtake_speed_gain
+        ot_clear_ahead[vi] = s.overtake_clear_ahead
+        ot_clear_behind[vi] = s.overtake_clear_behind
+        lane_rate[vi] = s.lane_change_rate
         extent[vi] = s.extent
         templates.append(ellipse_template(s.extent[0], s.extent[1], resolution))
 
@@ -275,6 +323,11 @@ def build_autopilot_fleet(
         accel=jnp.asarray(accel), decel=jnp.asarray(decel),
         brake_margin=jnp.asarray(brake_margin),
         lateral_margin=jnp.asarray(lateral_margin),
+        overtake=jnp.asarray(overtake), lane_width=jnp.asarray(lane_width),
+        ot_speed_gain=jnp.asarray(ot_speed_gain),
+        ot_clear_ahead=jnp.asarray(ot_clear_ahead),
+        ot_clear_behind=jnp.asarray(ot_clear_behind),
+        lane_rate=jnp.asarray(lane_rate),
         extent=jnp.asarray(extent), template=jnp.asarray(template),
         template_valid=jnp.asarray(template_valid),
         points_per_chunk=points_per_chunk,
@@ -300,10 +353,23 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
     dt = jnp.asarray(dt, st.pos.dtype)
     active = st.active | (fleet.spawn_step == t_idx)
 
-    # current target waypoint (clamped gather; padding repeats the last wp)
+    # current target waypoint (clamped gather; padding repeats the last wp),
+    # side-stepped by the current lane offset along the route segment's left
+    # normal (lane_off == 0 keeps the math bit-identical to the offset-free
+    # follower, so non-overtaking fleets reproduce their golden fixtures)
     v_idx = jnp.arange(fleet.num_vehicles)
-    wp = fleet.route[v_idx, jnp.minimum(st.wp_idx, fleet.route_count - 1)]
-    to_wp = wp - st.pos
+    wp_i = jnp.minimum(st.wp_idx, fleet.route_count - 1)
+    wp = fleet.route[v_idx, wp_i]
+    prev = fleet.route[v_idx, jnp.maximum(wp_i - 1, 0)]
+    seg = wp - prev
+    seg_n = jnp.linalg.norm(seg, axis=-1)
+    has_seg = seg_n > 1e-6
+    segx = jnp.where(has_seg, seg[:, 0] / jnp.maximum(seg_n, 1e-6),
+                     jnp.cos(st.heading))
+    segy = jnp.where(has_seg, seg[:, 1] / jnp.maximum(seg_n, 1e-6),
+                     jnp.sin(st.heading))
+    target = wp + st.lane_off[:, None] * jnp.stack([-segy, segx], axis=-1)
+    to_wp = target - st.pos
     dist = jnp.linalg.norm(to_wp, axis=-1)
     has_dir = dist > 1e-6
     dirx = jnp.where(has_dir, to_wp[:, 0] / jnp.maximum(dist, 1e-6),
@@ -352,6 +418,58 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
                       & ~fleet.ignore_lights)
         hazard = hazard | red_hazard
 
+    # -- vehicle-vehicle car following + BehaviorAgent-style overtaking ----
+    # (V, V) pairwise geometry in each vehicle's frame.  V is the fleet
+    # size (tens at most), so this is noise next to the (V, N) walker scan.
+    vrel_x = st.pos[None, :, 0] - st.pos[:, None, 0]
+    vrel_y = st.pos[None, :, 1] - st.pos[:, None, 1]
+    vfwd = vrel_x * dirx[:, None] + vrel_y * diry[:, None]
+    vlat = -vrel_x * diry[:, None] + vrel_y * dirx[:, None]
+    other = (active[None, :] & active[:, None]
+             & ~jnp.eye(fleet.num_vehicles, dtype=bool))
+    gap_len = fleet.extent[:, 0][:, None] + fleet.extent[None, :, 0]
+    veh_band = fleet.extent[:, 1][:, None] + fleet.extent[None, :, 1] + 0.3
+    follow_window = stop_dist[:, None] + gap_len
+    leader = (other & (vfwd > 0.0) & (vfwd < follow_window)
+              & (jnp.abs(vlat) < veh_band))
+    # a leader ahead brakes me exactly like a walker hazard (the TM never
+    # rear-ends regardless of the ignore-walkers knob)
+    hazard = hazard | jnp.any(leader, axis=1)
+
+    # overtake trigger: blocked behind a leader slower than my own target
+    # speed, the passing lane (left by lane_width) clear fore and aft --
+    # with the fore window extended by closing speed against oncoming
+    # traffic (an approaching car _PASS_HORIZON seconds out is not clear)
+    blocked = jnp.any(
+        leader & (st.speed[None, :]
+                  < fleet.target_speed[:, None] - fleet.ot_speed_gain[:, None]),
+        axis=1)
+    j_fwd_speed = st.speed[None, :] * (jnp.cos(st.heading)[None, :]
+                                       * dirx[:, None]
+                                       + jnp.sin(st.heading)[None, :]
+                                       * diry[:, None])
+    fore_window = (fleet.ot_clear_ahead[:, None]
+                   + jnp.maximum(0.0, -j_fwd_speed) * _PASS_HORIZON)
+    pass_busy = jnp.any(
+        other & (vfwd > -fleet.ot_clear_behind[:, None])
+        & (vfwd < fore_window)
+        & (jnp.abs(vlat - fleet.lane_width[:, None]) < veh_band), axis=1)
+    # merge-back check: the ORIGINAL lane (at -lane_off in my frame) clear
+    # behind me and for a braking distance ahead
+    merge_ahead = follow_window + fleet.brake_margin[:, None]
+    orig_busy = jnp.any(
+        other & (vfwd > -fleet.ot_clear_behind[:, None])
+        & (vfwd < merge_ahead)
+        & (jnp.abs(vlat + st.lane_off[:, None]) < veh_band), axis=1)
+    start = (blocked & ~pass_busy & fleet.overtake & active
+             & ~st.overtaking)
+    overtaking = (st.overtaking | start) & ~(st.overtaking & ~orig_busy)
+    target_off = jnp.where(overtaking, fleet.lane_width, 0.0)
+    lane_step = fleet.lane_rate * dt
+    lane_off = st.lane_off + jnp.clip(target_off - st.lane_off,
+                                      -lane_step, lane_step)
+    lane_off = jnp.where(active, lane_off, 0.0)
+
     speed = jnp.where(
         hazard,
         jnp.maximum(0.0, st.speed - fleet.decel * dt),
@@ -359,8 +477,16 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
     speed = jnp.where(active, speed, 0.0)
 
     step_len = speed * dt
+    # the lane change is an explicit lateral translation along the route
+    # normal at lane_change_rate (steering toward the offset waypoint alone
+    # would converge with time constant dist/speed -- far too slow); with
+    # lane_off pinned at 0 the delta is exactly 0.0 and the update is
+    # bit-identical to the offset-free follower
+    d_off = (lane_off - st.lane_off)[:, None] * jnp.stack([-segy, segx],
+                                                          axis=-1)
     pos = st.pos + jnp.where(active[:, None], step_len[:, None]
-                             * jnp.stack([dirx, diry], axis=-1), 0.0)
+                             * jnp.stack([dirx, diry], axis=-1) + d_off,
+                             0.0)
 
     # waypoint advance (don't overshoot bookkeeping: within one step + 0.5 m)
     arrived = active & (dist <= step_len + 0.5)
@@ -376,7 +502,8 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
     active = active & ~done
 
     return AutopilotState(pos=pos, heading=heading, speed=speed,
-                          wp_idx=wp_idx, active=active)
+                          wp_idx=wp_idx, active=active,
+                          lane_off=lane_off, overtaking=overtaking)
 
 
 def autopilot_snapshot(fleet: AutopilotFleet,

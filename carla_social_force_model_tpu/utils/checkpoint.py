@@ -99,8 +99,20 @@ def load_state(path: str, with_autopilot: bool = False):
         ap = None
         if with_autopilot and any(k.startswith("ap__") for k in files):
             from ..models.autopilot import AutopilotState
+
+            def ap_arr(name):
+                # fields added after a snapshot was written restore to
+                # their rest value (pre-overtaking checkpoints carry no
+                # lane_off/overtaking planes: both are zero at rest)
+                if f"ap__{name}" in files:
+                    return jax.numpy.asarray(data[f"ap__{name}"])
+                base = np.asarray(data["ap__speed"])
+                fill = (np.zeros(base.shape, bool)
+                        if name == "overtaking"
+                        else np.zeros(base.shape, base.dtype))
+                return jax.numpy.asarray(fill)
             ap = AutopilotState(**{
-                f.name: jax.numpy.asarray(data[f"ap__{f.name}"])
+                f.name: ap_arr(f.name)
                 for f in dataclasses.fields(AutopilotState)})
     finally:
         if hasattr(data, "close"):

@@ -195,3 +195,131 @@ def test_waypoint_following_and_loop():
     d_start = np.linalg.norm(pos - pos[0], axis=-1)
     late = d_start[600:]
     assert late.min() < 3.0                   # returned near the origin
+
+
+# --------------------------------------------------------------------------
+# Car following + BehaviorAgent-style overtaking (round 4): the headless
+# equivalent of the reference's agent-vehicle driving dynamics
+# (vehicle_spawner.py:131-138) -- vehicles never rear-end each other, and
+# an `overtake = true` vehicle passes a slower leader through the adjacent
+# lane and merges back.
+# --------------------------------------------------------------------------
+
+def _drive_fleet(specs, dt, steps):
+    fleet = build_autopilot_fleet(specs, dt, steps)
+
+    @jax.jit
+    def run(st):
+        def body(s, t):
+            s = autopilot_step(fleet, s,
+                               jnp.zeros((1, 2)) + 1e6, jnp.zeros((1, 2)),
+                               jnp.zeros((1,), bool), t, dt)
+            return s, (s.pos, s.speed, s.active, s.lane_off, s.overtaking)
+        return jax.lax.scan(body, st, jnp.arange(steps))
+
+    _, out = run(fleet.initial_state())
+    return tuple(np.asarray(o) for o in out)
+
+
+def _no_bbox_overlap(pos, active, i, j, half_len=2.4, half_wid=1.1,
+                     pad=0.1):
+    """True when vehicles i and j never overlap as axis-aligned boxes
+    (both routes here are x-aligned, so the AABB test is exact)."""
+    both = active[:, i] & active[:, j]
+    dx = np.abs(pos[:, i, 0] - pos[:, j, 0])
+    dy = np.abs(pos[:, i, 1] - pos[:, j, 1])
+    hit = both & (dx < 2 * half_len - pad) & (dy < 2 * half_wid - pad)
+    return not hit.any()
+
+
+ROUTE = np.array([[0.0, 0.0], [300.0, 0.0]])
+
+
+def test_car_following_never_rear_ends():
+    """A faster follower on the same lane brakes behind a slow leader and
+    holds a gap -- it neither collides nor passes with overtake off."""
+    dt, steps = 0.05, 600
+    slow = AutopilotSpec(waypoints=ROUTE, speed_limit=4.0,
+                         speed_reduction_factor=0.0)
+    # 8 s of headroom: the follower reaches its own limit before the
+    # braking corridor (~20 m at 10 m/s) touches the leader
+    fast = AutopilotSpec(waypoints=ROUTE, speed_limit=10.0,
+                         speed_reduction_factor=0.0, spawn_time=8.0)
+    pos, speed, active, lane_off, overtaking = _drive_fleet(
+        [slow, fast], dt, steps)
+    both = active[:, 0] & active[:, 1]
+    assert both.sum() > 300
+    gap = pos[:, 0, 0] - pos[:, 1, 0]          # leader ahead of follower
+    assert (gap[both] > 4.8).all()             # bumper never touches bumper
+    assert speed[both, 1].max() > 9.0          # did reach its own target
+    # caught up and settled into following (braked well below target)
+    tail = both & (np.arange(steps) > 400)
+    assert speed[tail, 1].mean() < 6.0
+    assert not overtaking.any() and np.abs(lane_off).max() == 0.0
+
+
+def test_overtake_passes_and_merges_back():
+    """With overtake = true the follower side-steps by lane_width, passes
+    the slow leader without any box overlap, and merges back to the lane."""
+    dt, steps = 0.05, 900
+    slow = AutopilotSpec(waypoints=ROUTE, speed_limit=4.0,
+                         speed_reduction_factor=0.0)
+    fast = AutopilotSpec(waypoints=ROUTE, speed_limit=10.0,
+                         speed_reduction_factor=0.0, spawn_time=4.0,
+                         overtake=True)
+    pos, speed, active, lane_off, overtaking = _drive_fleet(
+        [slow, fast], dt, steps)
+    assert overtaking[:, 1].any() and not overtaking[:, 0].any()
+    assert lane_off[:, 1].max() > 3.0          # actually used the left lane
+    assert _no_bbox_overlap(pos, active, 0, 1)
+    both = active[:, 0] & active[:, 1]
+    assert (pos[both, 1, 0] - pos[both, 0, 0]).max() > 8.0   # got ahead
+    # merged back: by the follower's last active step the offset is gone
+    last = np.nonzero(active[:, 1])[0][-1]
+    assert abs(lane_off[last, 1]) < 0.5
+    assert not overtaking[last, 1]
+    # and the pass is complete: follower parked at route end before leader
+    assert np.nonzero(~active[:, 1])[0][-1] >= last
+
+
+def test_overtake_waits_for_oncoming_traffic():
+    """An oncoming vehicle in the passing lane defers the maneuver: the
+    follower must not commit while the closing-speed-extended window is
+    occupied, and never collides with either vehicle."""
+    dt, steps = 0.05, 800
+    slow = AutopilotSpec(waypoints=ROUTE, speed_limit=4.0,
+                         speed_reduction_factor=0.0)
+    fast = AutopilotSpec(waypoints=ROUTE, speed_limit=10.0,
+                         speed_reduction_factor=0.0, spawn_time=4.0,
+                         overtake=True)
+    oncoming = AutopilotSpec(
+        waypoints=np.array([[150.0, 3.5], [-50.0, 3.5]]),
+        speed_limit=10.0, speed_reduction_factor=0.0)
+    # fleet order is spawn-time order (build_autopilot_fleet events):
+    # 0 = slow leader (t=0), 1 = oncoming (t=0), 2 = follower (t=4)
+    pos, speed, active, lane_off, overtaking = _drive_fleet(
+        [slow, fast, oncoming], dt, steps)
+    assert overtaking[:, 2].any()
+    first = np.nonzero(overtaking[:, 2])[0][0]
+    # commitment only after the oncoming vehicle has passed the follower
+    assert pos[first, 1, 0] < pos[first, 2, 0]
+    assert _no_bbox_overlap(pos, active, 0, 2)
+    assert _no_bbox_overlap(pos, active, 1, 2)
+    both = active[:, 0] & active[:, 2]
+    assert (pos[both, 2, 0] - pos[both, 0, 0]).max() > 8.0   # still passed
+
+
+def test_overtake_scenario_keys_parse():
+    """The [[vehicle.vehicle_spawner]] overtake keys reach AutopilotSpec."""
+    from carla_social_force_model_tpu.api.scenario import (
+        extract_autopilot_specs)
+    specs = extract_autopilot_specs({"vehicle": {"vehicle_spawner": [{
+        "waypoints": [[0.0, 0.0], [10.0, 0.0]],
+        "overtake": True, "lane_width": 3.0,
+        "overtake_speed_gain": 1.0, "overtake_clear_ahead": 30.0,
+        "overtake_clear_behind": 6.0, "lane_change_rate": 2.0,
+    }]}})
+    (s,) = specs
+    assert s.overtake and s.lane_width == 3.0
+    assert s.overtake_speed_gain == 1.0 and s.overtake_clear_ahead == 30.0
+    assert s.overtake_clear_behind == 6.0 and s.lane_change_rate == 2.0

@@ -266,3 +266,29 @@ def test_load_pre_planar_checkpoint(tmp_path):
                                   payload["state__waypoint"])
     np.testing.assert_array_equal(np.asarray(state.vel_y),
                                   payload["state__vel"][:, 1])
+
+
+def test_load_pre_overtaking_fleet_checkpoint(tmp_path):
+    """Fleet snapshots written before the overtaking fields (round 4:
+    lane_off / overtaking) restore with both at their rest values."""
+    import jax.numpy as jnp
+    from carla_social_force_model_tpu.models.autopilot import AutopilotState
+
+    scene, params, cfg, state = benchmark_bundle(6, extent=8.0)[0:4]
+    ap = AutopilotState(
+        pos=jnp.zeros((2, 2)), heading=jnp.zeros((2,)),
+        speed=jnp.asarray([3.0, 0.0]), wp_idx=jnp.ones((2,), jnp.int32),
+        active=jnp.asarray([True, False]),
+        lane_off=jnp.zeros((2,)), overtaking=jnp.zeros((2,), bool))
+    p = save_state(str(tmp_path / "ck.npz"), state, 12, autopilot=ap)
+    data = dict(np.load(p))
+    del data["ap__lane_off"], data["ap__overtaking"]   # pre-round-4 layout
+    np.savez_compressed(p, **data)
+
+    _, step, ap2 = load_state(p, with_autopilot=True)
+    assert step == 12
+    np.testing.assert_array_equal(np.asarray(ap2.speed), [3.0, 0.0])
+    assert np.asarray(ap2.lane_off).shape == (2,)
+    assert (np.asarray(ap2.lane_off) == 0.0).all()
+    assert np.asarray(ap2.overtaking).dtype == bool
+    assert not np.asarray(ap2.overtaking).any()

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Stage-level profile of the ORCA static-wall constraint path on hardware.
+
+`BENCH_MODE=borders BENCH_LAW=orca` measured 0.39M agent-steps/s (round 4)
+vs 6.5M for ORCA without walls and 3.9-4.8M for the Moussaid border-force
+control -- ~22 ms/step of unexplained statics cost at N=10k.  This tool
+times the suspects in isolation, iterated under a data-dependent
+``lax.fori_loop`` carry (same methodology as tools/profile_orca.py):
+
+* ``closest``   -- closest_point_per_segment over the street-grid border
+                   set (the (S, N) nearest-feature pass)
+* ``statics``   -- _static_constraints end-to-end (closest + transposes +
+                   K-nearest segment extraction + plane build)
+* ``orca``      -- orca_velocities WITHOUT walls (control)
+* ``orca+walls``-- orca_velocities WITH the border set constraining
+
+Usage:  python tools/profile_orca_statics.py [N] [iters]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_social_force_model_tpu.api.synthetic import synthetic_borders
+from carla_social_force_model_tpu.models.params import OrcaParams
+from carla_social_force_model_tpu.ops.geometry import closest_point_per_segment
+from carla_social_force_model_tpu.ops.orca import (_static_constraints,
+                                                   orca_velocities)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+DT = 0.05
+
+
+def timed(name, fn, *args):
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = jax.jit(fn)(*args)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"  {name:<12} {dt * 1e3:8.3f} ms/step")
+    return dt
+
+
+def loop(stage):
+    def run(carry):
+        return jax.lax.fori_loop(0, ITERS, lambda _, c: stage(c), carry)
+    return run
+
+
+def main():
+    rng = np.random.default_rng(0)
+    ext = float(np.sqrt(N)) * 0.7
+    borders = synthetic_borders(ext)
+    print(f"ORCA statics profile: N={N}, segments={borders.num_segments}, "
+          f"chunks={borders.points.shape[0]}, iters={ITERS}, "
+          f"backend={jax.default_backend()}")
+
+    px = jnp.asarray(rng.uniform(-ext, ext, N), jnp.float32)
+    py = jnp.asarray(rng.uniform(-ext, ext, N), jnp.float32)
+    vx = jnp.asarray(rng.uniform(-1.5, 1.5, N), jnp.float32)
+    vy = jnp.asarray(rng.uniform(-1.5, 1.5, N), jnp.float32)
+    r = jnp.full((N,), 0.3, jnp.float32)
+    alive = jnp.ones((N,), bool)
+    vmax = jnp.full((N,), 2.0, jnp.float32)
+    exempt = jnp.zeros((N,), bool)
+    p = OrcaParams()
+
+    def closest_stage(c):
+        pos = jnp.stack([c[0], c[1]], axis=-1)
+        dist, point, has = closest_point_per_segment(pos, borders)
+        d = jnp.sum(dist * 1e-12, axis=0)
+        return c[0] + d, c[1] + d
+
+    timed("closest", loop(closest_stage), (px, py))
+
+    def statics_stage(c):
+        ptx, pty, nx, ny, valid = _static_constraints(
+            c[0], c[1], r, exempt, borders, p.max_statics, p.tau_static,
+            DT, p.neighbor_dist)
+        d = jnp.sum(ptx * 1e-12, axis=-1)
+        return c[0] + d, c[1] + d
+
+    timed("statics", loop(statics_stage), (px, py))
+
+    def orca_stage(c):
+        ovx, ovy = orca_velocities((c[0], c[1]), (vx, vy), r, alive,
+                                   (c[0], c[1]), vmax, p, DT)
+        return c[0] + ovx * 1e-12, c[1] + ovy * 1e-12
+
+    timed("orca", loop(orca_stage), (px, py))
+
+    def orca_walls_stage(c):
+        ovx, ovy = orca_velocities((c[0], c[1]), (vx, vy), r, alive,
+                                   (c[0], c[1]), vmax, p, DT,
+                                   borders=borders, static_exempt=exempt)
+        return c[0] + ovx * 1e-12, c[1] + ovy * 1e-12
+
+    timed("orca+walls", loop(orca_walls_stage), (px, py))
+
+
+if __name__ == "__main__":
+    main()
