@@ -211,6 +211,223 @@ def _closest_point_pallas(pos, pset: ChunkedPointSet, point_tile: int = 1024,
     return dist, point, has_point
 
 
+def _cpc_kernel(circ_ref, bb_ref, bx, by, px, py, d2_ref, wx_ref, wy_ref,
+                *, tp, tc):
+    """Per-(point-tile, ped-tile) chunk minima WITH coordinates, under a
+    chunk-circle x ped-tile-bbox skip (the ops/pallas_env filter-circle
+    idiom).  Unlike :func:`_cp_kernel` the closest point's coordinates are
+    selected in-kernel by a first-occurrence one-hot sublane reduction, so
+    no (rows x N) point gather ever materializes downstream."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    g = tp // 128
+
+    minx = bb_ref[0, j]
+    maxx = bb_ref[1, j]
+    miny = bb_ref[2, j]
+    maxy = bb_ref[3, j]
+    hit = None
+    for gi in range(g):
+        c = i * g + gi
+        gx = jnp.maximum(jnp.maximum(circ_ref[0, c] - maxx,
+                                     minx - circ_ref[0, c]), 0.0)
+        gy = jnp.maximum(jnp.maximum(circ_ref[1, c] - maxy,
+                                     miny - circ_ref[1, c]), 0.0)
+        h = gx * gx + gy * gy <= circ_ref[2, c]
+        hit = h if hit is None else jnp.logical_or(hit, h)
+
+    @pl.when(hit)
+    def _():
+        dx = bx[...] - px[...]            # (TP, TC)
+        dy = by[...] - py[...]
+        d2 = (dx * dx + dy * dy).reshape(g, 128, tc)
+        dmin = jnp.min(d2, axis=1)        # (g, TC)
+        eq = d2 == dmin[:, None, :]
+        # first-occurrence tie-break (argmin semantics) via iota-min --
+        # Mosaic has no cumsum lowering
+        ids = jax.lax.broadcasted_iota(jnp.int32, (g, 128, tc), 1)
+        idx = jnp.min(jnp.where(eq, ids, 128), axis=1)       # (g, TC)
+        first = (ids == idx[:, None, :]).astype(jnp.float32)
+        d2_ref[...] = dmin
+        wx_ref[...] = jnp.sum(first * bx[...].reshape(g, 128, 1), axis=1)
+        wy_ref[...] = jnp.sum(first * by[...].reshape(g, 128, 1), axis=1)
+
+    @pl.when(jnp.logical_not(hit))
+    def _():
+        d2_ref[...] = jnp.full_like(d2_ref, _PAD_DIST2)
+        wx_ref[...] = jnp.zeros_like(wx_ref)
+        wy_ref[...] = jnp.zeros_like(wy_ref)
+
+
+def closest_point_per_chunk(pos_x, pos_y, pset: ChunkedPointSet,
+                            neigh_dist: float, alive=None,
+                            use_pallas: bool | None = None,
+                            interpret: bool = False,
+                            point_tile: int = 1024, ped_tile: int = 512):
+    """Per (chunk, pedestrian) squared distance + closest-point planes.
+
+    The ORCA static-constraint feed (ops/orca._static_constraints).  Unlike
+    :func:`closest_point_per_segment` -- which serves the reference's
+    per-*segment* argmin semantics (forces.py:154-155) -- the velocity
+    projection only needs *k nearest distinct wall features*, and one
+    128-point chunk (a 12.8 m wall stretch at the reference's 0.1 m
+    sampling) is a finer feature than a <=30 m segment.  Staying at chunk
+    granularity with planar outputs removes the two costs that made the
+    segment path unfit for the ORCA hot loop: the (S, N)-row gather of
+    closest-point coordinates (~10 ns/row, CLAUDE.md) and the (S, N, 2)
+    size-2-minor tensor.  The Pallas path also skips (point-tile,
+    ped-tile) pairs whose chunk circles (inflated by ``neigh_dist``) miss
+    the ped tile's bounding box -- with Hilbert-sorted pedestrians (the
+    ORCA pipeline's order) most wall stretches are skipped.
+
+    ``alive``: optional (N,) mask tightening the ped-tile bboxes (dead
+    rows ride at sentinel coordinates).
+
+    Returns ``(d2, wx, wy)``: (C, N) f32 planes; ``d2 = inf`` where the
+    chunk has no valid point within ``neigh_dist`` of the pedestrian
+    (skipped tiles included), so both backends agree after masking.
+    """
+    n = pos_x.shape[0]
+    c, k, _ = pset.points.shape
+    nd2 = jnp.float32(neigh_dist) ** 2
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and k == 128)
+
+    if use_pallas and k == 128:
+        d2, wx, wy = _closest_chunk_pallas(pos_x, pos_y, pset, neigh_dist,
+                                           alive=alive, interpret=interpret,
+                                           point_tile=point_tile,
+                                           ped_tile=ped_tile)
+    else:
+        # grouped jnp fallback (CPU tests / odd chunk sizes): per-chunk
+        # min + first-occurrence selection, no tile skip
+        px, py = pos_x, pos_y
+        vx = jnp.where(pset.valid, pset.points[..., 0], _PAD)
+        vy = jnp.where(pset.valid, pset.points[..., 1], _PAD)
+        g = max(1, min(c, 4_000_000 // max(1, k * n)))
+        c_pad = _round_up(c, g)
+        vx = jnp.concatenate([vx, jnp.full((c_pad - c, k), _PAD, vx.dtype)])
+        vy = jnp.concatenate([vy, jnp.full((c_pad - c, k), _PAD, vy.dtype)])
+
+        def per_group(args):
+            gx, gy = args                                     # (G, K)
+            dx = gx[:, :, None] - px[None, None, :]           # (G, K, N)
+            dy = gy[:, :, None] - py[None, None, :]
+            d2g = dx * dx + dy * dy
+            idx = jnp.argmin(d2g, axis=1)                     # (G, N)
+            dmin = jnp.take_along_axis(d2g, idx[:, None, :], axis=1)[:, 0]
+            bx = jnp.take_along_axis(gx[:, :, None],
+                                     idx[:, None, :], axis=1)[:, 0]
+            by = jnp.take_along_axis(gy[:, :, None],
+                                     idx[:, None, :], axis=1)[:, 0]
+            return dmin, bx, by
+
+        vx_g = vx.reshape(c_pad // g, g, k)
+        vy_g = vy.reshape(c_pad // g, g, k)
+        if c_pad // g > 1:
+            dmin, bx, by = jax.lax.map(per_group, (vx_g, vy_g))
+            d2 = dmin.reshape(c_pad, n)[:c]
+            wx = bx.reshape(c_pad, n)[:c]
+            wy = by.reshape(c_pad, n)[:c]
+        else:
+            d2, wx, wy = per_group((vx_g[0], vy_g[0]))
+            d2, wx, wy = d2[:c], wx[:c], wy[:c]
+
+    d2 = jnp.where(d2 <= nd2, d2, _INF)
+    return d2, wx, wy
+
+
+def _closest_chunk_pallas(pos_x, pos_y, pset: ChunkedPointSet,
+                          neigh_dist: float, alive=None,
+                          interpret: bool = False,
+                          point_tile: int = 1024, ped_tile: int = 512):
+    from .spatial import tile_bboxes
+    n = pos_x.shape[0]
+    c, k, _ = pset.points.shape
+    assert k == 128
+    tp, tc = point_tile, ped_tile
+    g = tp // k
+    # Mosaic requires the (g, tc) output block's sublane dim divisible by
+    # 8 -- so the point tile must cover 8 chunks of 128 at a time
+    if g % 8 != 0:
+        raise ValueError(
+            f"point_tile must be a multiple of 1024 (8 chunks of 128 "
+            f"points), got {point_tile}")
+
+    fx = jnp.where(pset.valid, pset.points[..., 0], _PAD)
+    fy = jnp.where(pset.valid, pset.points[..., 1], _PAD)
+
+    # chunk filter circles (center + bounding radius inflated by
+    # neigh_dist, squared); empty chunks get r2 = -1 (never hit)
+    vxm = jnp.where(pset.valid, fx, _INF).min(axis=1)
+    vxM = jnp.where(pset.valid, fx, -_INF).max(axis=1)
+    vym = jnp.where(pset.valid, fy, _INF).min(axis=1)
+    vyM = jnp.where(pset.valid, fy, -_INF).max(axis=1)
+    nonempty = pset.valid.any(axis=1)
+    ccx = jnp.where(nonempty, 0.5 * (vxm + vxM), 0.0)
+    ccy = jnp.where(nonempty, 0.5 * (vym + vyM), 0.0)
+    rad = jnp.sqrt(jnp.where(nonempty,
+                             jnp.square(0.5 * (vxM - vxm))
+                             + jnp.square(0.5 * (vyM - vym)), 0.0))
+    r2 = jnp.where(nonempty, jnp.square(rad + neigh_dist), -1.0)
+
+    p_total = c * k
+    p_pad = _round_up(p_total, tp)
+    c_pad = p_pad // k
+    fxp = jnp.full((p_pad,), _PAD, jnp.float32).at[:p_total].set(
+        fx.astype(jnp.float32).reshape(-1)).reshape(p_pad, 1)
+    fyp = jnp.full((p_pad,), _PAD, jnp.float32).at[:p_total].set(
+        fy.astype(jnp.float32).reshape(-1)).reshape(p_pad, 1)
+    circ = jnp.stack([
+        jnp.zeros((c_pad,), jnp.float32).at[:c].set(ccx.astype(jnp.float32)),
+        jnp.zeros((c_pad,), jnp.float32).at[:c].set(ccy.astype(jnp.float32)),
+        jnp.full((c_pad,), -1.0, jnp.float32).at[:c].set(
+            r2.astype(jnp.float32)),
+    ])                                                       # (3, c_pad)
+
+    n_pad = _round_up(max(n, tc), tc)
+    live = (jnp.ones((n,), bool) if alive is None else alive)
+    px = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
+        pos_x.astype(jnp.float32))
+    py = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
+        pos_y.astype(jnp.float32))
+    live_pad = jnp.zeros((n_pad,), bool).at[:n].set(live)
+    bb = tile_bboxes(px, py, live_pad, tc).T                  # (4, n_tiles)
+
+    grid = (p_pad // tp, n_pad // tc)
+    pt_spec = pl.BlockSpec((tp, 1), lambda i, j, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+    ped_spec = pl.BlockSpec((1, tc), lambda i, j, *_: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, tc), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    import functools as _functools
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pt_spec, pt_spec, ped_spec, ped_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+    )
+    d2, wx, wy = pl.pallas_call(
+        _functools.partial(_cpc_kernel, tp=tp, tc=tc),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * n_pad * p_pad),
+            bytes_accessed=int(4 * (2 * n_pad * grid[0] + 2 * p_pad
+                                    * grid[1] + 3 * n_pad * c_pad)),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(circ, bb, fxp, fyp, px.reshape(1, n_pad), py.reshape(1, n_pad))
+    return d2[:c, :n], wx[:c, :n], wy[:c, :n]
+
+
 def segment_filter_mask(pos, pset: ChunkedPointSet):
     """Coarse per-(segment, ped) relevance filter: ``|pos - center| < radius``.
 

@@ -447,11 +447,11 @@ def _vehicle_constraints(ex, ey, evx, evy, er, veh_snap, k, neigh_dist,
     return ptx, pty, nx_, ny_, valid
 
 
-def _static_constraints(ex, ey, er, exempt, pset, k, tau_static, dt,
+def _static_constraints(ex, ey, er, exempt, alive, pset, k, tau_static, dt,
                         neigh_dist):
     """Half-plane constraints against the ``k`` nearest static wall
-    features (one closest point per border/obstacle segment, the same
-    nearest-feature machinery the reference's border force reduces over,
+    features (one closest point per 128-point wall chunk -- the same wall
+    geometry the reference's border force reduces over,
     /root/reference/forces.py:138-179 -- but as HARD constraints on the
     velocity program instead of a soft exponential force).
 
@@ -464,26 +464,34 @@ def _static_constraints(ex, ey, er, exempt, pset, k, tau_static, dt,
     rows (``g < 0``, e.g. a spawn inside geometry) get the one-step
     push-out plane ``v . n >= -g / dt`` instead -- the same collision
     resolution the pair half-planes use.  Corners are covered by taking
-    the ``k`` nearest *distinct segments'* closest points.
+    the ``k`` nearest *distinct chunks'* closest points (a chunk is a
+    12.8 m wall stretch at the reference's 0.1 m sampling -- finer corner
+    coverage than the original per-<=30 m-segment extraction, and the
+    chunk-level pass never materializes the (S, N)-row point gather or
+    the (S, N, 2) size-2-minor tensor that made the segment path ~20
+    ms/step at N=10k; see closest_point_per_chunk).
 
     ``exempt`` rows (road-crossing modes -- they must step over the curb
     border, mirroring the border force's crossing-mode deactivation,
-    forces.py:176-177) produce no constraints.
+    forces.py:176-177) produce no constraints.  ``alive`` tightens the
+    Pallas tile skip (dead rows ride at sentinel coordinates).
 
     Ego planes ``(..., N)``; returns constraint planes ``(..., N, k)``
     plus validity.
     """
-    from .geometry import closest_point_per_segment
-    pos = jnp.stack([ex, ey], axis=-1)
-    dist, point, has = closest_point_per_segment(pos, pset)   # (S, N)
-    d = jnp.swapaxes(dist, -2, -1)                            # (N, S)
-    wx = jnp.swapaxes(point[..., 0], -2, -1)
-    wy = jnp.swapaxes(point[..., 1], -2, -1)
-    ok = (jnp.swapaxes(has, -2, -1) & (d <= neigh_dist)
-          & ~exempt[..., None])
-    d2 = jnp.where(ok, d * d, jnp.inf)
-    (swx, swy, sd), valid = _k_nearest(
-        d2, (wx, wy, d), min(k, pset.num_segments))
+    from .geometry import closest_point_per_chunk
+    d2c, wxc, wyc = closest_point_per_chunk(ex, ey, pset, neigh_dist,
+                                            alive=alive)       # (C, N)
+    d2 = jnp.swapaxes(d2c, -2, -1)                             # (N, C)
+    wx = jnp.swapaxes(wxc, -2, -1)
+    wy = jnp.swapaxes(wyc, -2, -1)
+    d2 = jnp.where(exempt[..., None], jnp.inf, d2)
+    # payload planes must be finite: _k_nearest selects by masked one-hot
+    # sums, and inf * 0 = NaN would poison unselected candidates
+    dfin = jnp.where(jnp.isfinite(d2), d2, 0.0)
+    (swx, swy, sd2), valid = _k_nearest(
+        d2, (wx, wy, dfin), min(k, d2.shape[-1]))
+    sd = jnp.sqrt(jnp.where(valid, sd2, 0.0))
     nx, ny, _ = _safe_unit(ex[..., None] - swx, ey[..., None] - swy)
     gap = sd - er[..., None]
     horizon = jnp.where(gap >= 0.0, tau_static, dt)
@@ -552,6 +560,7 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
             px, py, vx, vy, radius, alive, k, params.neighbor_dist)
         ex, ey, evx, evy, er = px, py, vx, vy, radius
         eprx, epry, evmax, eexm = prx, pry, vmax, exm
+        ealive = alive
         inv = None
     else:
         planes = (px, py, vx, vy, radius, prx, pry, vmax,
@@ -561,6 +570,7 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
         (ex, ey, evx, evy, er, eprx, epry, evmax, sa, se) = sorted_planes
         salive = sa.astype(bool)
         eexm = se.astype(bool)
+        ealive = salive
         nx_, ny_, nvx, nvy, nr, valid = _window_neighbors(
             ex, ey, evx, evy, er, salive, window, k, params.neighbor_dist)
 
@@ -587,7 +597,7 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
             if pset is None:
                 continue
             sptx, spty, snx, sny, svalid = _static_constraints(
-                ex, ey, er, eexm, pset, params.max_statics,
+                ex, ey, er, eexm, ealive, pset, params.max_statics,
                 params.tau_static, dt, params.neighbor_dist)
             ptx = jnp.concatenate([ptx, sptx], axis=-1)
             pty = jnp.concatenate([pty, spty], axis=-1)

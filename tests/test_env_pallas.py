@@ -599,3 +599,97 @@ def test_prepare_scene_analytic_is_lazy_and_idempotent():
     # (the geom branch must not hide behind the borders_seg-is-None check)
     on = prepare_scene(off, analytic=True)
     assert on.borders_geom is not None and on.borders_seg_rest is not None
+
+
+# --------------------------------------------------------------------------
+# closest_point_per_chunk (round 4: the ORCA static-constraint feed)
+# --------------------------------------------------------------------------
+
+def test_closest_point_per_chunk_pallas_matches_jnp():
+    """The tile-skipping Pallas chunk pass (interpret mode) agrees with the
+    grouped jnp fallback, and both agree with a numpy brute force."""
+    from carla_social_force_model_tpu.ops.geometry import (
+        closest_point_per_chunk)
+    pset = _ragged_borders()
+    nd = 12.0
+    n = 70
+    pos = RNG.uniform(-22, 10, (n, 2)).astype(np.float32)
+    px, py = jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1])
+    alive = jnp.asarray(RNG.uniform(size=n) < 0.9)
+
+    d2_j, wx_j, wy_j = closest_point_per_chunk(px, py, pset, nd,
+                                               alive=alive,
+                                               use_pallas=False)
+    d2_p, wx_p, wy_p = closest_point_per_chunk(px, py, pset, nd,
+                                               alive=alive,
+                                               use_pallas=True,
+                                               interpret=True)
+    d2_j, d2_p = np.asarray(d2_j), np.asarray(d2_p)
+    fin_j, fin_p = np.isfinite(d2_j), np.isfinite(d2_p)
+    # the Pallas tile skip may only drop entries beyond neigh_dist (both
+    # report inf there after masking) -- for ALIVE peds the finite sets
+    # must agree exactly; dead rows are unspecified under the tile skip
+    al = np.asarray(alive)
+    assert (fin_j[:, al] == fin_p[:, al]).all()
+    m = fin_j & fin_p
+    np.testing.assert_allclose(d2_j[m], d2_p[m], rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wx_j)[m], np.asarray(wx_p)[m],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wy_j)[m], np.asarray(wy_p)[m],
+                               rtol=0, atol=1e-5)
+
+    # numpy brute force over the raw chunked points
+    pts = np.asarray(pset.points)
+    val = np.asarray(pset.valid)
+    c = pts.shape[0]
+    for ci in range(c):
+        q = pts[ci][val[ci]]
+        if q.size == 0:
+            continue
+        d2ref = ((q[:, None, :] - pos[None, :, :]) ** 2).sum(-1).min(0)
+        d2ref = np.where(d2ref <= nd * nd, d2ref, np.inf)
+        mrow = np.isfinite(d2ref)
+        np.testing.assert_allclose(d2_j[ci][mrow], d2ref[mrow],
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_static_constraints_select_k_nearest_chunks():
+    """_static_constraints picks the true k nearest distinct wall chunks
+    per agent and builds the exact v.n >= -gap/tau half-planes."""
+    from carla_social_force_model_tpu.models.params import OrcaParams
+    from carla_social_force_model_tpu.ops.orca import _static_constraints
+    pset = _ragged_borders()
+    p = OrcaParams()
+    n = 40
+    pos = RNG.uniform(-18, 8, (n, 2)).astype(np.float32)
+    px, py = jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1])
+    r = jnp.full((n,), 0.3, jnp.float32)
+    exempt = jnp.zeros((n,), bool).at[3].set(True)
+    alive = jnp.ones((n,), bool)
+    dt = 0.05
+
+    ptx, pty, nx, ny, valid = _static_constraints(
+        px, py, r, exempt, alive, pset, p.max_statics, p.tau_static, dt,
+        p.neighbor_dist)
+    assert ptx.shape == (n, p.max_statics)
+    assert not np.asarray(valid)[3].any()          # exempt row: no planes
+
+    pts = np.asarray(pset.points)
+    val = np.asarray(pset.valid)
+    d2_all = np.where(
+        val[:, :, None],
+        ((pts[:, :, None, :] - pos[None, None, :, :]) ** 2).sum(-1),
+        np.inf).min(1)                              # (C, N) brute force
+    d2_all = np.where(d2_all <= p.neighbor_dist ** 2, d2_all, np.inf)
+    for i in (0, 7, 21):
+        dexp = np.sort(d2_all[:, i])[: p.max_statics]
+        dexp = dexp[np.isfinite(dexp)]
+        got = np.sort((np.asarray(ptx)[i] ** 2 + np.asarray(pty)[i] ** 2)
+                      [np.asarray(valid)[i]])
+        assert np.asarray(valid)[i].sum() == dexp.size
+        # reconstruct the selected gaps from the planes: |pt| = |rhs| and
+        # rhs = -(d - r)/tau for non-penetrating rows
+        dsel = np.sqrt(dexp) - 0.3
+        exp_rhs = np.sort((dsel / np.where(dsel >= 0, p.tau_static, dt))
+                          ** 2)
+        np.testing.assert_allclose(got, exp_rhs, rtol=1e-4, atol=1e-5)

@@ -8,9 +8,13 @@ times the suspects in isolation, iterated under a data-dependent
 ``lax.fori_loop`` carry (same methodology as tools/profile_orca.py):
 
 * ``closest``   -- closest_point_per_segment over the street-grid border
-                   set (the (S, N) nearest-feature pass)
-* ``statics``   -- _static_constraints end-to-end (closest + transposes +
-                   K-nearest segment extraction + plane build)
+                   set (the round-3 (S, N) segment path: full point scan +
+                   (S, N)-row point gather + (S, N, 2) size-2-minor tensor)
+* ``chunk``     -- closest_point_per_chunk (the round-4 replacement:
+                   planar (C, N) outputs, in-kernel coordinate selection,
+                   chunk-circle x ped-bbox tile skip)
+* ``statics``   -- _static_constraints end-to-end (chunk pass + K-nearest
+                   extraction + plane build)
 * ``orca``      -- orca_velocities WITHOUT walls (control)
 * ``orca+walls``-- orca_velocities WITH the border set constraining
 
@@ -80,10 +84,20 @@ def main():
 
     timed("closest", loop(closest_stage), (px, py))
 
+    def chunk_stage(c):
+        from carla_social_force_model_tpu.ops.geometry import (
+            closest_point_per_chunk)
+        d2, wx, wy = closest_point_per_chunk(c[0], c[1], borders,
+                                             p.neighbor_dist, alive=alive)
+        d = jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0) * 1e-12, axis=0)
+        return c[0] + d, c[1] + d
+
+    timed("chunk", loop(chunk_stage), (px, py))
+
     def statics_stage(c):
         ptx, pty, nx, ny, valid = _static_constraints(
-            c[0], c[1], r, exempt, borders, p.max_statics, p.tau_static,
-            DT, p.neighbor_dist)
+            c[0], c[1], r, exempt, alive, borders, p.max_statics,
+            p.tau_static, DT, p.neighbor_dist)
         d = jnp.sum(ptx * 1e-12, axis=-1)
         return c[0] + d, c[1] + d
 
