@@ -28,7 +28,9 @@ BENCH_ENV_ANALYTIC ("1" enables the analytic border tier), BENCH_LAW
 ("powerlaw" swaps the pair-force family to the Karamouzas-2014
 time-to-collision law, "helbing" to the Helbing-Molnar-1995 elliptical
 repulsion, "orca" to the van-den-Berg-2011 reciprocal-collision-avoidance
-velocity law; rollout modes only), BENCH_MIX ("moussaid,powerlaw,orca" --
+velocity law; rollout modes only), BENCH_ORCA_PURE ("1" with BENCH_LAW=orca
+turns the soft border force OFF so walls act only as ORCA's hard half-plane
+constraints -- pure RVO2 semantics), BENCH_MIX ("moussaid,powerlaw,orca" --
 a MIXED-MODEL crowd: the slots split into equal contiguous chunks, each
 perceiving the crowd through its own family via SpawnSchedule.law_id;
 rollout modes only, mutually exclusive with BENCH_LAW), BENCH_GROUPS
@@ -118,6 +120,12 @@ def run_rollout_mode():
             params = dataclasses.replace(
                 params, orca=dataclasses.replace(
                     params.orca, window=w, max_neighbors=k))
+        if os.environ.get("BENCH_ORCA_PURE") == "1":
+            # pure RVO2 semantics: the soft border force OFF, walls act
+            # only as hard half-plane constraints in the projection
+            # (tests/test_orca.py::test_orca_corridor_counterflow_zero_
+            # wall_penetration pins the confinement guarantee)
+            params = dataclasses.replace(params, enable_border=False)
     elif law:
         raise SystemExit(
             f"BENCH_LAW must be powerlaw|helbing|orca, got {law!r}")
@@ -197,6 +205,8 @@ def run_rollout_mode():
     tag = f"_{law}" if law else (f"_mix-{'-'.join(fams)}" if mix else "")
     if law == "orca" and os.environ.get("BENCH_ORCA"):
         tag += "-w" + os.environ["BENCH_ORCA"].replace(":", "k")
+    if law == "orca" and os.environ.get("BENCH_ORCA_PURE") == "1":
+        tag += "-pure"
     return N * STEPS / best, tag
 
 

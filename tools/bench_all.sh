@@ -73,7 +73,9 @@ if want families "${SECTIONS[@]:-}"; then
   run BENCH_LAW=orca BENCH_N=1000 BENCH_STEPS=2000
   run BENCH_LAW=orca BENCH_N=10000
   run BENCH_LAW=orca BENCH_N=50000
+  run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=1000 BENCH_STEPS=2000
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=10000   # wall half-planes
+  run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=10000 BENCH_ORCA_PURE=1
 fi
 
 # --- "Social-group force cost" table --------------------------------------
