@@ -226,31 +226,54 @@ def _cpc_kernel(circ_ref, bb_ref, bx, by, px, py, d2_ref, wx_ref, wy_ref,
     maxx = bb_ref[1, j]
     miny = bb_ref[2, j]
     maxy = bb_ref[3, j]
-    hit = None
+    hits = []
     for gi in range(g):
         c = i * g + gi
         gx = jnp.maximum(jnp.maximum(circ_ref[0, c] - maxx,
                                      minx - circ_ref[0, c]), 0.0)
         gy = jnp.maximum(jnp.maximum(circ_ref[1, c] - maxy,
                                      miny - circ_ref[1, c]), 0.0)
-        h = gx * gx + gy * gy <= circ_ref[2, c]
-        hit = h if hit is None else jnp.logical_or(hit, h)
+        hits.append(gx * gx + gy * gy <= circ_ref[2, c])
+    hit = hits[0]
+    for h in hits[1:]:
+        hit = jnp.logical_or(hit, h)
 
     @pl.when(hit)
     def _():
-        dx = bx[...] - px[...]            # (TP, TC)
-        dy = by[...] - py[...]
-        d2 = (dx * dx + dy * dy).reshape(g, 128, tc)
-        dmin = jnp.min(d2, axis=1)        # (g, TC)
-        eq = d2 == dmin[:, None, :]
-        # first-occurrence tie-break (argmin semantics) via iota-min --
-        # Mosaic has no cumsum lowering
-        ids = jax.lax.broadcasted_iota(jnp.int32, (g, 128, tc), 1)
-        idx = jnp.min(jnp.where(eq, ids, 128), axis=1)       # (g, TC)
-        first = (ids == idx[:, None, :]).astype(jnp.float32)
-        d2_ref[...] = dmin
-        wx_ref[...] = jnp.sum(first * bx[...].reshape(g, 128, 1), axis=1)
-        wy_ref[...] = jnp.sum(first * by[...].reshape(g, 128, 1), axis=1)
+        # per-CHUNK compute skip: a point tile bundles g chunks, usually
+        # along one wall stretch -- with Hilbert-sorted ped tiles most of
+        # the bundle misses the tile bbox even when one chunk hits, so each
+        # 128-point chunk's (128, TC) distance block is guarded by its own
+        # circle test (measured 29.4 -> per-hit-chunk cost at N=50k,
+        # tools/profile_orca_statics.py)
+        for gi in range(g):
+            sl = slice(gi * 128, (gi + 1) * 128)
+
+            @pl.when(hits[gi])
+            def _(sl=sl, gi=gi):
+                dx = bx[sl, :] - px[...]              # (128, TC)
+                dy = by[sl, :] - py[...]
+                d2 = dx * dx + dy * dy
+                dmin = jnp.min(d2, axis=0, keepdims=True)     # (1, TC)
+                eq = d2 == dmin
+                # first-occurrence tie-break (argmin semantics) via
+                # iota-min -- Mosaic has no cumsum lowering
+                ids = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
+                idx = jnp.min(jnp.where(eq, ids, 128), axis=0,
+                              keepdims=True)
+                first = (ids == idx).astype(jnp.float32)
+                d2_ref[gi:gi + 1, :] = dmin
+                wx_ref[gi:gi + 1, :] = jnp.sum(first * bx[sl, :], axis=0,
+                                               keepdims=True)
+                wy_ref[gi:gi + 1, :] = jnp.sum(first * by[sl, :], axis=0,
+                                               keepdims=True)
+
+            @pl.when(jnp.logical_not(hits[gi]))
+            def _(gi=gi):
+                d2_ref[gi:gi + 1, :] = jnp.full((1, tc), _PAD_DIST2,
+                                                jnp.float32)
+                wx_ref[gi:gi + 1, :] = jnp.zeros((1, tc), jnp.float32)
+                wy_ref[gi:gi + 1, :] = jnp.zeros((1, tc), jnp.float32)
 
     @pl.when(jnp.logical_not(hit))
     def _():

@@ -18,7 +18,13 @@ times the suspects in isolation, iterated under a data-dependent
 * ``orca``      -- orca_velocities WITHOUT walls (control)
 * ``orca+walls``-- orca_velocities WITH the border set constraining
 
-Usage:  python tools/profile_orca_statics.py [N] [iters]
+Usage:  python tools/profile_orca_statics.py [N] [iters] [sorted]
+
+``sorted`` Hilbert-sorts the positions first -- the production pipeline
+(orca_velocities) always hands _static_constraints SORTED planes, so the
+ped-tile bboxes are tight and the chunk-circle skip actually prunes;
+unsorted (default, matches the original measurements) is the worst case
+where every bbox covers the whole domain.
 """
 import os
 import sys
@@ -68,6 +74,11 @@ def main():
 
     px = jnp.asarray(rng.uniform(-ext, ext, N), jnp.float32)
     py = jnp.asarray(rng.uniform(-ext, ext, N), jnp.float32)
+    if "sorted" in sys.argv[3:]:
+        from carla_social_force_model_tpu.ops.spatial import morton_sort
+        (px, py), _ = morton_sort((px, py), jnp.ones((N,), bool),
+                                  (px, py), order="hilbert")
+        print("  (positions Hilbert-sorted -- production tile locality)")
     vx = jnp.asarray(rng.uniform(-1.5, 1.5, N), jnp.float32)
     vy = jnp.asarray(rng.uniform(-1.5, 1.5, N), jnp.float32)
     r = jnp.full((N,), 0.3, jnp.float32)
