@@ -169,7 +169,8 @@ def make_loss_fn(state0: PedState, scene: Scene, params: SfmParams,
     parameters.  The Moussaid family's smooth exponentials tolerate full
     BPTT at the horizons tested (~100+ ticks), so the default is off.
     """
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic,
+                          orca=params.enable_orca)
     if cfg.use_pallas:
         # the fused kernels define no VJP; the jnp path is the same physics
         cfg = dataclasses.replace(cfg, use_pallas=False)
@@ -219,7 +220,8 @@ def make_teacher_forced_loss_fn(state0: PedState, scene: Scene,
     requires.  Requires a stride-1 ``observed`` record and a scene without
     a reactive autopilot fleet.
     """
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic,
+                          orca=params.enable_orca)
     if cfg.use_pallas:
         cfg = dataclasses.replace(cfg, use_pallas=False)
     if scene.autopilot is not None:

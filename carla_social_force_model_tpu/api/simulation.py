@@ -130,7 +130,8 @@ class Simulation:
             mode_text = bool(b.params.strict_parity)
         total = b.num_steps
         fleet = b.scene.autopilot
-        scene = prepare_scene(b.scene, analytic=b.cfg.env_analytic)
+        scene = prepare_scene(b.scene, analytic=b.cfg.env_analytic,
+                              orca=b.params.enable_orca)
         eff_dt = b.dt * record_stride
         if chunk_steps % record_stride != 0:
             raise ValueError("chunk_steps must be a multiple of record_stride")

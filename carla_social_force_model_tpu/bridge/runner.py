@@ -134,7 +134,8 @@ class BridgeRunner:
         self._scene_geom = prepare_scene(Scene(
             spawn=self._dummy_schedule(), borders=borders,
             static_obstacles=static_obstacles, static_obstacle_vel=static_vel,
-            vehicles=None), analytic=self.cfg.env_analytic)
+            vehicles=None), analytic=self.cfg.env_analytic,
+            orca=self.params.enable_orca)
         self._core = jax.jit(self._core_fn)
         self.history = []     # per-tick StepRecord snapshots (numpy)
         self.veh_history = []  # per-tick list of VehicleObs

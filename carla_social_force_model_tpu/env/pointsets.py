@@ -138,6 +138,91 @@ class SegmentGeomSet:
         return self.ax.shape[1]
 
 
+@pytree_dataclass
+class SegmentFeatures:
+    """Flat line-segment wall features (the ORCA static-constraint feed).
+
+    Unlike :class:`SegmentGeomSet` -- whose (S, M) per-*section* layout
+    serves the border force's one-closest-point-per-section semantics
+    (/root/reference/forces.py:154-155) -- the ORCA velocity projection
+    wants the ``k`` nearest *distinct wall features*, and the natural
+    feature of a Douglas-Peucker-simplified polyline is the individual
+    line segment: a straight 30 m wall is ONE feature (one exact
+    half-plane) instead of three 12.8 m point chunks whose collinear
+    constraints waste projection slots, while a within-section corner is
+    TWO features whose two half-planes box the corner exactly.  So the
+    segment-feature feed is both finer at corners and coarser along
+    straights than the chunk feed it replaces -- and its closest points
+    are exact instead of 0.1 m-sample-quantized.
+
+    ``ccx``/``ccy``/``rad`` are per-feature filter circles (segment
+    midpoint + half-length; inflate by the neighbor distance at use time)
+    driving the kernel tile skip.  Single-point features (degenerate
+    sections) carry ``ux = uy = il2 = 0`` and ``rad = 0``.
+    """
+
+    ax: jnp.ndarray        # (F,) f32 segment start x
+    ay: jnp.ndarray        # (F,)
+    ux: jnp.ndarray        # (F,) segment vector (b - a) x
+    uy: jnp.ndarray        # (F,)
+    il2: jnp.ndarray       # (F,) 1 / |u|^2 (0 for degenerate points)
+    ccx: jnp.ndarray       # (F,) filter-circle center x
+    ccy: jnp.ndarray       # (F,)
+    rad: jnp.ndarray       # (F,) filter-circle radius (uninflated)
+    num_features: int = static_field()
+
+
+@pytree_dataclass
+class StaticFeatures:
+    """A point set split into analytic segment features + sampled remainder
+    (the ORCA static-constraint sources; built by
+    :func:`build_static_features`).  ``seg`` holds every section that
+    simplifies safely (straight/gently-bent walls); ``rest`` keeps the
+    original chunked sampling for everything else (tight curves,
+    multi-piece sections) so the feed never *loses* geometry."""
+
+    seg: SegmentFeatures | None = None
+    rest: ChunkedPointSet | None = None
+
+
+def segment_features(gset: SegmentGeomSet | None) -> SegmentFeatures | None:
+    """Flatten a per-section :class:`SegmentGeomSet` into flat
+    :class:`SegmentFeatures` (host-side, concrete arrays)."""
+    if gset is None:
+        return None
+    ax = np.asarray(gset.ax, np.float32).reshape(-1)
+    ay = np.asarray(gset.ay, np.float32).reshape(-1)
+    ux = np.asarray(gset.ux, np.float32).reshape(-1)
+    uy = np.asarray(gset.uy, np.float32).reshape(-1)
+    il2 = np.asarray(gset.inv_len2, np.float32).reshape(-1)
+    real = ax < PAD_COORD / 2          # padding rows carry ax = PAD_COORD
+    if not real.any():
+        return None
+    ax, ay, ux, uy, il2 = (v[real] for v in (ax, ay, ux, uy, il2))
+    return SegmentFeatures(
+        ax=jnp.asarray(ax), ay=jnp.asarray(ay),
+        ux=jnp.asarray(ux), uy=jnp.asarray(uy), il2=jnp.asarray(il2),
+        ccx=jnp.asarray(ax + 0.5 * ux), ccy=jnp.asarray(ay + 0.5 * uy),
+        rad=jnp.asarray(0.5 * np.sqrt(ux * ux + uy * uy)),
+        num_features=int(ax.shape[0]))
+
+
+def build_static_features(pset: ChunkedPointSet | None, tol: float = 1e-3,
+                          max_segments: int = 8) -> StaticFeatures | None:
+    """Build the ORCA static-feature split of a point set (host-side).
+
+    Runs :func:`analytic_split` (same safety gates: consecutive-gap and
+    chain-coverage checks route unsafe sections to the sampled remainder)
+    and flattens the analytic part to :class:`SegmentFeatures`."""
+    if pset is None:
+        return None
+    gset, rest = analytic_split(pset, tol=tol, max_segments=max_segments)
+    seg = segment_features(gset)
+    if seg is None and rest is None:
+        return StaticFeatures(seg=None, rest=pset)
+    return StaticFeatures(seg=seg, rest=rest)
+
+
 def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
     """Indices of the Douglas-Peucker-simplified vertices of a polyline.
 

@@ -65,6 +65,12 @@ class Scene:
     # populated by prepare_scene
     borders_geom: object | None = None
     borders_seg_rest: object | None = None
+    # ORCA static-constraint feature splits (env/pointsets.StaticFeatures:
+    # analytic Douglas-Peucker wall segments + chunked remainder), built by
+    # prepare_scene when the ORCA law is enabled; None -> the ORCA statics
+    # fall back to the chunk-feature feed over borders/static_obstacles
+    borders_feat: object | None = None
+    obstacles_feat: object | None = None
     # Moussaid-2010 social groups (models/groups.GroupSet): the global
     # member-slot table consumed by the group force when
     # params.enable_group; replicated under sharding (global slot ids --
@@ -74,18 +80,25 @@ class Scene:
     groups: object | None = None
 
 
-def prepare_scene(scene: Scene, analytic: bool = False) -> Scene:
+def prepare_scene(scene: Scene, analytic: bool = False,
+                  orca: bool = False) -> Scene:
     """Populate the segment-major point layouts consumed by the fused
     environment-force kernels.  Host-side (concrete arrays; call outside
     jit) and idempotent; rollout/sharding/sweep builders call it (passing
-    ``cfg.env_analytic`` as ``analytic``) so every entry point gets the
-    fast path automatically.
+    ``cfg.env_analytic`` as ``analytic`` and ``params.enable_orca`` as
+    ``orca``) so every entry point gets the fast path automatically.
 
     ``analytic``: also build the Douglas-Peucker border geometry for the
     ``env_analytic`` tier (skipped by default -- the DP pass over every
     border section is pure host-side overhead when the opt-in tier is
-    off)."""
-    from ..env.pointsets import analytic_split, segment_major
+    off).
+
+    ``orca``: also build the ORCA static-constraint feature splits
+    (env/pointsets.build_static_features) for borders and static
+    obstacles -- analytic wall-segment features where sections simplify
+    safely, chunked sampling elsewhere (ops/orca._static_constraints)."""
+    from ..env.pointsets import (analytic_split, build_static_features,
+                                 segment_major)
     upd = {}
     if scene.borders is not None and scene.borders_seg is None:
         upd["borders_seg"] = segment_major(scene.borders)
@@ -95,6 +108,11 @@ def prepare_scene(scene: Scene, analytic: bool = False) -> Scene:
         upd["borders_geom"] = gset
         upd["borders_seg_rest"] = (segment_major(rest)
                                    if rest is not None else None)
+    if orca and scene.borders is not None and scene.borders_feat is None:
+        upd["borders_feat"] = build_static_features(scene.borders)
+    if (orca and scene.static_obstacles is not None
+            and scene.obstacles_feat is None):
+        upd["obstacles_feat"] = build_static_features(scene.static_obstacles)
     if (scene.static_obstacles is not None
             and scene.static_obstacles_seg is None):
         upd["static_obstacles_seg"] = segment_major(scene.static_obstacles)
@@ -552,7 +570,11 @@ def tick_core(state: PedState, scene: Scene, params: SfmParams,
             state.max_speed(params.max_speed_factor), params.orca, cfg.dt,
             veh_snap=veh_snap, axis_name=axis_name,
             spatial_order=cfg.spatial_order,
-            borders=scene.borders, obstacles=scene.static_obstacles,
+            borders=(scene.borders_feat if scene.borders_feat is not None
+                     else scene.borders),
+            obstacles=(scene.obstacles_feat
+                       if scene.obstacles_feat is not None
+                       else scene.static_obstacles),
             static_exempt=crossing_now)
         law = getattr(scene.spawn, "law_id", None) \
             if scene.spawn is not None else None
@@ -780,7 +802,8 @@ def make_rollout_fn(scene: Scene, params: SfmParams, cfg: StepConfig,
     commonly reuse the same initial state across invocations, and the carry
     is tiny compared to the recorded trajectory output.)
     """
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic,
+                          orca=params.enable_orca)
 
     @jax.jit
     def run(state: PedState):

@@ -451,6 +451,83 @@ def _closest_chunk_pallas(pos_x, pos_y, pset: ChunkedPointSet,
     return d2[:c, :n], wx[:c, :n], wy[:c, :n]
 
 
+def feature_closest_planes(pos_x, pos_y, feat, neigh_dist: float,
+                           max_group_elems: int = 4_000_000):
+    """Per (segment-feature, pedestrian) squared distance + exact closest
+    point ON the segment (the analytic ORCA static feed;
+    env/pointsets.SegmentFeatures).
+
+    Planar throughout: ``(F, N)`` outputs with N minor (the TPU layout
+    rule), grouped over feature blocks by ``lax.map`` to bound the
+    intermediates.  ``d2 = inf`` where the feature is farther than
+    ``neigh_dist``.  The jnp twin of the fused Pallas top-k kernel
+    (ops/pallas_statics.py), which never materializes the (F, N) planes.
+    """
+    f = feat.ax.shape[0]
+    n = pos_x.shape[0]
+    nd2 = jnp.float32(neigh_dist) ** 2
+    g = max(1, min(f, max_group_elems // max(1, n)))
+    f_pad = _round_up(f, g)
+
+    def pad(a, fill):
+        return jnp.concatenate(
+            [a.astype(jnp.float32),
+             jnp.full((f_pad - f,), jnp.float32(fill))])
+
+    ax, ay = pad(feat.ax, _PAD), pad(feat.ay, _PAD)
+    ux, uy, il2 = pad(feat.ux, 0.0), pad(feat.uy, 0.0), pad(feat.il2, 0.0)
+
+    def per_group(planes):
+        gax, gay, gux, guy, gil2 = planes                 # (G,)
+        dxa = pos_x[None, :] - gax[:, None]               # (G, N)
+        dya = pos_y[None, :] - gay[:, None]
+        t = jnp.clip((dxa * gux[:, None] + dya * guy[:, None])
+                     * gil2[:, None], 0.0, 1.0)
+        cx = gax[:, None] + t * gux[:, None]
+        cy = gay[:, None] + t * guy[:, None]
+        ddx = pos_x[None, :] - cx
+        ddy = pos_y[None, :] - cy
+        return ddx * ddx + ddy * ddy, cx, cy
+
+    grouped = tuple(v.reshape(f_pad // g, g) for v in (ax, ay, ux, uy, il2))
+    if f_pad // g > 1:
+        d2, wx, wy = jax.lax.map(per_group, grouped)
+        d2 = d2.reshape(f_pad, n)[:f]
+        wx = wx.reshape(f_pad, n)[:f]
+        wy = wy.reshape(f_pad, n)[:f]
+    else:
+        d2, wx, wy = per_group(tuple(v[0] for v in grouped))
+        d2, wx, wy = d2[:f], wx[:f], wy[:f]
+    return jnp.where(d2 <= nd2, d2, _INF), wx, wy
+
+
+def k_smallest_features(d2, planes, k: int):
+    """K masked min-extraction passes over the LEADING feature axis.
+
+    The feature-major twin of ops/orca._k_nearest: inputs ``(F, N)`` with
+    pedestrians minor, so no (N, F) transpose of the big planes ever
+    materializes and every reduction runs over sublanes (the chunk-feed
+    version of this transposed first -- at 2,070 chunks x 50k agents that
+    was most of the statics cost, BENCH.md round-5 table).  ``d2`` uses
+    ``inf`` for invalid; payload ``planes`` must be finite.  Returns
+    ``(sel_planes, valid)`` with shapes ``(k, N)``, selection ascending
+    with first-occurrence (lowest feature index) tie-breaking.
+    """
+    outs = [[] for _ in planes]
+    valids = []
+    for _ in range(k):
+        mn = jnp.min(d2, axis=0)                        # (N,)
+        hit = (d2 == mn[None, :]) & jnp.isfinite(mn)[None, :]
+        first = hit & (jnp.cumsum(hit, axis=0) == 1)
+        fsel = first.astype(planes[0].dtype)
+        for out, pl_ in zip(outs, planes):
+            out.append(jnp.sum(pl_ * fsel, axis=0))
+        valids.append(jnp.any(first, axis=0))
+        d2 = jnp.where(first, _INF, d2)
+    sel = tuple(jnp.stack(o, axis=0) for o in outs)
+    return sel, jnp.stack(valids, axis=0)
+
+
 def segment_filter_mask(pos, pset: ChunkedPointSet):
     """Coarse per-(segment, ped) relevance filter: ``|pos - center| < radius``.
 

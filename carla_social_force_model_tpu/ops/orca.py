@@ -447,13 +447,49 @@ def _vehicle_constraints(ex, ey, evx, evy, er, veh_snap, k, neigh_dist,
     return ptx, pty, nx_, ny_, valid
 
 
-def _static_constraints(ex, ey, er, exempt, alive, pset, k, tau_static, dt,
+def _static_topk(ex, ey, src, k, neigh_dist, alive):
+    """(k, N) nearest-wall-feature planes ``(d2, wx, wy)`` (``d2 = inf``
+    marking empty slots) from one static source.
+
+    ``src`` is a ChunkedPointSet (features = 128-point chunks) or a
+    StaticFeatures split (env/pointsets.build_static_features): analytic
+    Douglas-Peucker segment features for every wall section that
+    simplifies safely, plus the chunked sampling of the rest.  When both
+    parts exist, each contributes its own top-k and a (2k, N) merge picks
+    the overall k -- exact, since a feature lives in exactly one part.
+    """
+    from ..env.pointsets import StaticFeatures
+    from .geometry import k_smallest_features
+    from .pallas_statics import nearest_features_topk
+    if isinstance(src, StaticFeatures):
+        parts = []
+        if src.seg is not None:
+            parts.append(nearest_features_topk(ex, ey, src.seg, k,
+                                               neigh_dist, alive=alive))
+        if src.rest is not None:
+            parts.append(nearest_features_topk(ex, ey, src.rest, k,
+                                               neigh_dist, alive=alive))
+        if not parts:
+            n = ex.shape[-1]
+            z = jnp.zeros((k, n), ex.dtype)
+            return jnp.full((k, n), jnp.inf, ex.dtype), z, z
+        if len(parts) == 1:
+            return parts[0]
+        d2 = jnp.concatenate([p[0] for p in parts], axis=0)
+        wx = jnp.concatenate([p[1] for p in parts], axis=0)
+        wy = jnp.concatenate([p[2] for p in parts], axis=0)
+        dfin = jnp.where(jnp.isfinite(d2), d2, 0.0)
+        (swx, swy, sd2), valid = k_smallest_features(d2, (wx, wy, dfin), k)
+        return jnp.where(valid, sd2, jnp.inf), swx, swy
+    return nearest_features_topk(ex, ey, src, k, neigh_dist, alive=alive)
+
+
+def _static_constraints(ex, ey, er, exempt, alive, src, k, tau_static, dt,
                         neigh_dist):
     """Half-plane constraints against the ``k`` nearest static wall
-    features (one closest point per 128-point wall chunk -- the same wall
-    geometry the reference's border force reduces over,
-    /root/reference/forces.py:138-179 -- but as HARD constraints on the
-    velocity program instead of a soft exponential force).
+    features (the same wall geometry the reference's border force reduces
+    over, /root/reference/forces.py:138-179 -- but as HARD constraints on
+    the velocity program instead of a soft exponential force).
 
     For a straight wall at body gap ``g = d - r`` the set of velocities
     that stay clear for ``tau_static`` seconds is exactly
@@ -463,40 +499,37 @@ def _static_constraints(ex, ey, er, exempt, alive, pset, k, tau_static, dt,
     the projection can never select a wall-crossing velocity.  Penetrating
     rows (``g < 0``, e.g. a spawn inside geometry) get the one-step
     push-out plane ``v . n >= -g / dt`` instead -- the same collision
-    resolution the pair half-planes use.  Corners are covered by taking
-    the ``k`` nearest *distinct chunks'* closest points (a chunk is a
-    12.8 m wall stretch at the reference's 0.1 m sampling -- finer corner
-    coverage than the original per-<=30 m-segment extraction, and the
-    chunk-level pass never materializes the (S, N)-row point gather or
-    the (S, N, 2) size-2-minor tensor that made the segment path ~20
-    ms/step at N=10k; see closest_point_per_chunk).
+    resolution the pair half-planes use.
+
+    A *feature* is an analytic Douglas-Peucker wall segment where the
+    section simplifies safely (exact closest point, one feature per
+    straight wall however long -- so collinear constraints never waste
+    projection slots) and a 128-point chunk (12.8 m at the reference's
+    0.1 m sampling) elsewhere; see :func:`_static_topk`.  Corners are
+    covered by the ``k`` nearest *distinct* features: a within-section
+    corner is two analytic segments whose two half-planes box it exactly
+    (finer than the chunk feed's accidental 12.8 m cuts).  The whole feed
+    rides a fused running-top-k Pallas kernel (ops/pallas_statics.py), so
+    nothing (F, N)-shaped ever materializes.
 
     ``exempt`` rows (road-crossing modes -- they must step over the curb
     border, mirroring the border force's crossing-mode deactivation,
     forces.py:176-177) produce no constraints.  ``alive`` tightens the
     Pallas tile skip (dead rows ride at sentinel coordinates).
 
-    Ego planes ``(..., N)``; returns constraint planes ``(..., N, k)``
-    plus validity.
+    Ego planes ``(N,)``; returns constraint planes ``(N, k)`` plus
+    validity (batch via vmap).
     """
-    from .geometry import closest_point_per_chunk
-    d2c, wxc, wyc = closest_point_per_chunk(ex, ey, pset, neigh_dist,
-                                            alive=alive)       # (C, N)
-    d2 = jnp.swapaxes(d2c, -2, -1)                             # (N, C)
-    wx = jnp.swapaxes(wxc, -2, -1)
-    wy = jnp.swapaxes(wyc, -2, -1)
-    d2 = jnp.where(exempt[..., None], jnp.inf, d2)
-    # payload planes must be finite: _k_nearest selects by masked one-hot
-    # sums, and inf * 0 = NaN would poison unselected candidates
-    dfin = jnp.where(jnp.isfinite(d2), d2, 0.0)
-    (swx, swy, sd2), valid = _k_nearest(
-        d2, (wx, wy, dfin), min(k, d2.shape[-1]))
+    sd2, swx, swy = _static_topk(ex, ey, src, k, neigh_dist, alive)
+    valid = jnp.isfinite(sd2) & ~exempt[None, :]               # (k, N)
     sd = jnp.sqrt(jnp.where(valid, sd2, 0.0))
-    nx, ny, _ = _safe_unit(ex[..., None] - swx, ey[..., None] - swy)
-    gap = sd - er[..., None]
+    nx, ny, _ = _safe_unit(ex[None, :] - swx, ey[None, :] - swy)
+    gap = sd - er[None, :]
     horizon = jnp.where(gap >= 0.0, tau_static, dt)
     rhs = -gap / horizon            # constraint: v . n >= rhs
-    return rhs * nx, rhs * ny, nx, ny, valid
+    # (k, N) -> (N, k): tiny planes, the LP's constraint-minor layout
+    t = lambda a: jnp.swapaxes(a, -2, -1)  # noqa: E731
+    return t(rhs * nx), t(rhs * ny), t(nx), t(ny), t(valid)
 
 
 def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
@@ -513,8 +546,10 @@ def orca_velocities(pos, vel, radius, alive, pref, vmax, params, dt,
     richer than classic goal-directed ORCA; with only the acceleration
     force enabled it reduces to the classic form up to the relaxation).
 
-    ``borders`` / ``obstacles`` (optional ChunkedPointSets) add HARD
-    half-plane constraints against the ``params.max_statics`` nearest
+    ``borders`` / ``obstacles`` (optional -- a ChunkedPointSet, or the
+    faster analytic StaticFeatures split built by
+    env/pointsets.build_static_features) add HARD half-plane constraints
+    against the ``params.max_statics`` nearest
     static wall features each (:func:`_static_constraints`) -- the
     projection then provably cannot pick a wall-crossing velocity, a
     guarantee the reference's soft border force cannot give under crowd

@@ -71,7 +71,8 @@ def make_sharded_rollout(mesh, scene: Scene, params: SfmParams, cfg: StepConfig,
     next segment's ``start_step``.
     """
     from ..models.stepper import prepare_scene
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic,
+                          orca=params.enable_orca)
     state_spec = jax.tree_util.tree_map(lambda _: P(AGENT_AXIS),
                                         PedState.empty(1))
     # Scene-of-specs: same pytree structure, slot arrays sharded, geometry

@@ -90,7 +90,8 @@ def make_ensemble_rollout(scene_batch: Scene, params: SfmParams,
     """
     from ..models.spawn import SpawnSchedule
     from ..models.stepper import prepare_scene
-    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic)
+    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic,
+                                   orca=params.enable_orca)
     spawn_axes = jax.tree_util.tree_map(lambda _: 0, scene_prepared.spawn)
     scene_axes = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: None, scene_prepared),
@@ -137,7 +138,8 @@ def make_sharded_ensemble_rollout(mesh, scene_batch: Scene, params: SfmParams,
 
     n_batch = mesh.shape[BATCH_AXIS]
     n_agents = mesh.shape[AGENT_AXIS]
-    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic)
+    scene_prepared = prepare_scene(scene_batch, analytic=cfg.env_analytic,
+                                   orca=params.enable_orca)
     b = scene_prepared.spawn.pos_x.shape[0]
     if b % n_batch:
         raise ValueError(f"ensemble batch {b} must divide over the mesh's "
@@ -202,15 +204,17 @@ def make_sharded_ensemble_rollout(mesh, scene_batch: Scene, params: SfmParams,
 
 
 def make_sweep_rollout(scene: Scene, cfg: StepConfig, num_steps: int,
-                       record: bool = False, mesh=None):
+                       record: bool = False, mesh=None, orca: bool = False):
     """vmap the rollout over a batched SfmParams pytree.
 
     With ``mesh`` given, the parameter batch (and the result) is sharded over
     the ``batch`` axis -- data parallelism over independent rollouts.
+    ``orca``: pass the (static) ``enable_orca`` of the swept params so the
+    scene preparation builds the ORCA static-feature splits.
     """
 
     from ..models.stepper import prepare_scene
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic, orca=orca)
 
     def one(params_row: SfmParams):
         state = PedState.empty(scene.spawn.capacity)

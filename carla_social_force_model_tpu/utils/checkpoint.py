@@ -138,7 +138,8 @@ def run_segmented(state: PedState, scene, params, cfg, num_steps: int,
     import jax.numpy as jnp
     import functools
 
-    scene = prepare_scene(scene, analytic=cfg.env_analytic)
+    scene = prepare_scene(scene, analytic=cfg.env_analytic,
+                          orca=params.enable_orca)
     fleet = getattr(scene, "autopilot", None)
     ap = autopilot_state
     if fleet is not None and ap is None:
