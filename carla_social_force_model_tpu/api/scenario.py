@@ -123,6 +123,14 @@ def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
     and integer ``destination`` values index the map's spawn-point list
     exactly as the reference does (vehicle_spawner.py:96-98, :131-132);
     coordinate pairs are accepted headless as well.
+
+    Destination-routed vehicles additionally derive per-waypoint overtake
+    legality (and the passing-lane width) from the graph's lane adjacency
+    (DrivingGraph.lane_adjacency) -- the BehaviorAgent takes lane-change
+    permission from the map, so routed vehicles may pass by default
+    wherever an adjacent lane runs alongside, and nowhere else.  Explicit
+    ``overtake``/``lane_width`` keys override (and remain the only
+    mechanism for waypoints-authored routes, which carry no map).
     """
     from ..models.autopilot import AutopilotSpec
     vehicle_cfg = scenario.get("vehicle", {})
@@ -131,6 +139,7 @@ def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
         if not sp.get("auto_pilot", True):
             continue
         waypoints = sp.get("waypoints", [])
+        derived_ok, derived_width = None, None
         if len(waypoints) == 0 and sp.get("destination") is not None:
             if driving_router is None:
                 log.warning(
@@ -141,8 +150,16 @@ def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
             waypoints = _plan_destination_route(sp, driving_router)
             if waypoints is None:
                 continue
+            # BehaviorAgent parity: lane-change legality comes from the
+            # map, not the scenario (vehicle_spawner.py:131-138 -- the
+            # agent's local planner reads OpenDRIVE markings).  Headless,
+            # derive the per-waypoint mask from driving-lane adjacency;
+            # explicit overtake/lane_width keys still override.
+            derived_ok, derived_width = driving_router.lane_adjacency(
+                np.asarray(waypoints, np.float64)[:, :2])
         if len(waypoints) == 0:
             continue
+        ot_default = derived_ok is not None and bool(np.any(derived_ok))
         specs.append(AutopilotSpec(
             waypoints=np.asarray(waypoints, np.float64)[:, :2],
             speed_limit=float(sp.get("speed_limit", 8.33)),
@@ -158,8 +175,11 @@ def extract_autopilot_specs(scenario: dict, driving_router=None) -> list:
             quantity=int(sp.get("quantity", 1)),
             loop=bool(sp.get("loop", False)),
             blueprint=sp.get("blueprint"),
-            overtake=bool(sp.get("overtake", False)),
-            lane_width=float(sp.get("lane_width", 3.5)),
+            overtake=bool(sp.get("overtake", ot_default)),
+            overtake_ok=derived_ok,
+            lane_width=float(sp.get(
+                "lane_width",
+                derived_width if derived_width is not None else 3.5)),
             overtake_speed_gain=float(sp.get("overtake_speed_gain", 0.5)),
             overtake_clear_ahead=float(sp.get("overtake_clear_ahead", 40.0)),
             overtake_clear_behind=float(sp.get("overtake_clear_behind", 8.0)),

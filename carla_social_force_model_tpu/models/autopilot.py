@@ -29,9 +29,14 @@ jitted ``lax.scan`` as part of the rollout carry --
   ``lane_width`` at ``lane_change_rate``, passes, and merges back once the
   original lane is clear -- the BehaviorAgent overtake maneuver
   (/root/reference/vehicle_spawner.py:131-138) as branchless (V, V)
-  vector math in the rollout carry.  Overtake *legality* is
-  scenario-declared (the ``overtake``/``lane_width`` keys), not derived
-  from map lane markings -- see PARITY.md,
+  vector math in the rollout carry.  Walkers in the passing lane defer
+  the commit exactly like vehicles do.  Overtake *legality* is
+  per-waypoint (``AutopilotFleet.overtake_ok``): destination-routed
+  vehicles derive it from driving-lane-graph adjacency
+  (routing/driving.DrivingGraph.lane_adjacency -- the headless stand-in
+  for the OpenDRIVE lane markings CARLA's local planner consults), while
+  waypoints-authored scenarios declare it with the
+  ``overtake``/``lane_width`` keys -- see PARITY.md,
 * optionally loops its route (TrafficManager vehicles drive indefinitely).
 
 Unlike the scripted teleport timelines (models/vehicles.py, the reference's
@@ -104,6 +109,11 @@ class AutopilotSpec:
     #    here, not derived from map lane markings) --
     overtake: bool = False              # may pass through the left lane
     lane_width: float = 3.5             # lateral offset of the passing lane
+    # per-waypoint legality ((W,) bool aligned with ``waypoints``): where
+    # the maneuver may START.  None = the whole route (when ``overtake``).
+    # Destination-routed vehicles get this derived from driving-lane-graph
+    # adjacency (api/scenario.extract_autopilot_specs).
+    overtake_ok: np.ndarray | None = None
     overtake_speed_gain: float = 0.5    # m/s the leader must be slower by
     overtake_clear_ahead: float = 40.0  # m of clear passing lane required
     overtake_clear_behind: float = 8.0  # m of clear lane behind required
@@ -151,6 +161,7 @@ class AutopilotFleet:
     brake_margin: jnp.ndarray   # (V,)
     lateral_margin: jnp.ndarray  # (V,)
     overtake: jnp.ndarray       # (V,) bool: may use the passing lane
+    overtake_ok: jnp.ndarray    # (V, W) bool: may START the pass here
     lane_width: jnp.ndarray     # (V,)
     ot_speed_gain: jnp.ndarray  # (V,)
     ot_clear_ahead: jnp.ndarray  # (V,)
@@ -242,6 +253,7 @@ def build_autopilot_fleet(
     brake_margin = np.zeros((v,), dtype)
     lateral_margin = np.zeros((v,), dtype)
     overtake = np.zeros((v,), bool)
+    overtake_ok = np.zeros((v, w_max), bool)
     lane_width = np.zeros((v,), dtype)
     ot_speed_gain = np.zeros((v,), dtype)
     ot_clear_ahead = np.zeros((v,), dtype)
@@ -283,6 +295,17 @@ def build_autopilot_fleet(
         brake_margin[vi] = s.brake_margin
         lateral_margin[vi] = s.lateral_margin
         overtake[vi] = s.overtake
+        if s.overtake_ok is not None:
+            ok = np.asarray(s.overtake_ok, bool).reshape(-1)
+            if len(ok) != len(wps):
+                raise ValueError(
+                    f"overtake_ok length {len(ok)} != route length "
+                    f"{len(wps)} for spawner {si}")
+            overtake_ok[vi, : len(wps)] = ok
+            # padding repeats the last value (clamped wp gather, like route)
+            overtake_ok[vi, len(wps):] = bool(ok[-1]) if len(ok) else False
+        else:
+            overtake_ok[vi, :] = True    # whole-route; gated by `overtake`
         lane_width[vi] = s.lane_width
         ot_speed_gain[vi] = s.overtake_speed_gain
         ot_clear_ahead[vi] = s.overtake_clear_ahead
@@ -323,7 +346,9 @@ def build_autopilot_fleet(
         accel=jnp.asarray(accel), decel=jnp.asarray(decel),
         brake_margin=jnp.asarray(brake_margin),
         lateral_margin=jnp.asarray(lateral_margin),
-        overtake=jnp.asarray(overtake), lane_width=jnp.asarray(lane_width),
+        overtake=jnp.asarray(overtake),
+        overtake_ok=jnp.asarray(overtake_ok),
+        lane_width=jnp.asarray(lane_width),
         ot_speed_gain=jnp.asarray(ot_speed_gain),
         ot_clear_ahead=jnp.asarray(ot_clear_ahead),
         ot_clear_behind=jnp.asarray(ot_clear_behind),
@@ -454,6 +479,14 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
         other & (vfwd > -fleet.ot_clear_behind[:, None])
         & (vfwd < fore_window)
         & (jnp.abs(vlat - fleet.lane_width[:, None]) < veh_band), axis=1)
+    # a walker in the passing lane defers the commit too (BehaviorAgent
+    # does not lane-change into a pedestrian); once committed, the normal
+    # braking corridor -- which rides the vehicle's own lane -- covers them
+    ped_pass = jnp.any(
+        ped_alive[None, :] & (fwd > -fleet.ot_clear_behind[:, None])
+        & (fwd < fleet.ot_clear_ahead[:, None])
+        & (jnp.abs(lat - fleet.lane_width[:, None]) < band), axis=1)
+    pass_busy = pass_busy | (ped_pass & ~fleet.ignore_walkers)
     # merge-back check: the ORIGINAL lane (at -lane_off in my frame) clear
     # behind me and for a braking distance ahead
     merge_ahead = follow_window + fleet.brake_margin[:, None]
@@ -461,7 +494,12 @@ def autopilot_step(fleet: AutopilotFleet, st: AutopilotState,
         other & (vfwd > -fleet.ot_clear_behind[:, None])
         & (vfwd < merge_ahead)
         & (jnp.abs(vlat + st.lane_off[:, None]) < veh_band), axis=1)
-    start = (blocked & ~pass_busy & fleet.overtake & active
+    # legality gate: the pass may only START where the vehicle's current
+    # route waypoint allows it (per-waypoint overtake_ok -- derived from
+    # lane adjacency for destination-routed vehicles); an in-flight pass
+    # is never cut short mid-maneuver
+    ok_here = fleet.overtake_ok[v_idx, wp_i]
+    start = (blocked & ~pass_busy & fleet.overtake & ok_here & active
              & ~st.overtaking)
     overtaking = (st.overtaking | start) & ~(st.overtaking & ~orig_busy)
     target_off = jnp.where(overtaking, fleet.lane_width, 0.0)

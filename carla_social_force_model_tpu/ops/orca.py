@@ -68,13 +68,20 @@ _DET_EPS = 1e-9
 
 
 def _safe_unit(x, y, fallback_x=1.0):
-    """Zero-safe unit vector: (0, 0) maps to (fallback_x, 0)."""
+    """Zero-safe unit vector: (0, 0) maps to (fallback_x, 0).
+
+    Differentiation-safe (the whole ORCA path must be: api/calibrate.py
+    fits ``orca.tau`` through it): ``sqrt`` never sees 0, because its VJP
+    divides by the primal output and would turn even a ZERO incoming
+    cotangent into 0/0 = NaN on masked rows.
+    """
     n2 = x * x + y * y
     bad = n2 <= 0.0
-    inv = jax.lax.rsqrt(jnp.where(bad, 1.0, n2))
+    safe = jnp.where(bad, 1.0, n2)
+    inv = jax.lax.rsqrt(safe)
     return (jnp.where(bad, fallback_x, x * inv),
             jnp.where(bad, 0.0, y * inv),
-            jnp.sqrt(jnp.where(bad, 0.0, n2)))
+            jnp.where(bad, 0.0, jnp.sqrt(safe)))
 
 
 def orca_halfplane(px, py, rvx, rvy, r, tau, dt):
@@ -123,7 +130,9 @@ def orca_halfplane(px, py, rvx, rvy, r, tau, dt):
     # guard d2 <= r2 (leg length imaginary) -- those rows take the
     # colliding branch anyway
     safe_d2 = jnp.where(colliding, 1.0, d2)
-    leg = jnp.sqrt(jnp.maximum(d2 - r2, 0.0))
+    # colliding rows would put 0 under the sqrt (NaN-poisoning the VJP,
+    # see _safe_unit); they take the colliding branch, so feed 1 instead
+    leg = jnp.sqrt(jnp.where(colliding, 1.0, jnp.maximum(d2 - r2, 0.0)))
     left_side = (px * wy - py * wx) > 0.0
     # left leg (counter-clockwise tangent) / right leg (clockwise)
     ldx = jnp.where(left_side, px * leg - py * r, px * leg + py * r) / safe_d2
@@ -201,7 +210,8 @@ def solve_lp2(pref_x, pref_y, ptx, pty, nx, ny, valid, vmax):
     pd = ptx * dx + pty * dy
     disc = pd * pd - (ptx * ptx + pty * pty) + (vmax * vmax)[..., None]
     ok_c = valid & (disc >= 0.0)
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # no 0 under the sqrt on invalid rows (NaN-poisoning VJP, _safe_unit)
+    root = jnp.sqrt(jnp.where(ok_c, jnp.maximum(disc, 0.0), 1.0))
     for sgn in (-1.0, 1.0):
         t = -pd + sgn * root
         add(ptx + t * dx, pty + t * dy, ok_c)
@@ -289,7 +299,8 @@ def solve_lp3(ptx, pty, nx, ny, valid, vmax):
         ddx, ddy = -ty, tx
         h2 = (vmax * vmax)[..., None] - (px0 * px0 + py0 * py0)
         ok_c = ok_t & (h2 >= 0.0)
-        h = jnp.sqrt(jnp.maximum(h2, 0.0)) * jax.lax.rsqrt(safe_t2)
+        h = (jnp.sqrt(jnp.where(ok_c, jnp.maximum(h2, 0.0), 1.0))
+             * jax.lax.rsqrt(safe_t2))
         for sgn in (-1.0, 1.0):
             add(px0 + sgn * h * ddx, py0 + sgn * h * ddy, ok_c)
 
@@ -522,7 +533,7 @@ def _static_constraints(ex, ey, er, exempt, alive, src, k, tau_static, dt,
     """
     sd2, swx, swy = _static_topk(ex, ey, src, k, neigh_dist, alive)
     valid = jnp.isfinite(sd2) & ~exempt[None, :]               # (k, N)
-    sd = jnp.sqrt(jnp.where(valid, sd2, 0.0))
+    sd = jnp.where(valid, jnp.sqrt(jnp.where(valid, sd2, 1.0)), 0.0)
     nx, ny, _ = _safe_unit(ex[None, :] - swx, ey[None, :] - swy)
     gap = sd - er[None, :]
     horizon = jnp.where(gap >= 0.0, tau_static, dt)

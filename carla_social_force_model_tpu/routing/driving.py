@@ -124,6 +124,77 @@ class DrivingGraph:
             path.append(prev[path[-1]])
         return path[::-1]
 
+    def _node_dirs(self):
+        """(V, 2) unit lane tangents per node (mean of touching edge
+        directions; zero rows = isolated nodes), cached."""
+        if getattr(self, "_dirs", None) is None:
+            d = np.zeros((self.num_nodes, 2), np.float64)
+            seg = (self.nodes[self.edge_v, :2]
+                   - self.nodes[self.edge_u, :2])
+            ln = np.linalg.norm(seg, axis=1)
+            unit = seg / np.maximum(ln, 1e-9)[:, None]
+            np.add.at(d, self.edge_u, unit)
+            np.add.at(d, self.edge_v, unit)
+            n = np.linalg.norm(d, axis=1)
+            self._dirs = d / np.maximum(n, 1e-9)[:, None]
+            self._dirs_valid = n > 1e-6
+        return self._dirs, self._dirs_valid
+
+    def lane_adjacency(self, route_xy, min_width: float = 2.0,
+                       max_width: float = 5.5, parallel_cos: float = 0.7,
+                       along_tol: float | None = None):
+        """Per-route-point overtake legality from lane adjacency.
+
+        CARLA's BehaviorAgent takes lane-change permission from the
+        OpenDRIVE lane markings its local planner reads
+        (/root/reference/vehicle_spawner.py:131-138).  The serialized
+        driving graph carries no markings, but it DOES carry every lane's
+        waypoint chain -- so the headless stand-in is geometric: a pass
+        may start at route point ``i`` iff some OTHER lane chain runs
+        alongside on the left (lateral offset in ``(min_width,
+        max_width)``, longitudinally within ``along_tol`` of abreast,
+        direction parallel or antiparallel within ``parallel_cos``).
+        Same-direction neighbors model multi-lane one-ways; antiparallel
+        ones the opposing lane of a two-way road (usable when clear --
+        the maneuver's own oncoming-traffic window handles *when*).
+
+        Returns ``(ok, est_width)``: a (K,) bool mask aligned with
+        ``route_xy`` and the median lateral offset of the matched
+        adjacent-lane nodes (None when nothing matched) -- the natural
+        ``lane_width`` for the maneuver.
+        """
+        route = np.asarray(route_xy, np.float64).reshape(-1, 2)
+        k = route.shape[0]
+        if k == 0 or self.num_nodes == 0:
+            return np.zeros((k,), bool), None
+        if along_tol is None:
+            med = float(np.median(self.edge_length)) if self.num_edges \
+                else 4.0
+            along_tol = max(1.25 * med, 2.0)
+
+        # local route tangents (central differences, clamped ends)
+        nxt = route[np.minimum(np.arange(k) + 1, k - 1)]
+        prv = route[np.maximum(np.arange(k) - 1, 0)]
+        tang = nxt - prv
+        tn = np.linalg.norm(tang, axis=1)
+        tang = tang / np.maximum(tn, 1e-9)[:, None]
+
+        dirs, dirs_valid = self._node_dirs()
+        nodes = self.nodes[:, :2]
+        rel = nodes[None, :, :] - route[:, None, :]            # (K, V, 2)
+        fwd = rel[..., 0] * tang[:, None, 0] + rel[..., 1] * tang[:, None, 1]
+        lat = (tang[:, None, 0] * rel[..., 1]
+               - tang[:, None, 1] * rel[..., 0])               # left > 0
+        par = np.abs(dirs[None, :, 0] * tang[:, None, 0]
+                     + dirs[None, :, 1] * tang[:, None, 1]) > parallel_cos
+        match = (par & dirs_valid[None, :]
+                 & (lat > min_width) & (lat < max_width)
+                 & (np.abs(fwd) < along_tol)
+                 & (tn > 1e-9)[:, None])
+        ok = match.any(axis=1)
+        est = float(np.median(lat[match])) if match.any() else None
+        return ok, est
+
     def spawn_transform(self, index: int) -> tuple[np.ndarray, float]:
         """(xyz, yaw) of map spawn point ``index`` (reference
         ``self.spawn_points[int(...)]``, vehicle_spawner.py:96-98)."""

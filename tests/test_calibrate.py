@@ -331,3 +331,44 @@ def test_cross_family_distillation_reduces_loss():
     assert result.final_loss < result.initial_loss * 0.8, \
         (result.initial_loss, result.final_loss, result.fitted)
     assert result.fitted["powerlaw.k"] > 0.0, result.fitted
+
+
+def test_recover_orca_tau():
+    """Differentiable ORCA (round 5, the fourth family): ``orca.tau`` is
+    recoverable THROUGH the velocity-projection LP.  The candidate-
+    enumeration argmin is piecewise-smooth in tau (tau scales the
+    half-plane offsets, ops/orca.orca_halfplane), but the full-trajectory
+    MSE landscape is chaotic like the power law's (measured: the loss
+    curve oscillates without converging), so the fit uses the same
+    teacher-forcing remedy -- the windowed prediction error is smooth and
+    recovers tau to 3 decimals.
+
+    ``orca.neighbor_dist`` is the documented NEGATIVE result: it enters
+    the computation only through inclusion masks (``d2 <= nd**2``), so
+    its gradient is identically zero -- asserted below rather than
+    hand-waved.  Fit the smooth knobs; sweep the gate knobs
+    (tools/orca_accuracy.py prices them).
+    """
+    scene, params, cfg, state = benchmark_bundle(16, extent=7.0,
+                                                 use_pallas=False)
+    params = dataclasses.replace(
+        params, enable_pedestrian=False, enable_orca=True,
+        orca=dataclasses.replace(params.orca, tau=1.5, window=0))
+    steps = 120
+    run = make_rollout_fn(scene, params, cfg, steps)
+    _, observed = run(state)
+
+    # gradient w.r.t. neighbor_dist is exactly zero (mask-only parameter)
+    loss_nd = make_loss_fn(state, scene, params, cfg, observed, steps,
+                           fit=("orca.neighbor_dist",), log_space=False)
+    g_nd = jax.grad(loss_nd)(
+        {"orca.neighbor_dist": jnp.asarray(12.0, jnp.float32)})
+    assert float(g_nd["orca.neighbor_dist"]) == 0.0
+
+    # tau recovers from a 60%-off start (teacher-forced objective)
+    start = replace_param(params, "orca.tau", 2.4)
+    result = fit_params(state, scene, start, cfg, observed, steps,
+                        fit=("orca.tau",), iters=150, learning_rate=0.05,
+                        teacher_window=8, vel_weight=1.0)
+    assert result.final_loss < result.initial_loss * 1e-2
+    assert abs(result.fitted["orca.tau"] - 1.5) / 1.5 < 0.05, result.fitted

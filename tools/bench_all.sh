@@ -76,6 +76,9 @@ if want families "${SECTIONS[@]:-}"; then
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=1000 BENCH_STEPS=2000
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=10000   # wall half-planes
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=10000 BENCH_ORCA_PURE=1
+  run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=50000
+  run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=50000 BENCH_ENV_ANALYTIC=1
+  run BENCH_MODE=urban BENCH_LAW=orca BENCH_N=10000     # full crossing FSM
 fi
 
 # --- "Social-group force cost" table --------------------------------------
