@@ -207,6 +207,10 @@ def run_rollout_mode():
         tag += "-w" + os.environ["BENCH_ORCA"].replace(":", "k")
     if law == "orca" and os.environ.get("BENCH_ORCA_PURE") == "1":
         tag += "-pure"
+    if ENV_ANALYTIC and ENV_ANALYTIC != "0":
+        # distinguish analytic-tier rows from their sampled-cloud twins in
+        # bench_all.jsonl (same N/mode/law otherwise)
+        tag += "-env"
     return N * STEPS / best, tag
 
 

@@ -3,7 +3,7 @@
 #
 #   bash tools/bench_all.sh [section ...]     (default: all sections)
 #
-# Sections: headline borders urban cutoff bignum families groups ensemble
+# Sections: headline borders urban cutoff bignum families orca groups ensemble
 # Each row is ONE bench.py subprocess (CLAUDE.md: several large Pallas
 # programs in one process have produced TPU backend INVALID_ARGUMENT
 # errors), run sequentially (one JAX process at a time on this machine).
@@ -22,7 +22,10 @@ run() {
     || echo "{\"error\": \"$*\"}" | tee -a "$OUT"
 }
 
-want() { [ $# -eq 0 ] || [[ " $* " == *" $1 "* ]]; }
+# want <section> [selected...]: run the section when no selection was given
+# or when it is in the selection ($1 must be excluded from the search — "$*"
+# contains it, which made every section match whatever was asked for).
+want() { local s="$1"; shift; [ $# -eq 0 ] || [ -z "$*" ] || [[ " $* " == *" $s "* ]]; }
 SECTIONS=("$@")
 
 # --- BENCH.md "Measured performance" headline table (config #1) ---------
@@ -70,6 +73,11 @@ if want families "${SECTIONS[@]:-}"; then
   run BENCH_LAW=powerlaw BENCH_N=10000 BENCH_CUTOFF=30
   run BENCH_LAW=helbing BENCH_N=10000
   run BENCH_LAW=helbing BENCH_N=10000 BENCH_CUTOFF=30
+fi
+
+# --- ORCA velocity-law tables (own section: the rows a statics/LP change
+# --- invalidates; the sweep knob BENCH_ORCA=<window>:<K> rides bench.py) --
+if want orca "${SECTIONS[@]:-}"; then
   run BENCH_LAW=orca BENCH_N=1000 BENCH_STEPS=2000
   run BENCH_LAW=orca BENCH_N=10000
   run BENCH_LAW=orca BENCH_N=50000
@@ -78,6 +86,7 @@ if want families "${SECTIONS[@]:-}"; then
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=10000 BENCH_ORCA_PURE=1
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=50000
   run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=50000 BENCH_ENV_ANALYTIC=1
+  run BENCH_MODE=borders BENCH_LAW=orca BENCH_N=50000 BENCH_ORCA_PURE=1 BENCH_ENV_ANALYTIC=1
   run BENCH_MODE=urban BENCH_LAW=orca BENCH_N=10000     # full crossing FSM
 fi
 

@@ -33,6 +33,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import jax  # noqa: E402
+
+# honor JAX_PLATFORMS=cpu (the sitecustomize axon override beats the env
+# var; tools/env_accuracy.py idiom) -- the study is compile-bound (one jit
+# per (window, K) point), so local CPU compiles beat the remote service
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 SWEEP = ((32, 6), (32, 10), (64, 6), (64, 10), (128, 10))
 FRAME_SAMPLES = 8          # frames per rollout for the exact N^2 passes
 
@@ -60,11 +68,12 @@ def missed_rate(pos, alive, window, k, neigh_dist, order="hilbert"):
     from carla_social_force_model_tpu.ops.spatial import morton_order
 
     n = pos.shape[0]
-    perm = np.asarray(morton_order(
+    perm, _inv = morton_order(
         (jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1])),
-        jnp.asarray(alive), order=order))
+        jnp.asarray(alive), order=order)
+    perm = np.asarray(perm)
     sidx = np.empty(n, np.int64)
-    sidx[perm] = np.arange(n)
+    sidx[perm] = np.arange(n)          # slot -> position in sorted order
     true_nb = _true_neighbor_sets(pos, alive, k, neigh_dist)
 
     half = window // 2
@@ -80,10 +89,15 @@ def missed_rate(pos, alive, window, k, neigh_dist, order="hilbert"):
 
 
 def _collision_stats(pos, alive, radii, sample_stride=4):
-    """(overlap events, min gap [m]) over sampled frames of a recorded
-    trajectory -- exact N^2 per sampled frame, numpy."""
+    """(overlap rate [% of alive pairs], min gap [m]) over sampled frames
+    of a recorded trajectory -- exact N^2 per sampled frame, numpy.
+
+    The rate is overlap events / alive pairs, summed over sampled frames:
+    despawn-on-arrival makes raw event COUNTS incomparable between runs
+    (a run whose agents arrive sooner sees fewer alive pairs)."""
     import numpy as np
     events = 0
+    pairs = 0
     min_gap = np.inf
     for t in range(0, pos.shape[0], sample_stride):
         p, a = pos[t], alive[t]
@@ -96,8 +110,9 @@ def _collision_stats(pos, alive, radii, sample_stride=4):
         iu = np.triu_indices(len(pa), 1)
         gap = (d - rsum)[iu]
         events += int((gap < 0).sum())
+        pairs += gap.size
         min_gap = min(min_gap, float(gap.min()))
-    return events, min_gap
+    return 100.0 * events / max(pairs, 1), min_gap
 
 
 def main():
@@ -137,9 +152,9 @@ def main():
         ref_pos, ref_alive = run(0, params.orca.max_neighbors)
         ev0, gap0 = _collision_stats(ref_pos, ref_alive, rad)
         print(f"{'window:K':>10} {'missed':>8} {'any-miss':>9} "
-              f"{'overlaps':>9} {'min gap':>9} {'traj Linf':>10}",
+              f"{'overlap%':>9} {'min gap':>9} {'traj Linf':>10}",
               flush=True)
-        print(f"{'full:10':>10} {'-':>8} {'-':>9} {ev0:>9} "
+        print(f"{'full:10':>10} {'-':>8} {'-':>9} {ev0:>9.4f} "
               f"{gap0:>9.3f} {'0 (ctrl)':>10}", flush=True)
 
         sample_ts = np.linspace(0, steps - 1, FRAME_SAMPLES).astype(int)
@@ -154,7 +169,7 @@ def main():
             err = np.abs(pos - ref_pos)
             err = np.where(ref_alive[..., None] & alive[..., None], err, 0.0)
             print(f"{f'{window}:{k}':>10} {mean_missed:>8.4f} "
-                  f"{any_miss:>9.4f} {ev:>9} {gap:>9.3f} "
+                  f"{any_miss:>9.4f} {ev:>9.4f} {gap:>9.3f} "
                   f"{err.max():>10.3e}", flush=True)
 
 

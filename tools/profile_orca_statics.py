@@ -15,8 +15,13 @@ times the suspects in isolation, iterated under a data-dependent
                    chunk-circle x ped-bbox tile skip)
 * ``statics``   -- _static_constraints end-to-end (chunk pass + K-nearest
                    extraction + plane build)
+* ``statics-feat`` -- _static_constraints over the round-5 analytic
+                   segment-feature split (build_static_features + the
+                   running-top-k kernel, ops/pallas_statics.py -- the
+                   production feed)
 * ``orca``      -- orca_velocities WITHOUT walls (control)
 * ``orca+walls``-- orca_velocities WITH the border set constraining
+* ``orca+walls-feat`` -- same, fed the feature split (production)
 
 Usage:  python tools/profile_orca_statics.py [N] [iters] [sorted]
 
@@ -114,6 +119,26 @@ def main():
 
     timed("statics", loop(statics_stage), (px, py))
 
+    # round-5 production feed: the analytic segment-feature split (exact
+    # closest points on DP segments via the running-top-k Pallas kernel,
+    # chunk sampling only for geometry that does not simplify)
+    from carla_social_force_model_tpu.env.pointsets import (
+        build_static_features)
+    feats = build_static_features(borders)
+    nseg = feats.seg.num_features if feats.seg is not None else 0
+    nrest = feats.rest.points.shape[0] if feats.rest is not None else 0
+    print(f"  (feature split: {nseg} analytic segments + {nrest} "
+          f"sampled chunks)")
+
+    def statics_feat_stage(c):
+        ptx, pty, nx, ny, valid = _static_constraints(
+            c[0], c[1], r, exempt, alive, feats, p.max_statics,
+            p.tau_static, DT, p.neighbor_dist)
+        d = jnp.sum(ptx * 1e-12, axis=-1)
+        return c[0] + d, c[1] + d
+
+    timed("statics-feat", loop(statics_feat_stage), (px, py))
+
     def orca_stage(c):
         ovx, ovy = orca_velocities((c[0], c[1]), (vx, vy), r, alive,
                                    (c[0], c[1]), vmax, p, DT)
@@ -128,6 +153,14 @@ def main():
         return c[0] + ovx * 1e-12, c[1] + ovy * 1e-12
 
     timed("orca+walls", loop(orca_walls_stage), (px, py))
+
+    def orca_walls_feat_stage(c):
+        ovx, ovy = orca_velocities((c[0], c[1]), (vx, vy), r, alive,
+                                   (c[0], c[1]), vmax, p, DT,
+                                   borders=feats, static_exempt=exempt)
+        return c[0] + ovx * 1e-12, c[1] + ovy * 1e-12
+
+    timed("orca+walls-feat", loop(orca_walls_feat_stage), (px, py))
 
 
 if __name__ == "__main__":
